@@ -1,0 +1,47 @@
+"""Query/operator catalog — the registry behind ``__spark_entry__``.
+
+Each operator module registers its public queries here with an optional
+DuckDB oracle SQL string. ``QUERIES[name](spark, sf_dir) -> DataFrame``;
+``ORACLES[name]`` is ANSI SQL over the pre-registered DuckDB views
+(region nation customer supplier part orders lineitem events documents
+embeddings). Queries without an oracle get the driver's weaker rows-only
+check (used for genuinely non-SQL-expressible stateful ops).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add a query (and its oracle SQL) to the catalog."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Import operator modules for their registration side effects.
+from .operators import relational  # noqa: E402,F401
+from .operators import windows  # noqa: E402,F401
+from .operators import setops  # noqa: E402,F401
+from .operators import scalars  # noqa: E402,F401
+from .operators import sessionize  # noqa: E402,F401
+from .functions import text  # noqa: E402,F401
+from .functions import dedup  # noqa: E402,F401
+from .functions import similarity  # noqa: E402,F401
+from .functions import multimodal  # noqa: E402,F401
+from .streaming import queries as streaming_queries  # noqa: E402,F401

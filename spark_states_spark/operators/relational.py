@@ -1,0 +1,413 @@
+"""Batch relational operator catalog: scans, filters, joins, aggregations.
+
+These exercise the query surface Spark exposes *above* the state-store SPI
+the reference plugs into (SURVEY.md §2.3: the reference implements no
+relational operators itself — they are Spark built-ins, which is exactly
+the point of a Spark-first design). Every query is declarative DataFrame
+API so Catalyst applies pushdown/pruning/join-selection/AQE.
+
+Scale notes (100 TB mindset), applied throughout:
+- filters + column pruning reach the parquet scan (tests/test_plans.py);
+- small dimension sides are explicitly ``F.broadcast`` so the big fact side
+  never shuffles for those joins;
+- aggregations are single groupBy calls so Spark plans partial (map-side)
+  aggregation before the shuffle.
+
+Numeric policy: see ``exact.py`` — decimal-exact aggregates, raw IEEE
+per-row arithmetic, no cross-engine rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..sources import load_table
+from .exact import davg, dec2, dsum, rate, sql_davg, sql_dec2, sql_dsum, sql_rate
+
+_DISC_PRICE_SQL = f"{sql_dec2('l_extendedprice')} * {sql_rate('1.0 - l_discount')}"
+_CHARGE_SQL = f"{_DISC_PRICE_SQL} * {sql_rate('1.0 + l_tax')}"
+
+
+def _disc_price():
+    return dec2("l_extendedprice") * rate("1.0 - l_discount")
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum(sql_dec2('l_quantity'))}      AS sum_qty,
+           {sql_dsum(sql_dec2('l_extendedprice'))} AS sum_base_price,
+           {sql_dsum(_DISC_PRICE_SQL)}             AS sum_disc_price,
+           {sql_dsum(_CHARGE_SQL)}                 AS sum_charge,
+           {sql_davg(sql_dec2('l_quantity'))}      AS avg_qty,
+           {sql_davg(sql_dec2('l_extendedprice'))} AS avg_price,
+           {sql_davg(sql_dec2('l_discount'))}      AS avg_disc,
+           count(*)                                AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 — wide aggregation with map-side partial agg before shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(dec2("l_quantity")).alias("sum_qty"),
+            dsum(dec2("l_extendedprice")).alias("sum_base_price"),
+            dsum(_disc_price()).alias("sum_disc_price"),
+            dsum(_disc_price() * rate("1.0 + l_tax")).alias("sum_charge"),
+            davg(dec2("l_quantity")).alias("avg_qty"),
+            davg(dec2("l_extendedprice")).alias("avg_price"),
+            davg(dec2("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey AS orderkey,
+           {sql_dsum(_DISC_PRICE_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount'))} AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style — selective dim filters broadcast into the fact join."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1997-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1997-03-15"
+    )
+    return (
+        li.join(
+            F.broadcast(
+                orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy(
+            li.l_orderkey.alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .agg(dsum(_disc_price()).alias("revenue"))
+        .select("orderkey", "revenue", "orderdate")
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {sql_dsum(_DISC_PRICE_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount'))} AS revenue
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way join — all dims broadcast; fact never re-shuffles."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(n.n_name.alias("nation"))
+        .agg(dsum(_disc_price()).alias("revenue"))
+    )
+
+
+@register(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-07-01 00:00:00'
+      AND l_quantity > 30
+    """,
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + filter + projection — predicate pushdown & column pruning.
+
+    Per-row double arithmetic is IEEE-deterministic → emitted raw.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1995-06-01")
+        & (F.col("l_shipdate") < "1995-07-01")
+        & (F.col("l_quantity") > 30)
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    oracle=f"""
+    SELECT p.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_items,
+           {sql_dsum(sql_dec2('l.l_quantity'))} AS total_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 20
+    GROUP BY p.p_brand
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim broadcast join: the dim filter never forces a fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(part.p_brand.alias("brand"))
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(dec2("l_quantity")).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "semi_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "anti_join_customers",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+    """,
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — customers with no orders in 2001."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2001-01-01"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "outer_join_nation_counts",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(count(c.c_custkey) AS BIGINT) AS n_customers
+    FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def outer_join_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving unmatched dimension rows."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy(n.n_name.alias("nation"))
+        .agg(F.count(c.c_custkey).alias("n_customers"))
+    )
+
+
+@register(
+    "agg_rollup_returns",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum(sql_dec2('l_extendedprice'))} AS sum_price,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy aggregation (subtotals + grand total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum(dec2("l_extendedprice")).alias("sum_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "agg_cube_orders",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {sql_dsum(sql_dec2('o_totalprice'))} AS total,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over two dimensions."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        dsum(dec2("o_totalprice")).alias("total"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi count-distinct (expands to Spark's Expand-operator plan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k — Spark plans TakeOrderedAndProject, no full sort.
+
+    Deterministic tiebreak on o_orderkey so the oracle matches exactly.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", F.col("o_totalprice").alias("totalprice"))
+        .limit(10)
+    )
+
+
+@register(
+    "having_filter",
+    oracle=f"""
+    SELECT o_custkey, {sql_dsum(sql_dec2('o_totalprice'))} AS spend,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 5
+    """,
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            dsum(dec2("o_totalprice")).alias("spend"),
+            F.count("*").alias("n_orders"),
+        )
+        .filter(F.col("n_orders") >= 5)
+    )
+
+
+@register(
+    "scalar_subquery_avg",
+    oracle="""
+    SELECT o_orderkey, o_totalprice AS totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) * 1.5 FROM orders)
+    """,
+)
+def scalar_subquery_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate, via the SQL API on a temp view."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice AS totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) * 1.5 FROM orders)
+        """
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle=f"""
+    SELECT o_orderpriority,
+           coalesce({sql_dsum("CASE WHEN o_orderstatus = 'F' THEN " + sql_dec2('o_totalprice') + " END")}, 0.0) AS f_total,
+           coalesce({sql_dsum("CASE WHEN o_orderstatus = 'O' THEN " + sql_dec2('o_totalprice') + " END")}, 0.0) AS o_total,
+           coalesce({sql_dsum("CASE WHEN o_orderstatus = 'P' THEN " + sql_dec2('o_totalprice') + " END")}, 0.0) AS p_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (explicit value list so no extra distinct-values job at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    pv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(dec2("o_totalprice")))
+    )
+    return pv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F").cast("double"), F.lit(0.0)).alias("f_total"),
+        F.coalesce(F.col("O").cast("double"), F.lit(0.0)).alias("o_total"),
+        F.coalesce(F.col("P").cast("double"), F.lit(0.0)).alias("p_total"),
+    )

@@ -1,0 +1,135 @@
+"""Event analytics: batch sessionization & time-bucket aggregation.
+
+Gap-based sessionization is the batch twin of streaming
+``session_window`` (SURVEY.md §2.3): a new session starts when the gap to
+the previous event of the same user is ≥ 30 minutes. Implemented with
+lag + conditional cumsum — one shuffle on user_id serves every window in
+the chain.
+
+Timestamps: events.ts is ns in parquet; Spark works on µs. All comparisons
+here use epoch *microseconds* (DuckDB: epoch_ns//1000) so both engines see
+bit-identical integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..sources import load_table
+
+GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, in microseconds
+
+
+@register(
+    "hourly_event_stats",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly time-bucket aggregation (batch twin of the streaming flagship)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, value,
+             epoch_ns(ts) // 1000 AS ts_us,
+             lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+                                             ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_us
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
+                     THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), numbered AS (
+      SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts_us, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(ts_us) // 1000000 AS BIGINT) AS start_s,
+           CAST(max(ts_us) // 1000000 AS BIGINT) AS end_s,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: lag + cumsum of session-start flags."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = (
+        e.withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn("prev_us", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("ts_us") - F.col("prev_us") >= GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(wrun))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.expr("min(ts_us) div 1000000").alias("start_s"),
+        F.expr("max(ts_us) div 1000000").alias("end_s"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+            "session_value"
+        ),
+    )
+
+
+@register(
+    "user_funnel_counts",
+    oracle="""
+    SELECT user_id,
+           CAST(count(CASE WHEN event_type = 'signup'   THEN 1 END) AS BIGINT) AS n_signup,
+           CAST(count(CASE WHEN event_type = 'view'     THEN 1 END) AS BIGINT) AS n_view,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+           CAST(count(CASE WHEN event_type = 'error'    THEN 1 END) AS BIGINT) AS n_error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (funnel counts) per user."""
+    e = load_table(spark, sf_dir, "events")
+
+    def cnt(t: str):
+        return F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+
+    return e.groupBy("user_id").agg(
+        cnt("signup"), cnt("view"), cnt("purchase"), cnt("error")
+    )

@@ -1,0 +1,94 @@
+"""Set-operation catalog: UNION [ALL] / INTERSECT / EXCEPT.
+
+Spark plans these as aggregations/joins on all columns; at scale the
+distinct variants shuffle on the full row — keep projections narrow before
+the set op (done here: key-only projections).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..sources import load_table
+
+
+def _buyers_in(spark, sf_dir: str, year: int) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= f"{year}-01-01")
+            & (F.col("o_orderdate") < f"{year + 1}-01-01")
+        )
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+@register(
+    "setop_union_all",
+    oracle="""
+    SELECT custkey, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT o_custkey AS custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      UNION ALL
+      SELECT o_custkey AS custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) GROUP BY custkey
+    """,
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics) + re-aggregation."""
+    u = _buyers_in(spark, sf_dir, 1996).unionAll(_buyers_in(spark, sf_dir, 1997))
+    return u.groupBy("custkey").agg(F.count("*").alias("n"))
+
+
+@register(
+    "setop_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — customers who bought in both years."""
+    return _buyers_in(spark, sf_dir, 1996).intersect(_buyers_in(spark, sf_dir, 1997))
+
+
+@register(
+    "setop_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — churned customers. ``subtract`` is EXCEPT DISTINCT
+    (``exceptAll`` would keep rows whose multiplicity merely exceeds B's)."""
+    return _buyers_in(spark, sf_dir, 1996).subtract(_buyers_in(spark, sf_dir, 1997))
+
+
+@register(
+    "setop_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) across two different tables."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()

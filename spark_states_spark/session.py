@@ -1,0 +1,84 @@
+"""SparkSession builder helpers.
+
+``use_rocksdb_state_store`` is the PySpark-native equivalent of the
+reference's ``SparkSession.Builder`` implicit ``useRocksDBStateStore()``
+(``implicits.scala:32-38``), pointed at Spark's *built-in* RocksDB provider
+(SPARK-34198 — the modern descendant of the reference) instead of a custom
+JNI provider, with changelog checkpointing enabled (supersedes the
+reference's full-zip-per-commit snapshots, Provider.scala:448-462).
+
+Tuning mirrors the intent of the reference's RocksDB options
+(Provider.scala:101-107: 200 MB write buffers ×3, background compactions,
+compression) through the ``spark.sql.streaming.stateStore.rocksdb.*`` conf
+namespace.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+# Defaults sized for the local[32] test harness; on a real cluster these are
+# overridden per-deployment. Shuffle partitions should be ~2-3× total cores.
+_LOCAL_DEFAULTS = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.ui.enabled": "false",
+    # The events fixture stores TIMESTAMP(NANOS) which Spark rejects by
+    # default; read it as raw int64 nanos and convert explicitly
+    # (sources.tables.with_event_time).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def use_rocksdb_state_store(builder: SparkSession.Builder) -> SparkSession.Builder:
+    """Configure a builder to use the RocksDB state store provider.
+
+    Parity: reference ``implicits.scala:32-38`` (sets
+    ``spark.sql.streaming.stateStore.providerClass``). Additionally enables
+    changelog checkpointing — the modern replacement for the reference's
+    full-snapshot-per-commit durability (Provider.scala:448-462) — and write
+    buffer tuning in the spirit of Provider.scala:101-107.
+    """
+    return (
+        builder.config("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
+        # 64 MB write buffers (reference used 200 MB ×3 for a heavy JNI store;
+        # Spark's provider defaults are per-partition so keep them moderate).
+        .config("spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB", "64")
+        .config("spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber", "3")
+        .config("spark.sql.streaming.stateStore.rocksdb.compression", "lz4")
+    )
+
+
+def build_session(
+    app_name: str = "spark_states_spark",
+    master: str | None = None,
+    rocksdb_state: bool = True,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build the engine's SparkSession with scale-appropriate defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(master or f"local[{cpus}]")
+    for k, v in _LOCAL_DEFAULTS.items():
+        builder = builder.config(k, v)
+    if rocksdb_state:
+        builder = use_rocksdb_state_store(builder)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,129 @@
+"""Batch and streaming readers over the driver's parquet tables.
+
+The driver generates TPC-H-ish tables plus ``events`` (streaming fixture),
+``documents`` (text ops) and ``embeddings`` (similarity ops) at
+``/root/testdata/sf*/``. Schemas are recorded in FIXTURES.md.
+
+Design note (100 TB mindset): all readers go through ``spark.read.parquet``
+so Catalyst gets predicate pushdown / column pruning / vectorized scan for
+free. Streaming reads use ``readStream`` with an explicit schema (required
+by the file source) — no sampling-based inference on the hot path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Explicit schema for the streaming fixture (file stream sources require one).
+# ``ts`` is TIMESTAMP(NANOS) in parquet; Spark reads it as int64 nanos under
+# spark.sql.legacy.parquet.nanosAsLong=true and ``with_event_time`` converts
+# to a proper TimestampType (µs, floored — consistent with DuckDB second-level
+# truncation in oracles).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def with_event_time(df: DataFrame) -> DataFrame:
+    """Convert the raw int64-nanosecond ``ts`` column to TimestampType."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        df = with_event_time(df)
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def _stream_dir(path: str) -> str:
+    """Stage a single parquet file behind a directory for the file stream
+    source (which requires a directory input). A stable symlink dir in /tmp,
+    keyed by the absolute path — testdata is read-only so this never goes
+    stale. On a real deployment streams read directories/object-store
+    prefixes directly and this staging is bypassed.
+    """
+    if os.path.isdir(path):
+        return path
+    digest = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), "sss_stream_src", digest)
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(path))
+    if not os.path.exists(link):
+        try:
+            os.symlink(path, link)
+        except FileExistsError:
+            pass
+    return d
+
+
+def read_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "events",
+    schema: T.StructType | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Read a fixture table as a file-source stream.
+
+    This is the PySpark equivalent of feeding micro-batches through the
+    reference's state store: each trigger becomes one versioned state commit
+    (Provider.scala:44-47).
+    """
+    if schema is None:
+        if name == "events":
+            schema = EVENTS_RAW_SCHEMA
+        else:
+            schema = spark.read.parquet(table_path(sf_dir, name)).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.load(_stream_dir(table_path(sf_dir, name)))
+    if name == "events":
+        df = with_event_time(df)
+    return df

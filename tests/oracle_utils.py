@@ -1,0 +1,72 @@
+"""Local stand-in for the driver's DuckDB oracle-differential check.
+
+Mirrors the driver contract: run the Spark query and the oracle SQL on the
+same parquet tables, compare row count + column names + order-insensitive
+values (columns sorted by name, rows sorted by canonical string).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from spark_states_spark.sources.tables import TABLES, table_path
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+        )
+    return con
+
+
+def _canon_cell(v) -> str:
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        # Exact float comparison — stricter than any driver-side hashing.
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def canonicalize(columns: list[str], rows: list[tuple]) -> tuple[list[str], list[str]]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    cols = [columns[i] for i in order]
+    canon = sorted("|".join(_canon_cell(r[i]) for i in order) for r in rows)
+    return cols, canon
+
+
+def compare(spark_df, con, oracle_sql: str) -> list[str]:
+    """Return a list of mismatch descriptions (empty == pass)."""
+    problems: list[str] = []
+    sp_rows = [tuple(r) for r in spark_df.collect()]
+    sp_cols = list(spark_df.columns)
+    res = con.execute(oracle_sql)
+    ora_cols = [d[0] for d in res.description]
+    ora_rows = [tuple(r) for r in res.fetchall()]
+
+    if sorted(sp_cols) != sorted(ora_cols):
+        problems.append(f"columns differ: spark={sorted(sp_cols)} oracle={sorted(ora_cols)}")
+        return problems
+    if len(sp_rows) != len(ora_rows):
+        problems.append(f"row count differs: spark={len(sp_rows)} oracle={len(ora_rows)}")
+    _, sp_canon = canonicalize(sp_cols, sp_rows)
+    _, ora_canon = canonicalize(ora_cols, ora_rows)
+    if sp_canon != ora_canon:
+        diffs = [
+            (s, o) for s, o in zip(sp_canon, ora_canon) if s != o
+        ][:5]
+        only_spark = sorted(set(sp_canon) - set(ora_canon))[:3]
+        only_ora = sorted(set(ora_canon) - set(sp_canon))[:3]
+        problems.append(
+            f"values differ; first aligned diffs={diffs!r}; "
+            f"spark-only={only_spark!r}; oracle-only={only_ora!r}"
+        )
+    return problems
