@@ -1,3 +1,190 @@
-"""Similarity search over embedding vectors — filled in incrementally."""
+"""Similarity search over the ``embeddings`` table (array<float> vectors).
+
+Two paths, both pure built-in expressions (``zip_with``/``aggregate`` are
+JVM higher-order functions — no Python in the loop):
+
+- **brute-force cosine top-k**: broadcast the (small) query set against the
+  corpus scan. At 100 TB this is the correct baseline shape — one pass over
+  the corpus, no shuffle of the corpus at all, k rows per query out of the
+  top-k window.
+- **LSH-bucketed ANN**: 8 deterministic random-hyperplane bits → bucket;
+  candidates only within the query's bucket, then exact cosine re-rank.
+  The bucket join replaces the full scan with ~1/256 of the corpus per
+  query (at uniform bucket load). Hyperplane weights derive from the
+  md5-hash family so the DuckDB oracle can replay them bit-for-bit.
+
+All float math is double-precision with identical association order in
+both engines → bit-identical cosines (verified), so even rank order is
+oracle-exact.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..sources import load_table
+from .hashes import duck_h32, spark_h32
+
+_N_QUERIES = 8  # vec_id < 8 are the query vectors
+_TOP_K = 5
+_N_PLANES = 8
+_DIM = 64
+
+_SPARK_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+    "0D, (acc, v) -> acc + v)"
+)
+_DUCK_DOT = "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+
+
+def _spark_norm(v: str) -> str:
+    return f"sqrt({_SPARK_DOT.format(a=v, b=v)})"
+
+
+def _duck_norm(v: str) -> str:
+    return f"sqrt({_DUCK_DOT.format(a=v, b=v)})"
+
+
+@register(
+    "similarity_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_DUCK_DOT.format(a='q.qe', b='e.embedding')}
+               / ({_duck_norm('q.qe')} * {_duck_norm('e.embedding')}) AS cosine
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {_TOP_K}
+    """,
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast queries × one corpus scan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    dot = _SPARK_DOT.format(a="qe", b="embedding")
+    cos = f"{dot} / ({_spark_norm('qe')} * {_spark_norm('embedding')})"
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .selectExpr("query_id", "vec_id", f"{cos} AS cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "vec_id", "cosine", "rn")
+    )
+
+
+# Multi-table hyperplane LSH (OR-amplification): L tables × B planes.
+# Neighbors at cosine ~0.3-0.5 have per-plane agreement p≈0.6 — a single
+# wide code (8 bits) almost never matches on all bits, so candidates come
+# from ANY of L narrow tables instead (1-(1-p^B)^L recall curve).
+_N_TABLES = 8
+_PLANES_PER_TABLE = 4
+# Deterministic hyperplane weight for (plane p, dim d): uniform in
+# [-1, 1] with 1/1000 resolution, from the portable md5 hash family.
+_SPARK_W = "(" + spark_h32("concat(cast(p as string), '_', cast(d as string))") + " % 2001 - 1000) / 1000.0"
+_DUCK_W = "(" + duck_h32("p || '_' || d") + " % 2001 - 1000) / 1000.0"
+
+
+def _spark_buckets(vec: str) -> str:
+    """Array of L bucket ids; table index baked into the bucket value."""
+    plane_dot = (
+        f"aggregate(zip_with({vec}, transform(sequence(0, {_DIM - 1}), "
+        f"d -> {_SPARK_W}), (x, w) -> cast(x as double) * w), 0D, (acc, v) -> acc + v)"
+    )
+    bits = (
+        f"aggregate(sequence(0, {_PLANES_PER_TABLE - 1}), 0L, (acc, i) -> acc + "
+        f"CASE WHEN {plane_dot.replace('(p as string)', f'(t * {_PLANES_PER_TABLE} + i as string)')} >= 0 "
+        f"THEN shiftleft(1L, i) ELSE 0L END)"
+    )
+    return (
+        f"transform(sequence(0, {_N_TABLES - 1}), t -> "
+        f"t * 4294967296L + {bits})"
+    )
+
+
+def _duck_buckets(vec: str) -> str:
+    plane_dot = (
+        f"list_dot_product({vec}::DOUBLE[], "
+        f"[{_DUCK_W.replace('p ||', f'(t * {_PLANES_PER_TABLE} + i) ||')} "
+        f"for d in range({_DIM})]::DOUBLE[])"
+    )
+    bits = (
+        f"list_sum([CASE WHEN {plane_dot} >= 0 THEN (1::BIGINT << i) "
+        f"ELSE 0 END for i in range({_PLANES_PER_TABLE})])"
+    )
+    return f"[t * 4294967296 + {bits} for t in range({_N_TABLES})]"
+
+
+@register(
+    "similarity_lsh_ann",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, unnest({_duck_buckets('embedding')}) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM bucketed
+          WHERE vec_id < {_N_QUERIES}),
+    cand AS (
+      SELECT DISTINCT q.query_id, q.qe, e.vec_id, e.embedding
+      FROM q JOIN bucketed e ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+    ),
+    scored AS (
+      SELECT query_id, vec_id,
+             {_DUCK_DOT.format(a='qe', b='embedding')}
+               / ({_duck_norm('qe')} * {_duck_norm('embedding')}) AS cosine
+      FROM cand
+    )
+    SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {_TOP_K}
+    """,
+)
+def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: multi-table hyperplane-LSH candidates + exact cosine re-rank.
+
+    Scale shape: corpus is bucketed in one pass (L bucket ids per vector);
+    the candidate join is an equi-join on bucket id (shuffle-free if the
+    corpus is pre-partitioned by bucket); only candidates get the exact
+    cosine, and DISTINCT dedups multi-table hits before re-ranking.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.selectExpr(
+        "vec_id", "embedding", f"explode({_spark_buckets('embedding')}) AS bucket"
+    )
+    q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = (
+        bucketed.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "qe", "vec_id", "embedding")
+        .distinct()
+    )
+    dot = _SPARK_DOT.format(a="qe", b="embedding")
+    cos = f"{dot} / ({_spark_norm('qe')} * {_spark_norm('embedding')})"
+    scored = cand.selectExpr("query_id", "vec_id", f"{cos} AS cosine")
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "vec_id", "cosine", "rn")
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import register
 from ..sources import load_table
+from .hashes import duck_h32, duck_h60, spark_h32, spark_h60
 
 # Tokenizer: lowercase, strip everything but [a-z0-9] to spaces, split.
 # Keep the regex char-class ASCII-only so Java and RE2 behave identically.
@@ -72,4 +73,191 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(0.0)
         .alias("ttr"),
+    )
+
+
+# --- quality scoring -------------------------------------------------------
+
+# Character-class ratios via strip-and-measure; classes are explicit ASCII
+# sets so Java regex and RE2 agree.
+def _ratio(col: Column, keep_class: str) -> Column:
+    kept = F.length(F.regexp_replace(col, f"[^{keep_class}]", ""))
+    return F.when(
+        F.length(col) > 0, kept.cast("double") / F.length(col)
+    ).otherwise(0.0)
+
+
+def _duck_ratio(col: str, keep_class: str) -> str:
+    return (
+        f"CASE WHEN length({col}) > 0 THEN "
+        f"CAST(length(regexp_replace({col}, '[^{keep_class}]', '', 'g')) AS DOUBLE)"
+        f" / length({col}) ELSE 0.0 END"
+    )
+
+
+_STOPWORDS_EN = (
+    "the", "a", "an", "and", "of", "to", "in", "is", "that", "it", "for", "was",
+)
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, text, {TOKENS_SQL.format(col='text')} AS toks FROM documents
+    )
+    SELECT doc_id,
+           {_duck_ratio('text', 'a-zA-Z')} AS alpha_ratio,
+           {_duck_ratio('text', '0-9')} AS digit_ratio,
+           {_duck_ratio('text', ' ')} AS space_ratio,
+           CASE WHEN len(toks) > 0
+                THEN CAST(list_sum([length(t) for t in toks]) AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS avg_token_len,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_filter(toks,
+                     t -> list_contains({list(_STOPWORDS_EN)}, t))) AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS stopword_ratio
+    FROM tok
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals: character-class ratios, token length,
+    stopword density — the standard cheap filters of a pretraining pipeline."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", tokens_col(F.col("text"))
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS_EN])
+    tok_lens = F.aggregate(
+        F.transform("toks", lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_stop = F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t)))
+    return d.select(
+        "doc_id",
+        _ratio(F.col("text"), "a-zA-Z").alias("alpha_ratio"),
+        _ratio(F.col("text"), "0-9").alias("digit_ratio"),
+        _ratio(F.col("text"), " ").alias("space_ratio"),
+        F.when(
+            F.size("toks") > 0, tok_lens.cast("double") / F.size("toks")
+        )
+        .otherwise(0.0)
+        .alias("avg_token_len"),
+        F.when(
+            F.size("toks") > 0, n_stop.cast("double") / F.size("toks")
+        )
+        .otherwise(0.0)
+        .alias("stopword_ratio"),
+    )
+
+
+# --- language identification ----------------------------------------------
+
+# Deterministic stopword-profile heuristic. CJK is detected by a low
+# ASCII-letter ratio (no Unicode script classes — Java and RE2 disagree on
+# their spelling and semantics). Ties break in fixed order en>fr>es>de.
+_STOPLISTS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "fr": ("le", "la", "les", "de", "des", "et", "un", "une", "est", "dans"),
+    "es": ("el", "los", "las", "de", "y", "un", "una", "es", "en", "que"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "von"),
+}
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, text, {TOKENS_SQL.format(col='text')} AS toks FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             {_duck_ratio('text', 'a-zA-Z')} AS alpha,
+             len(list_filter(toks, t -> list_contains({list(_STOPLISTS['en'])}, t))) AS s_en,
+             len(list_filter(toks, t -> list_contains({list(_STOPLISTS['fr'])}, t))) AS s_fr,
+             len(list_filter(toks, t -> list_contains({list(_STOPLISTS['es'])}, t))) AS s_es,
+             len(list_filter(toks, t -> list_contains({list(_STOPLISTS['de'])}, t))) AS s_de
+      FROM tok
+    )
+    SELECT doc_id,
+           CASE WHEN alpha < 0.2 THEN 'zh'
+                WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+                WHEN s_es >= s_de THEN 'es'
+                ELSE 'de' END AS lang_pred
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-free language ID: stopword-profile argmax + CJK by alpha ratio."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", tokens_col(F.col("text"))
+    )
+
+    def hits(lang: str) -> Column:
+        arr = F.array(*[F.lit(s) for s in _STOPLISTS[lang]])
+        return F.size(F.filter("toks", lambda t: F.array_contains(arr, t)))
+
+    scored = d.select(
+        "doc_id",
+        _ratio(F.col("text"), "a-zA-Z").alias("alpha"),
+        hits("en").alias("s_en"),
+        hits("fr").alias("s_fr"),
+        hits("es").alias("s_es"),
+        hits("de").alias("s_de"),
+    )
+    return scored.select(
+        "doc_id",
+        F.when(F.col("alpha") < 0.2, "zh")
+        .when(
+            (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de")),
+            "en",
+        )
+        .when((F.col("s_fr") >= F.col("s_es")) & (F.col("s_fr") >= F.col("s_de")), "fr")
+        .when(F.col("s_es") >= F.col("s_de"), "es")
+        .otherwise("de")
+        .alias("lang_pred"),
+    )
+
+
+# --- fingerprinting --------------------------------------------------------
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(n) AS content_md5,
+           {duck_h60('n')} AS fp60,
+           CASE WHEN length(n) >= 8 THEN
+             list_min([{duck_h32("substr(n, i + 1, 8)")}
+                       for i in range(length(n) - 7)])
+           ELSE {duck_h32('n')} END AS winnow_fp
+    FROM norm
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: digest, 60-bit key, and a winnowing-style
+    min-hash over sliding char 8-grams of the normalized text.
+
+    Scale note: the per-char md5 would be xxhash64 in production
+    (hashes.py) — the operator shape (normalize → k-gram → min) is the
+    same.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
+    gram_hash = spark_h32("substring(n, i + 1, 8)")
+    return d.selectExpr("doc_id", f"{norm} AS n").selectExpr(
+        "doc_id",
+        "md5(n) AS content_md5",
+        f"{spark_h60('n')} AS fp60",
+        f"""CASE WHEN length(n) >= 8 THEN
+              array_min(transform(sequence(0, length(n) - 8), i -> {gram_hash}))
+            ELSE {spark_h32('n')} END AS winnow_fp""",
     )
