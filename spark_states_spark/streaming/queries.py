@@ -60,3 +60,184 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_stream_to_table(deduped, output_mode="append")
     return out.groupBy("event_type").agg(F.count("*").alias("n_unique_users"))
+
+
+@register(
+    "streaming_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, value,
+             epoch_ns(ts) // 1000 AS ts_us,
+             lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+                                             ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_us
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
+                     THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(min(ts_us) // 1000000 AS BIGINT) AS session_start_s,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap) — ``F.session_window``.
+
+    Complete mode (update is unsupported for merging session state): the
+    final state holds every merged session, equal to batch gap-based
+    sessionization (the oracle replays the merge rule on epoch-µs values —
+    Spark's exact timestamp resolution).
+    """
+    events = read_stream(spark, sf_dir, "events")
+    sess = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("session_window.start").alias("session_start_s"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_stream_to_table(sess, output_mode="complete")
+
+
+@register(
+    "streaming_sliding_window",
+    oracle="""
+    WITH expanded AS (
+      SELECT e.event_type,
+             make_timestamp(((epoch_ns(ts) // 1000 // 1800000000) * 1800
+                             - off.o * 1800) * 1000000) AS wstart,
+             e.value
+      FROM events e, (SELECT unnest([0, 1]) AS o) off
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h window, 30 min slide): each event lands in two
+    overlapping windows; state holds both (SURVEY.md §2.3 'sliding').
+
+    The oracle materializes the same two buckets per event via unnest.
+    """
+    events = read_stream(spark, sf_dir, "events")
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )
+    return run_stream_to_table(agg, output_mode="complete")
+
+
+@register(
+    "streaming_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, x.event_id AS error_id, p.user_id
+    FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us FROM events
+          WHERE event_type = 'purchase') p
+    JOIN (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us FROM events
+          WHERE event_type = 'error') x
+      ON p.user_id = x.user_id
+     AND x.ts_us >= p.ts_us
+     AND x.ts_us <= p.ts_us + 1800000000
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with a time-interval condition: errors within
+    30 min after a purchase by the same user. Both sides buffer keyed state
+    in the RocksDB store; watermarks bound the buffers (SURVEY.md §2.3).
+    """
+    p = (
+        read_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    x = (
+        read_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("x_user"),
+            F.col("ts").alias("x_ts"),
+        )
+        .withWatermark("x_ts", "10 minutes")
+    )
+    joined = p.join(
+        x,
+        (F.col("p_user") == F.col("x_user"))
+        & (F.col("x_ts") >= F.col("p_ts"))
+        & (F.col("x_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "purchase_id", "error_id", F.col("p_user").alias("user_id")
+    )
+    return run_stream_to_table(joined, output_mode="append")
+
+
+@register("keyed_state_ttl")  # rows-only: sequential keyed-state fold is not SQL
+def keyed_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's marquee operator: arbitrary keyed state with TTL
+    (expire-after-access, per-query conf) driven by the events stream.
+
+    Ops derive deterministically from events: purchase → put(value cents),
+    view/signup → get, error → remove; virtual clock = event time.
+    """
+    from ..config import resolve_ttl
+    from .ttl import ttl_kv_ops
+
+    ttl = resolve_ttl(
+        {"spark.sql.streaming.stateStore.stateExpirySecs": "3600"}, "events_kv"
+    )
+    events = read_stream(spark, sf_dir, "events")
+    ops = events.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("key"),
+        F.when(F.col("event_type") == "purchase", "put")
+        .when(F.col("event_type") == "error", "remove")
+        .otherwise("get")
+        .alias("op"),
+        (F.col("value") * 100).cast("long").alias("value"),
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.col("event_id").alias("seq"),
+    )
+    out = run_stream_to_table(ttl_kv_ops(ops, ttl), output_mode="append")
+    # Aggregate get-outcomes per key so the rows-only check sees a compact,
+    # fully deterministic result.
+    return out.groupBy("key").agg(
+        F.count("*").alias("n_gets"),
+        F.sum(F.col("found").cast("int")).alias("n_hits"),
+        F.sum(F.when(F.col("found"), F.col("value")).otherwise(0)).alias(
+            "sum_hit_values"
+        ),
+    )

@@ -1,0 +1,157 @@
+"""Keyed state with per-query TTL — the reference's defining semantics.
+
+Reproduces the TTL contract of the reference's RocksDB state store
+(``README.md:34-49``, ``RocksDbStateStoreProvider.scala:71-94``, verified
+by its ``RocksDbStateTimeoutSuite``):
+
+- ``ttl = -1`` → infinite state (default);
+- ``ttl = 0``  → **stateless**: every put is immediately invisible;
+- ``ttl > 0``  → a key expires ``ttl`` seconds after its creation, last
+  update **or last access** — a read resets the clock (the reference's
+  Guava ``expireAfterAccess`` cache, Provider.scala:711-726);
+- **strict** mode: expiry enforced exactly on read (reference consults the
+  live-key cache on get/iterator, Provider.scala:139-146,272-276);
+  **non-strict**: lazy — an expired key may still be served until the next
+  sweep (reference TtlDB compaction-time expiry: keys live "≥ ttl",
+  Provider.scala:80-85).
+
+PySpark-native implementation: a single ``applyInPandasWithState`` stage.
+State per key = (value, last_access). Time is an explicit **virtual
+clock** carried on the rows (``ts_s``) — the same determinism move as the
+reference's FakeTicker tests (SURVEY.md §5), and what makes the semantics
+replayable on event-time at any scale. A production processing-time
+binding is a one-line swap (``GroupStateTimeout.ProcessingTimeTimeout`` +
+wall clock), wired through ``state_timeout`` (writer.py) and the conf
+registry (config.py).
+
+Scale shape: state lives in the configured RocksDB state store, keyed and
+partitioned by the group key — the Arrow batches stream per key-group, so
+memory is O(active keys per partition), not O(stream).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..config import TtlConfig
+
+# Input op-stream schema: (key, op ∈ {put,get,remove}, value, ts_s virtual
+# seconds). Mirrors the reference test surface: its suites drive the store
+# with put/get sequences across versions (RocksDbStateStoreProviderSuite).
+OPS_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("value", T.LongType()),
+        T.StructField("ts_s", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("ts_s", T.LongType()),
+        T.StructField("found", T.BooleanType()),
+        T.StructField("value", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("value", T.LongType()),
+        T.StructField("last_access", T.LongType()),
+    ]
+)
+
+
+def _make_kernel(ttl: TtlConfig):
+    """Build the per-key state function for applyInPandasWithState."""
+
+    def kernel(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            value, last_access = state.get
+            have = True
+        else:
+            value, last_access = None, None
+            have = False
+
+        out: list[tuple[str, int, bool, int | None]] = []
+
+        def alive(now: int) -> bool:
+            if not have:
+                return False
+            if ttl.is_infinite:
+                return True
+            if ttl.is_stateless:
+                return False  # puts are immediately invisible (ttl=0)
+            return now - last_access < ttl.ttl_secs
+
+        rows = pd.concat(list(pdfs))
+        # Deterministic replay order: virtual time, then sequence number.
+        rows = rows.sort_values(["ts_s", "seq"])
+        end_now = 0
+        for _, r in rows.iterrows():
+            now = int(r.ts_s)
+            end_now = max(end_now, now)
+            op = r.op
+            if op == "put":
+                value, last_access, have = int(r.value), now, True
+            elif op == "get":
+                if alive(now):
+                    out.append((r.key, now, True, value))
+                    if ttl.strict:
+                        # reset-on-access: the strict live-key cache is
+                        # expireAfterAccess, so a read extends the deadline
+                        # (reference test "ttl should reset on get, set and
+                        # update", strict mode).
+                        last_access = now
+                elif have and not ttl.strict and not ttl.is_stateless:
+                    # non-strict lazy expiry: an expired-but-unswept key is
+                    # still served (TtlDB keys live "≥ ttl"); the clock is
+                    # update-based, so serving does NOT extend it.
+                    out.append((r.key, now, True, value))
+                else:
+                    out.append((r.key, now, False, None))
+                    if have and ttl.strict:
+                        value, last_access, have = None, None, False
+            elif op == "remove":
+                value, last_access, have = None, None, False
+
+        # Batch-end sweep = the per-commit stand-in for RocksDB compaction:
+        # expired keys are physically dropped here in both modes.
+        if have and not ttl.is_stateless and alive(end_now):
+            state.update((value, last_access))
+        else:
+            state.remove()
+        if out:
+            pdf = pd.DataFrame(out, columns=["key", "ts_s", "found", "value"])
+            # Nullable int64 (a miss yields value=null) — plain int columns
+            # would silently become float64 under NaN.
+            pdf["value"] = pd.array(pdf["value"], dtype="Int64")
+            yield pdf
+
+    return kernel
+
+
+def ttl_kv_ops(ops_stream: DataFrame, ttl: TtlConfig) -> DataFrame:
+    """Apply the TTL keyed-state kernel to a (key, op, value, ts_s, seq)
+    stream; emits one row per ``get`` with its outcome."""
+    return ops_stream.groupBy("key").applyInPandasWithState(
+        _make_kernel(ttl),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

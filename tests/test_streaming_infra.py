@@ -1,0 +1,90 @@
+"""Streaming infrastructure tests: metrics façade, state_timeout writer
+helper, RocksDB provider wiring."""
+
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_states_spark.config import STATE_EXPIRY_SECS, UNNAMED_QUERY
+from spark_states_spark.sources import read_stream
+from spark_states_spark.streaming.metrics import (
+    estimate_state_memory,
+    state_metrics,
+)
+from spark_states_spark.streaming.writer import state_timeout
+
+
+def test_rocksdb_provider_is_active(spark):
+    assert "RocksDBStateStoreProvider" in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
+
+
+def test_state_metrics_from_streaming_agg(spark, sf_dir_small, tmp_path):
+    """lastProgress exposes state rows/memory for a stateful query —
+    the engine's answer to StateStore.metrics (Provider.scala:282-283)."""
+    events = read_stream(spark, sf_dir_small, "events")
+    agg = events.groupBy("event_type").count()
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(f"m_{uuid.uuid4().hex[:8]}")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ms = state_metrics(q)
+    assert ms, "no state operators reported"
+    assert ms[0].num_rows_total > 0
+    assert ms[0].memory_used_bytes > 0
+
+
+def test_estimate_state_memory_matches_reference_formula():
+    key = T.StructType([T.StructField("key", T.StringType())])
+    val = T.StructType([T.StructField("value", T.IntegerType())])
+    # string defaultSize=20, int defaultSize=4 → 24/key (reference formula)
+    assert estimate_state_memory(key, val, 10) == 240
+
+
+def test_state_timeout_writer_contract(spark, sf_dir_small, tmp_path):
+    """state_timeout resolves name/checkpoint, records the per-query TTL
+    conf, and rewrites the writer (implicits.scala:40-80 contract)."""
+    events = read_stream(spark, sf_dir_small, "events")
+    agg = events.groupBy("user_id").count()
+    writer = agg.writeStream.outputMode("complete").format("memory")
+    writer = state_timeout(
+        writer,
+        spark.conf,
+        query_name="ttl_query_x",
+        expiry_secs=300,
+        checkpoint_location=str(tmp_path),
+    )
+    assert spark.conf.get(f"{STATE_EXPIRY_SECS}.ttl_query_x") == "300"
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert q.name == "ttl_query_x"
+    assert spark.table("ttl_query_x").count() > 0
+    # negative TTLs are coerced to -1 (implicits.scala:66)
+    w2 = agg.writeStream.format("memory")
+    state_timeout(w2, spark.conf, "neg_q", -42, str(tmp_path))
+    assert spark.conf.get(f"{STATE_EXPIRY_SECS}.neg_q") == "-1"
+
+
+def test_state_timeout_requires_checkpoint(spark, sf_dir_small):
+    events = read_stream(spark, sf_dir_small, "events")
+    writer = events.writeStream.format("memory")
+    had = spark.conf.get("spark.sql.streaming.checkpointLocation", None)
+    assert had is None
+    with pytest.raises(ValueError, match="[Cc]heckpoint"):
+        state_timeout(writer, spark.conf, "q", 10, None)
+
+
+def test_unnamed_query_fallback(spark, sf_dir_small, tmp_path):
+    events = read_stream(spark, sf_dir_small, "events")
+    writer = events.select("event_id").writeStream.format("memory")
+    state_timeout(writer, spark.conf, None, 60, str(tmp_path / "u"))
+    assert spark.conf.get(f"{STATE_EXPIRY_SECS}.{UNNAMED_QUERY}") == "60"

@@ -1,0 +1,223 @@
+"""TTL keyed-state kernel tests — PySpark mirror of the reference's
+``RocksDbStateTimeoutSuite`` (and the versioned-recovery behavior of
+``RocksDbStateStoreProviderSuite``).
+
+Micro-batches are driven deterministically: each batch is one parquet file
+(maxFilesPerTrigger=1, mtimes force the order), time is the virtual
+``ts_s`` column — the FakeTicker lesson from the reference's tests, no
+wall-clock sleeps anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pandas as pd
+import pytest
+
+from spark_states_spark.config import TtlConfig, expiration_by_query, resolve_ttl
+from spark_states_spark.streaming.ttl import OPS_SCHEMA, ttl_kv_ops
+
+
+def _write_batches(tmp_path, batches) -> str:
+    """Write each batch (list of (key, op, value, ts_s)) as one parquet file
+    with strictly increasing mtime so the file source replays them in order."""
+    d = tmp_path / f"ops_{uuid.uuid4().hex[:8]}"
+    d.mkdir()
+    base = time.time() - 1000
+    for i, batch in enumerate(batches):
+        pdf = pd.DataFrame(
+            [
+                {"key": k, "op": op, "value": v, "ts_s": ts, "seq": j}
+                for j, (k, op, v, ts) in enumerate(batch)
+            ]
+        )
+        pdf["value"] = pd.array(pdf["value"], dtype="Int64")
+        pdf["ts_s"] = pdf["ts_s"].astype("int64")
+        pdf["seq"] = pdf["seq"].astype("int64")
+        p = str(d / f"batch_{i:03d}.parquet")
+        pdf.to_parquet(p)
+        os.utime(p, (base + i, base + i))
+    return str(d)
+
+
+def _run(spark, src_dir: str, ttl: TtlConfig, checkpoint: str | None = None):
+    stream = (
+        spark.readStream.schema(OPS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = ttl_kv_ops(stream, ttl)
+    name = f"ttl_{uuid.uuid4().hex[:10]}"
+    collected: list = []
+
+    # foreachBatch (not the memory sink): supports checkpoint recovery,
+    # which the restart test depends on.
+    def sink(df, _epoch):
+        collected.extend(df.collect())
+
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .queryName(name)
+        .option("checkpointLocation", checkpoint or f"/tmp/ckpt_{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {(r.key, r.ts_s): (r.found, r.value) for r in collected}
+
+
+def test_no_timeout_keeps_state_forever(spark, tmp_path):
+    """ttl=-1 → infinite state (reference suite 'no timeout')."""
+    src = _write_batches(
+        tmp_path,
+        [
+            [("a", "put", 1, 0)],
+            [("a", "get", None, 1_000_000)],
+        ],
+    )
+    res = _run(spark, src, TtlConfig("q", -1, strict=True))
+    assert res[("a", 1_000_000)] == (True, 1)
+
+
+def test_stateless_mode(spark, tmp_path):
+    """ttl=0 → every put immediately invisible (reference 'statelessness')."""
+    src = _write_batches(
+        tmp_path,
+        [
+            [("a", "put", 1, 0), ("a", "get", None, 0)],
+            [("a", "get", None, 1)],
+        ],
+    )
+    res = _run(spark, src, TtlConfig("q", 0, strict=True))
+    assert res[("a", 0)] == (False, None)
+    assert res[("a", 1)] == (False, None)
+
+
+def test_processing_timeout_expires(spark, tmp_path):
+    """ttl=3: alive before the deadline, gone after (reference
+    'processing timeout')."""
+    src = _write_batches(
+        tmp_path,
+        [
+            [("k1", "put", 7, 0)],
+            [("k1", "get", None, 2)],   # alive (2 < 3)
+            [("k1", "get", None, 10)],  # 8s since last access → expired
+        ],
+    )
+    res = _run(spark, src, TtlConfig("q", 3, strict=True))
+    assert res[("k1", 2)] == (True, 7)
+    assert res[("k1", 10)] == (False, None)
+
+
+def test_ttl_resets_on_get_set_update_strict(spark, tmp_path):
+    """Strict mode: every get/put touch extends the deadline (reference
+    'ttl should reset on get, set and update')."""
+    src = _write_batches(
+        tmp_path,
+        [
+            [("k", "put", 1, 0)],
+            [("k", "get", None, 2)],   # reset → deadline 5
+            [("k", "get", None, 4)],   # reset → deadline 7
+            [("k", "put", 2, 6)],      # update resets → deadline 9
+            [("k", "get", None, 8)],   # alive, value 2
+            [("k", "get", None, 20)],  # 12s gap → expired
+        ],
+    )
+    res = _run(spark, src, TtlConfig("q", 3, strict=True))
+    assert res[("k", 2)] == (True, 1)
+    assert res[("k", 4)] == (True, 1)
+    assert res[("k", 8)] == (True, 2)
+    assert res[("k", 20)] == (False, None)
+
+
+def test_non_strict_lazy_expiry_serves_until_sweep(spark, tmp_path):
+    """Non-strict: within a batch an expired key may still be served (keys
+    live ≥ ttl — TtlDB compaction model); the batch-end sweep drops it, and
+    reads do NOT extend the update-based clock."""
+    src = _write_batches(
+        tmp_path,
+        [
+            # same batch: put at 0, get at 10 with ttl=3 → lazily served
+            [("k", "put", 5, 0), ("k", "get", None, 10)],
+            # next batch (after sweep): gone
+            [("k", "get", None, 11)],
+        ],
+    )
+    res = _run(spark, src, TtlConfig("q", 3, strict=False))
+    assert res[("k", 10)] == (True, 5)
+    assert res[("k", 11)] == (False, None)
+
+
+def test_strict_expiry_exact_within_batch(spark, tmp_path):
+    """Strict: the same in-batch late read misses (cache consulted on get,
+    Provider.scala:139-146)."""
+    src = _write_batches(
+        tmp_path,
+        [[("k", "put", 5, 0), ("k", "get", None, 10)]],
+    )
+    res = _run(spark, src, TtlConfig("q", 3, strict=True))
+    assert res[("k", 10)] == (False, None)
+
+
+def test_remove_drops_key(spark, tmp_path):
+    src = _write_batches(
+        tmp_path,
+        [
+            [("k", "put", 9, 0)],
+            [("k", "remove", None, 1)],
+            [("k", "get", None, 2)],
+        ],
+    )
+    res = _run(spark, src, TtlConfig("q", -1, strict=True))
+    assert res[("k", 2)] == (False, None)
+
+
+def test_state_survives_checkpoint_restart(spark, tmp_path):
+    """Versioned recovery: a second run over the same checkpoint resumes
+    from committed state (reference 'Snapshotting'/getStore contract)."""
+    ttl = TtlConfig("q", -1, strict=True)
+    ckpt = str(tmp_path / "ckpt")
+    src = _write_batches(tmp_path, [[("a", "put", 42, 0)]])
+    _run(spark, src, ttl, checkpoint=ckpt)
+    # append a new micro-batch file, restart with the same checkpoint
+    pdf = pd.DataFrame(
+        [{"key": "a", "op": "get", "value": None, "ts_s": 5, "seq": 0}]
+    )
+    p = os.path.join(src, "batch_999.parquet")
+    pdf.to_parquet(p)
+    os.utime(p, (time.time(), time.time()))
+    res = _run(spark, src, ttl, checkpoint=ckpt)
+    assert res[("a", 5)] == (True, 42)
+
+
+def test_per_query_ttl_registry():
+    """Conf parsing parity: stateExpirySecs[.query] map + UNNAMED fallback
+    (reference getExpirationByQuery / stateTimeout suite 'different
+    timeouts for each streaming query')."""
+    conf = {
+        "spark.sql.streaming.stateStore.stateExpirySecs": "-1",
+        "spark.sql.streaming.stateStore.stateExpirySecs.query1": "3",
+        "spark.sql.streaming.stateStore.stateExpirySecs.query2": "5",
+        "spark.sql.streaming.stateStore.strictExpire": "true",
+    }
+    m = expiration_by_query(conf)
+    assert m["query1"] == 3 and m["query2"] == 5 and m["UNNAMED"] == -1
+    assert resolve_ttl(conf, "query1") == TtlConfig("query1", 3, True)
+    assert resolve_ttl(conf, "query2") == TtlConfig("query2", 5, True)
+    assert resolve_ttl(conf, None).ttl_secs == -1
+    assert resolve_ttl({}, "x") == TtlConfig("x", -1, False)
+    # negative coercion (implicits.scala:66)
+    assert resolve_ttl(
+        {"spark.sql.streaming.stateStore.stateExpirySecs.q": "-7"}, "q"
+    ).ttl_secs == -1
+
+
+def test_invalid_ttl_conf_rejected():
+    with pytest.raises(ValueError):
+        expiration_by_query(
+            {"spark.sql.streaming.stateStore.stateExpirySecs": "abc"}
+        )
