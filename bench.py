@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes fully via the JVM-side noop sink (no Python collect
+overhead, no result truncation) after a small warm-up that absorbs session
+and code-gen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_states_spark.catalog import QUERIES  # noqa: E402
+from spark_states_spark.session import build_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the scale-relevant operators across every family —
+# relational joins/aggs, windows, sessionization, fuzzy dedup, similarity
+# search, text analysis, and real streaming state.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_broadcast_dim",
+    "distinct_counts",
+    "window_topk_per_group",
+    "window_running_revenue",
+    "sessionize_events",
+    "hourly_event_stats",
+    "dedup_exact_keep_first",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "similarity_cosine_topk",
+    "similarity_lsh_ann",
+    "text_token_stats",
+    "text_quality_scores",
+    "streaming_hourly_agg",
+    "streaming_dedup",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = QUERIES[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    spark = build_session(app_name="spark_states_bench")
+    # Warm-up: session init + codegen paths, not counted.
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_query(spark, name, SF_DIR), 3)
+
+    sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(sf_match.group(1).rstrip(".")) if sf_match else None
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

