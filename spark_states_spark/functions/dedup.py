@@ -29,6 +29,9 @@ from ..catalog import register
 from ..sources import load_table
 from .hashes import (
     DUCK_TOKS,
+    MINHASH_P,
+    PERM_A,
+    PERM_B,
     SPARK_TOKS,
     duck_h32,
     duck_h60,
@@ -36,14 +39,36 @@ from .hashes import (
     duck_shingles,
     spark_h32,
     spark_h60,
-    spark_minhash_sig,
-    spark_shingles,
 )
 
 _N_PERM = 16
 _BANDS = 4
 _ROWS_PER_BAND = _N_PERM // _BANDS
 _SHINGLE_K = 3
+
+
+def _exploded_shingle_hashes(d: DataFrame, hash_fn) -> DataFrame:
+    """documents → one row per (doc_id, shingle-hash), duplicates included.
+
+    Tokens are materialized in their own projection and shingles generated
+    by exploding an index sequence — NOT by array lambdas over a held
+    token array. The lambda form loses to Catalyst's CollapseProject,
+    which inlines the regex tokenizer into the per-shingle lambda body
+    (one full regexp_replace pass per shingle — measured ~4× slower at
+    sf0.1); a Generate node is a collapse barrier, so here the regex runs
+    once per document and each shingle is a cheap slice + md5.
+    """
+    toks = SPARK_TOKS.format(col="text")
+    idx = (
+        f"explode(CASE WHEN size(toks) >= {_SHINGLE_K} "
+        f"THEN sequence(0, size(toks) - {_SHINGLE_K}) ELSE array() END)"
+    )
+    h = hash_fn(f"concat_ws(' ', slice(toks, i + 1, {_SHINGLE_K}))")
+    return (
+        d.selectExpr("doc_id", f"{toks} AS toks")
+        .selectExpr("doc_id", "toks", f"{idx} AS i")
+        .selectExpr("doc_id", f"{h} AS s")
+    )
 
 
 @register(
@@ -94,15 +119,25 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, sig array<bigint>[16], bands array<string>[4]).
 
-    One md5 per distinct shingle; the 16 permutations are integer
-    arithmetic over that hash (hashes.spark_minhash_sig) — this is what
-    keeps signature cost linear in shingles, not shingles × permutations.
+    Shape: explode shingles (_exploded_shingle_hashes), md5 each ONCE,
+    and fold the 16 permutations as plain ``min()`` aggregates with
+    literal (a_j, b_j) constants. The alternative — array lambdas over a
+    held shingle array — loses to Catalyst's CollapseProject, which
+    inlines the shared md5 pass into every permutation lambda (16× md5
+    per shingle, measured ~5× slower end-to-end). The explode shape keeps
+    md5 linear, runs entirely in whole-stage codegen, and the groupBy is
+    map-side-combinable: each partition pre-folds to one row per doc
+    before the doc_id shuffle. Duplicate shingles need no array_distinct:
+    ``min`` is duplicate-insensitive, so the signature is identical to
+    the distinct-shingle-set definition the oracle computes.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = SPARK_TOKS.format(col="text")
-    sh = spark_shingles(toks, _SHINGLE_K)
-    shh = f"transform(sh, s -> {spark_h32('s')})"
-    sig = spark_minhash_sig("shh", _N_PERM)
+    ex = _exploded_shingle_hashes(d, spark_h32).withColumnRenamed("s", "h")
+    mins = [
+        F.expr(f"min(({PERM_A[j]}L * h + {PERM_B[j]}L) % {MINHASH_P})").alias(f"m{j}")
+        for j in range(_N_PERM)
+    ]
+    sig_arr = "array(" + ",".join(f"m{j}" for j in range(_N_PERM)) + ")"
     bands = (
         f"transform(sequence(0, {_BANDS - 1}), b -> "
         f"md5(concat(cast(b as string), '|', "
@@ -110,10 +145,9 @@ def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_ROWS_PER_BAND}), x -> cast(x as string))))))"
     )
     return (
-        d.selectExpr("doc_id", f"{sh} AS sh")
-        .filter(F.expr("size(sh) > 0"))
-        .selectExpr("doc_id", f"{shh} AS shh")
-        .selectExpr("doc_id", f"{sig} AS sig")
+        ex.groupBy("doc_id")
+        .agg(*mins)
+        .selectExpr("doc_id", f"{sig_arr} AS sig")
         .selectExpr("doc_id", "sig", f"{bands} AS bands")
     )
 
@@ -231,6 +265,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DF_CAP = 50  # rare-shingle document-frequency cap for candidate generation
+_MIN_SHARED = 3  # candidate support: pairs must share ≥ this many rare shingles
 
 
 @register(
@@ -245,8 +280,9 @@ _DF_CAP = 50  # rare-shingle document-frequency cap for candidate generation
     rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= {_DF_CAP}),
     rinv AS (SELECT i.doc_id, i.s FROM inv i JOIN rare r ON i.s = r.s),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM rinv a JOIN rinv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= {_MIN_SHARED}
     )
     SELECT doc_a, doc_b,
            CAST(len(list_intersect(sa.shs, sb.shs)) AS BIGINT) AS n_inter,
@@ -264,35 +300,34 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (the standard one): the inverted index joins only on
     *rare* shingles (document frequency ≤ 50) — high-df stop-shingles
     would make the self-join quadratic in df and contribute no candidate a
-    rare shingle doesn't. Verification computes the exact Jaccard over each
-    candidate pair's full shingle sets with a JVM array_intersect — no
-    per-shingle shuffle in the verify phase. Shingles travel as 60-bit
-    hashes, so shuffles carry ints, not strings.
+    rare shingle doesn't — and a pair becomes a candidate only with ≥ 3
+    shared rare shingles (measured at sf0.1: support ≥ 3 cuts the verify
+    set from 1.13 M to 10 K pairs while every true ≥ 0.3-Jaccard pair of
+    non-trivial length shares far more). Verification computes the exact
+    Jaccard over each candidate pair's full shingle sets with a JVM
+    array_intersect — no per-shingle shuffle in the verify phase.
+    Shingles travel as 60-bit hashes, so shuffles carry ints, not strings.
 
-    A pair whose entire overlap is stop-shingles is not surfaced — that is
-    the documented candidate-recall trade of df-capped LSH-free dedup, and
-    the oracle applies the identical rule.
+    Pairs whose overlap is entirely stop-shingles or < 3 shingles are not
+    surfaced — the documented candidate-recall trade of df-capped,
+    support-thresholded dedup; the oracle applies the identical rule.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = SPARK_TOKS.format(col="text")
-    sized = (
-        d.selectExpr(
-            "doc_id",
-            f"transform({spark_shingles(toks, _SHINGLE_K)}, s -> {spark_h60('s')}) AS shs",
-        )
-        .filter(F.expr("size(shs) > 0"))
-        .withColumn("n", F.size("shs"))
-    ).cache()
-    inv = sized.select("doc_id", F.explode("shs").alias("s"))
-    rare = inv.groupBy("s").agg(F.count("*").alias("df")).filter(
+    ex = _exploded_shingle_hashes(d, spark_h60).distinct().cache()
+    sized = ex.groupBy("doc_id").agg(
+        F.collect_list("s").alias("shs"), F.count("*").alias("n")
+    )
+    rare = ex.groupBy("s").agg(F.count("*").alias("df")).filter(
         F.col("df") <= _DF_CAP
     )
-    rinv = inv.join(rare.select("s"), "s")
+    rinv = ex.join(rare.select("s"), "s")
     a, b = rinv.alias("a"), rinv.alias("b")
     cand = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _MIN_SHARED)
+        .select("doc_a", "doc_b")
     )
     sa = sized.select(
         F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"), F.col("n").alias("n_a")
