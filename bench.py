@@ -30,6 +30,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_revenue",
+    "q18_large_volume",
     "join_broadcast_dim",
     "distinct_counts",
     "window_topk_per_group",
@@ -39,6 +42,7 @@ HEADLINE = [
     "dedup_exact_keep_first",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "similarity_cosine_topk",
     "similarity_lsh_ann",
     "text_token_stats",
