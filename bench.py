@@ -71,6 +71,11 @@ def main() -> None:
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(sf_match.group(1).rstrip(".")) if sf_match else None
     total = round(sum(timings.values()), 3)
+    # Streaming throughput vs the BASELINE.md >= 10K events/s target: the
+    # streaming_hourly_agg timing is a full drain (availableNow) of the
+    # events fixture through the RocksDB-backed stateful aggregation.
+    n_events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()
+    events_per_sec = round(n_events / timings["streaming_hourly_agg"])
     print(
         json.dumps(
             {
@@ -79,6 +84,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "streaming_events_per_sec": events_per_sec,
             }
         )
     )

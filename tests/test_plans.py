@@ -9,19 +9,10 @@ in the catalog. A regression here is invisible at sf0.01 and fatal at
 1000 executors.
 """
 
-import contextlib
-import io
-
 import pytest
 
 from spark_states_spark.catalog import QUERIES
-
-
-def plan(df) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+from spark_states_spark.plans import plan_str as plan
 
 
 def test_q6_filters_and_projection_reach_scan(spark, sf_dir):
