@@ -35,6 +35,7 @@ def register(name: str, oracle: str | None = None):
 
 
 # Import operator modules for their registration side effects.
+from .operators import asof  # noqa: E402,F401
 from .operators import relational  # noqa: E402,F401
 from .operators import windows  # noqa: E402,F401
 from .operators import setops  # noqa: E402,F401
