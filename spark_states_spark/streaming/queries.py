@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import register
-from ..sources import read_stream
+from ..sources import load_table, read_stream
 from .runner import run_stream_to_table
 from .windows import streaming_hourly_agg
 
@@ -60,6 +60,42 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_stream_to_table(deduped, output_mode="append")
     return out.groupBy("event_type").agg(F.count("*").alias("n_unique_users"))
+
+
+@register(
+    "streaming_doc_dedup",
+    oracle="""
+    SELECT DISTINCT md5(text) AS fingerprint, min(doc_id) AS keeper_doc_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def streaming_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of exact content dedup (functions/dedup.py): the
+    document stream dedups on its md5 fingerprint, state = seen digests in
+    RocksDB. This is precisely the reference's motivating workload — an
+    ever-growing seen-key set that the in-memory default provider OOMs on
+    (README.md:11-13) and its TTL bounds (stateExpirySecs = retention of
+    the seen-set). Keeper id is re-derived per fingerprint so the output
+    is deterministic regardless of file-source arrival order.
+    """
+    docs = read_stream(spark, sf_dir, "documents")
+    dd = docs.select(F.md5("text").alias("fingerprint"), "doc_id").dropDuplicates(
+        ["fingerprint"]
+    )
+    out = run_stream_to_table(dd, output_mode="append")
+    # Arrival order decides which doc_id survives dropDuplicates; join back
+    # to the digest's min doc_id for an order-independent result.
+    return (
+        out.select("fingerprint")
+        .join(
+            load_table(spark, sf_dir, "documents").select(
+                F.md5("text").alias("fingerprint"), "doc_id"
+            ),
+            "fingerprint",
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"))
+    )
 
 
 @register(
