@@ -273,3 +273,107 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= _NEARDUP_COS)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+# IVF-flavored ANN: a coarse quantizer partitions the corpus into cells;
+# queries probe only the nearest nprobe cells. Centroids are the first
+# _IVF_K corpus vectors (deterministic k-means-style init — at scale these
+# would be refined by a few Lloyd iterations, which changes recall, not the
+# operator shape). Cell assignment is a broadcast join against _IVF_K rows;
+# the probe join is an equi-join on cell id — the inverted-file analogue of
+# the LSH bucket join, with tunable recall via _NPROBE instead of tables.
+_IVF_K = 16
+_NPROBE = 4
+
+
+@register(
+    "similarity_ivf_ann",
+    oracle=f"""
+    WITH nrm AS (
+      SELECT vec_id, embedding, {_duck_norm('embedding')} AS nr FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cid, embedding AS cemb, nr AS cnr FROM nrm
+              WHERE vec_id < {_IVF_K}),
+    affin AS (
+      SELECT n.vec_id, c.cid,
+             {_DUCK_DOT.format(a='n.embedding', b='c.cemb')} / (n.nr * c.cnr) AS ccos
+      FROM nrm n CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS arn
+        FROM affin) WHERE arn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS prn
+        FROM affin WHERE vec_id < {_N_QUERIES}) WHERE prn <= {_NPROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN assigned a ON p.cid = a.cid AND a.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id,
+             {_DUCK_DOT.format(a='q.embedding', b='e.embedding')} / (q.nr * e.nr) AS cosine
+      FROM cand c JOIN nrm q ON c.query_id = q.vec_id
+                  JOIN nrm e ON c.vec_id = e.vec_id
+    )
+    SELECT query_id, vec_id, cosine, CAST(rn AS INT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {_TOP_K}
+    """,
+)
+def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus once, probe nprobe cells.
+
+    Scale shape: assignment is one broadcast pass (centroid table is tiny
+    and in-plan); the corpus can be WRITTEN partitioned by cell id, making
+    each query's probe a partition-pruned scan of nprobe/K of the data —
+    the batch analogue of a vector index. No all-pairs stage exists.
+    """
+    e = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "embedding", f"{_spark_norm('embedding')} AS nr"
+    )
+    cents = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.col("nr").alias("cnr"),
+    )
+    cdot = _SPARK_DOT.format(a="embedding", b="cemb")
+    affin = e.crossJoin(F.broadcast(cents)).selectExpr(
+        "vec_id", "cid", f"{cdot} / (nr * cnr) AS ccos"
+    )
+    wv = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cid")
+    assigned = (
+        affin.withColumn("arn", F.row_number().over(wv))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "cid")
+    )
+    probes = (
+        affin.filter(F.col("vec_id") < _N_QUERIES)
+        .withColumn("prn", F.row_number().over(wv))
+        .filter(F.col("prn") <= _NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    cand = probes.join(assigned, "cid").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select("query_id", "vec_id")
+    q = e.selectExpr("vec_id AS query_id", "embedding AS qe", "nr AS qnr")
+    c = e.selectExpr("vec_id", "embedding AS ce", "nr AS cnr2")
+    sdot = _SPARK_DOT.format(a="qe", b="ce")
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "vec_id")
+        .selectExpr("query_id", "vec_id", f"{sdot} / (qnr * cnr2) AS cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "vec_id", "cosine", "rn")
+    )

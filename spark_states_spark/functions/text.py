@@ -41,6 +41,14 @@ TOKENS_SQL = (
 )
 
 
+# BPE-ish pre-tokenization regex (GPT-2 style, simplified): letter runs,
+# single digits (BPE vocabularies split digit strings), and lone
+# punctuation/symbol characters. Counting its matches approximates an LLM
+# tokenizer's token count far better than whitespace words do on code,
+# numbers, and punctuation-heavy text.
+_BPE_ISH = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+
 @register(
     "text_token_stats",
     oracle=f"""
@@ -51,6 +59,8 @@ TOKENS_SQL = (
            CAST(length(text) AS BIGINT)  AS n_chars_raw,
            CAST(len(toks) AS BIGINT)     AS n_tokens,
            CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_ISH}')) AS BIGINT)
+             AS n_subword_tokens,
            CASE WHEN len(toks) > 0
                 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
                 ELSE 0.0 END AS ttr
@@ -58,7 +68,8 @@ TOKENS_SQL = (
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + type-token ratio (lexical diversity) per document."""
+    """Token counting (whitespace words + BPE-ish subword pieces) and
+    type-token ratio (lexical diversity) per document."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens_col(F.col("text"))
     d = d.withColumn("toks", toks)
@@ -67,6 +78,11 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("bigint").alias("n_chars_raw"),
         F.size("toks").cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct("toks")).cast("bigint").alias("n_unique_tokens"),
+        # Spark SQL string literals consume one level of backslash escaping
+        # (DuckDB's do not), so the regex needs its backslash doubled here.
+        F.size(F.expr(f"regexp_extract_all(lower(text), '{_BPE_ISH.replace(chr(92), chr(92) * 2)}', 0)"))
+        .cast("bigint")
+        .alias("n_subword_tokens"),
         F.when(
             F.size("toks") > 0,
             F.size(F.array_distinct("toks")).cast("double") / F.size("toks"),

@@ -70,9 +70,14 @@ def test_q18_aggregates_before_join(spark, sf_dir):
 
 # Queries where a nested-loop/cartesian join is the *intended* shape:
 # brute-force similarity broadcasts 8 query vectors against the corpus scan
-# (a BroadcastNestedLoopJoin over a non-equi predicate), and the scalar
-# subquery is a broadcast of a 1-row aggregate.
-_NON_EQUI_BY_DESIGN = {"similarity_cosine_topk", "scalar_subquery_avg"}
+# (a BroadcastNestedLoopJoin over a non-equi predicate), the scalar
+# subquery is a broadcast of a 1-row aggregate, and IVF assignment is a
+# deliberate broadcast cross-join against the 16-row centroid table.
+_NON_EQUI_BY_DESIGN = {
+    "similarity_cosine_topk",
+    "scalar_subquery_avg",
+    "similarity_ivf_ann",
+}
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - _NON_EQUI_BY_DESIGN))
