@@ -165,3 +165,74 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         F.size("feature").alias("feature_dim"),
     )
+
+
+_TARGET_W, _TARGET_H = 32, 32
+_SAMPLE_K = 3
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("scale_x", T.DoubleType()),
+        T.StructField("scale_y", T.DoubleType()),
+        T.StructField("sampled_frames", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def resize_stub(width: int, height: int) -> tuple[int, int, float, float]:
+    """Deterministic resize descriptor to the target box (no codecs: the
+    real path would decode, scale pixels, re-encode; the geometry below is
+    exactly what it would compute)."""
+    return _TARGET_W, _TARGET_H, _TARGET_W / width, _TARGET_H / height
+
+
+def sample_frames_stub(n_frames: int, k: int) -> list[int]:
+    """Evenly spaced frame indices (first/middle/last pattern) — the
+    standard decimation rule for video pre-processing."""
+    if n_frames <= 0:
+        return []
+    k = min(k, n_frames)
+    return sorted({round(i * (n_frames - 1) / max(k - 1, 1)) for i in range(k)})
+
+
+@register("multimodal_resize_sample")  # rows-only: stubbed codec path
+def multimodal_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize + frame-sample pipeline stage (decode → geometry → sampling).
+
+    Chains on the decode stage inside the SAME mapInPandas pass — one
+    Python crossing per partition for the whole media pipeline, still
+    shuffle-free. Images/audio get a single "frame"; video frame indices
+    are evenly decimated.
+    """
+    media = media_table(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mtype, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                w, h, nf, _feat = decode_image_stub(bytes(payload))
+                ow, oh, sx, sy = resize_stub(w, h)
+                frames = sample_frames_stub(nf if mtype == "video" else 1, _SAMPLE_K)
+                rows.append((doc_id, mtype, ow, oh, sx, sy, frames))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "media_type",
+                    "out_width",
+                    "out_height",
+                    "scale_x",
+                    "scale_y",
+                    "sampled_frames",
+                ],
+            )
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        run, schema=_RESIZE_SCHEMA
+    )
