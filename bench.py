@@ -39,12 +39,14 @@ HEADLINE = [
     "window_running_revenue",
     "sessionize_events",
     "hourly_event_stats",
+    "asof_join_latest_order",
     "dedup_exact_keep_first",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "similarity_cosine_topk",
     "similarity_lsh_ann",
+    "similarity_ivf_ann",
     "text_token_stats",
     "text_quality_scores",
     "streaming_hourly_agg",
@@ -53,10 +55,20 @@ HEADLINE = [
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
-    t0 = time.perf_counter()
-    df = QUERIES[name](spark, sf_dir)
-    df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    """Steady-state latency: best of two runs, cache cleared before each.
+
+    The first execution of a plan shape absorbs JVM codegen/JIT warm-up
+    (measured ~2× on q1); clearing the cache between runs keeps .cache()'d
+    intermediates from turning the second run into a cache read.
+    """
+    best = float("inf")
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> None:
