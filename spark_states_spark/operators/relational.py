@@ -569,3 +569,136 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
     )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (adapted: priority filter instead of comment LIKE) —
+    outer join preserving zero-order customers, then a distribution agg.
+    Both aggregations are map-side combinable; the outer join key is the
+    natural shuffle key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH partavg AS (
+      SELECT l_partkey,
+             0.2 * ({sql_davg(sql_dec2('l_quantity'))}) AS qty_threshold
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {sql_dsum(sql_dec2('l_extendedprice'))} / 7.0 AS avg_yearly
+    FROM lineitem JOIN partavg USING (l_partkey)
+    WHERE l_quantity < qty_threshold
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 — correlated scalar subquery decorrelated by hand into an
+    aggregate + equi-join (the only shape that scales: the correlated form
+    re-scans lineitem per part). Threshold avg is decimal-exact so the
+    boundary compare is bit-stable cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    partavg = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * davg(dec2("l_quantity"))).alias("qty_threshold")
+    )
+    return (
+        li.join(partavg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((dsum(dec2("l_extendedprice")) / 7.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT {sql_dsum(_DISC_PRICE_SQL)} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (adapted to fixture columns) — OR-of-ANDs across both join
+    sides. Catalyst splits the common conjuncts (CNF conversion) so each
+    side's scan still gets a pushable filter; part stays broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(dsum(_disc_price()).alias("revenue"))
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT {sql_davg(sql_dec2('c_acctbal'))} AS ab
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+           {sql_dsum(sql_dec2('c_acctbal'))} AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (adapted: nation key instead of phone prefix) — scalar
+    subquery threshold + anti join for customers with above-average
+    balance and no recent orders."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        davg(dec2("c_acctbal")).alias("ab")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1999-01-01"
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum(dec2("c_acctbal")).alias("totacctbal"),
+        )
+    )

@@ -77,6 +77,7 @@ _NON_EQUI_BY_DESIGN = {
     "similarity_cosine_topk",
     "scalar_subquery_avg",
     "similarity_ivf_ann",
+    "q22_idle_customers",  # 1-row avg-balance threshold broadcast
 }
 
 
