@@ -133,3 +133,56 @@ def user_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").agg(
         cnt("signup"), cnt("view"), cnt("purchase"), cnt("error")
     )
+
+
+_GAP_SCHEMA = "user_id bigint, median_gap_us double, n_gaps bigint"
+
+
+@register(
+    "user_gap_median",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_ns(ts) // 1000
+               - lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+                                                 ORDER BY epoch_ns(ts) // 1000,
+                                                          event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id, median(gap_us) AS median_gap_us,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def user_gap_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median inter-event gap per user via ``applyInPandas`` — the batch
+    flatMapGroups surface (SURVEY.md §2.3). The Python stage sees one
+    Arrow batch per user group after the keyed shuffle; medians use
+    numpy's midpoint rule, identical to DuckDB's quantile_cont(0.5).
+
+    (A pure-SQL spelling exists; this entry deliberately exercises the
+    grouped-Pandas path the LLM ops build on, with an oracle to prove the
+    crossing loses nothing.)
+    """
+    import numpy as np
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        gaps = np.diff(pdf["ts_us"].to_numpy())
+        if len(gaps) == 0:
+            return pd.DataFrame(columns=["user_id", "median_gap_us", "n_gaps"])
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "median_gap_us": [float(np.median(gaps))],
+                "n_gaps": [int(len(gaps))],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandas(per_user, _GAP_SCHEMA)

@@ -277,3 +277,20 @@ def keyed_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_hit_values"
         ),
     )
+
+
+@register(
+    "streaming_global_limit",
+    oracle="""
+    SELECT CAST(least(1000, count(*)) AS BIGINT) AS n_rows FROM events
+    """,
+)
+def streaming_global_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming global limit (SURVEY.md §2.3 row 'Streaming global
+    limit'): state = one running count. WHICH rows pass is arrival-order
+    dependent, so the catalog entry exposes the deterministic part — the
+    count — and the oracle checks least(n, total)."""
+    events = read_stream(spark, sf_dir, "events")
+    limited = events.limit(1000)
+    out = run_stream_to_table(limited, output_mode="append")
+    return out.agg(F.count("*").alias("n_rows"))
