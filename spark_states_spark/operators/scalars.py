@@ -185,3 +185,49 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
     )
+
+
+@register(
+    "scalar_array_funcs",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             list(l_linenumber ORDER BY l_linenumber, l_quantity) AS lns,
+             list(CAST(l_quantity AS BIGINT)
+                  ORDER BY l_linenumber, l_quantity) AS qtys
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(len(lns) AS INT) AS n_lines,
+           array_to_string(lns, ',') AS line_numbers,
+           CAST(qtys[1] AS BIGINT) AS first_qty,
+           CAST(list_max(qtys) AS BIGINT) AS max_qty,
+           CAST(list_sum(list_transform(qtys, q -> q * q)) AS BIGINT) AS sum_qty_sq,
+           CAST(len(list_filter(qtys, q -> q >= 25)) AS INT) AS n_large
+    FROM per_order
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family over per-order lineitem collections: collect →
+    sort → index/max/transform/aggregate/filter, all JVM higher-order
+    expressions (no Python). collect_list order is pinned by sorting on
+    (line number, quantity) — line numbers repeat in this fixture, so the
+    secondary key makes the order total (up to identical pairs) and the
+    results deterministic despite shuffle order."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").cast("bigint").alias("q")
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("l_linenumber", "q"))
+        ).alias("pairs")
+    )
+    return per_order.selectExpr(
+        "l_orderkey",
+        "CAST(size(pairs) AS INT) AS n_lines",
+        "concat_ws(',', transform(pairs, p -> cast(p.l_linenumber as string))) AS line_numbers",
+        "pairs[0].q AS first_qty",
+        "array_max(transform(pairs, p -> p.q)) AS max_qty",
+        "aggregate(transform(pairs, p -> p.q), 0L, (acc, q) -> acc + q * q) AS sum_qty_sq",
+        "CAST(size(filter(pairs, p -> p.q >= 25)) AS INT) AS n_large",
+    )
