@@ -78,6 +78,7 @@ _NON_EQUI_BY_DESIGN = {
     "scalar_subquery_avg",
     "similarity_ivf_ann",
     "q22_idle_customers",  # 1-row avg-balance threshold broadcast
+    "q15_top_supplier",  # 1-row max-revenue threshold broadcast
 }
 
 
