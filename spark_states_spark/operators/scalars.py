@@ -231,3 +231,40 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(transform(pairs, p -> p.q), 0L, (acc, q) -> acc + q * q) AS sum_qty_sq",
         "CAST(size(filter(pairs, p -> p.q >= 25)) AS INT) AS n_large",
     )
+
+
+@register(
+    "scalar_map_funcs",
+    oracle="""
+    SELECT user_id,
+           CAST(count(DISTINCT event_type) AS INT) AS n_types,
+           CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0)
+                AS BIGINT) AS n_clicks,
+           CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0)
+                AS BIGINT) AS n_errors
+    FROM events GROUP BY user_id
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map function family: per-user event counters built as a real
+    MapType column (collect → map_from_entries → size/element_at), with
+    only flat scalars emitted — map column serialization order is
+    engine-specific, so the values, not the container, are the contract.
+    The oracle states the same semantics in plain ANSI SQL."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    with_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("counts")
+    )
+    return with_map.select(
+        "user_id",
+        F.size("counts").cast("int").alias("n_types"),
+        F.coalesce(F.element_at("counts", F.lit("click")), F.lit(0))
+        .cast("bigint")
+        .alias("n_clicks"),
+        F.coalesce(F.element_at("counts", F.lit("error")), F.lit(0))
+        .cast("bigint")
+        .alias("n_errors"),
+    )
