@@ -953,3 +953,30 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderstatus), ())
         """
     )
+
+
+@register(
+    "agg_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.50) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           quantile_cont(l_extendedprice, 0.90) AS price_p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the linear-interpolation rule, so results are
+    comparable to the bit. (At 100 TB the swap is ``approx_percentile``
+    with a t-digest accuracy knob — sketch results are engine-specific,
+    which is why the exact form is the verified one.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.50)").alias("q50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+        F.expr("percentile(l_extendedprice, 0.90)").alias("price_p90"),
+    )

@@ -92,3 +92,45 @@ def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nationkey")
     )
     return c.union(s).distinct()
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiplicity-aware subtraction: a customer with 5
+    orders in 1996 and 2 in 1997 survives 3 times (order-frequency
+    decline, not mere churn)."""
+    o = load_table(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y97 = o.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return y96.exceptAll(y97)
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — min-multiplicity intersection of two order years."""
+    o = load_table(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y97 = o.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return y96.intersectAll(y97)
