@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import register
 from ..sources import load_table
+from .exact import dec2
 
 
 @register(
@@ -157,4 +158,34 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("o_orderkey").over(w).alias("last_order"),
         )
         .distinct()
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY epoch(o_orderdate)
+                      RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS spend_90d
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: per-customer trailing-90-day spend. Unlike a
+    ROWS frame, the boundary is a value predicate on the ordering key, so
+    same-timestamp rows aggregate identically regardless of tie order —
+    deterministic by construction (and decimal-exact)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(dec2("o_totalprice")).over(w).cast("double").alias("spend_90d"),
     )
