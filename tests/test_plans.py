@@ -37,7 +37,15 @@ def test_filter_project_prunes_columns(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["join_broadcast_dim", "q5_region_revenue", "q10_returned_revenue", "q14_promo_revenue"],
+    [
+        "join_broadcast_dim",
+        "q5_region_revenue",
+        "q7_nation_volume",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_revenue",
+        "q14_promo_revenue",
+    ],
 )
 def test_dim_joins_are_broadcast(spark, sf_dir, name):
     """Fact⋈dim joins must be BroadcastHashJoin — a sort-merge join here
