@@ -1,23 +1,23 @@
 """Deduplication operators for training-data pipelines.
 
-Four families over the ``documents`` table, all pure built-in expressions
+Text families over the ``documents`` table, all pure built-in expressions
 (no Python UDFs — every hash is an md5-derived expression, portable to the
-DuckDB oracle; see ``hashes.py`` for the 100 TB swap-to-xxhash64 note):
+DuckDB oracle; see ``hashes.py`` for the 100 TB swap-to-xxhash64 note);
+the fifth family, embedding-cosine near-dup, lives in ``similarity.py``:
 
 - **exact**: md5 content fingerprint, hash-groupBy. One shuffle on the
   digest; at scale this is the cheapest possible dedup (shuffle keys are
-  16-byte digests, not documents).
-- **MinHash + LSH**: shingle → 16-perm minhash signature → 4 bands → bucket
-  join. Candidate generation never compares all pairs: the band join only
-  shuffles (band_hash, doc_id) tuples, and bucket sizes bound the quadratic
-  term. The reference's streaming-dedup use case (SURVEY.md §2.3) is the
-  streaming twin of this.
+  16-byte digests, not documents). Streaming twin:
+  ``streaming/queries.py::streaming_doc_dedup``.
+- **MinHash + LSH**: explode-shingled 16-perm minhash signature (min()
+  aggregates over per-shingle hashes) → 4 bands → bucket join. Candidate
+  generation never compares all pairs: the band join only shuffles
+  (band_hash, doc_id) tuples, and bucket sizes bound the quadratic term.
 - **SimHash**: 32-bit sign-aggregated token-hash fingerprint; identical
   fingerprints → near-dup cluster. Linear, no pair join at all.
-- **n-gram Jaccard**: exact Jaccard over distinct word trigrams via an
-  inverted-index self-join (rare-shingle candidate pruning is the scale
-  lever; trigram document frequency is tiny here so the full join is
-  exact AND cheap).
+- **n-gram Jaccard**: candidates-then-verify — inverted index on rare
+  (df ≤ 50) shingle hashes, pairs with ≥ 3 shared rare shingles, exact
+  Jaccard via array_intersect on the survivors.
 """
 
 from __future__ import annotations
