@@ -294,3 +294,90 @@ def streaming_global_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     limited = events.limit(1000)
     out = run_stream_to_table(limited, output_mode="append")
     return out.agg(F.count("*").alias("n_rows"))
+
+
+@register(
+    "streaming_minhash_band_dedup",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+                  THEN [] ELSE string_split(trim(regexp_replace(lower(text),
+                       '[^a-z0-9]+', ' ', 'g')), ' ') END AS toks
+      FROM documents
+    ),
+    shingled AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i + 1 : i + 3], ' ')
+                            for i in range(greatest(len(toks) - 2, 0))]) AS sh
+      FROM tok
+    ),
+    hashed AS (
+      SELECT doc_id, [('0x'||substr(md5(s),1,8))::BIGINT for s in sh] AS shh
+      FROM shingled WHERE len(sh) > 0
+    ),
+    sig AS (
+      SELECT doc_id,
+             [list_min([([91805,79135,395861,882147,756745,377433,1001667,959661,424241,504119,554677,39929,768061,879945,29457,975161][j + 1] * h + [921974,286831,445969,674445,581542,976812,676154,961058,911115,30387,272016,236537,571168,418037,551780,336780][j + 1]) % 4294967311
+                        for h in shh]) for j in range(16)] AS sig
+      FROM hashed
+    ),
+    bands AS (
+      SELECT unnest([md5(b || '|' || array_to_string(
+                 sig[b * 4 + 1 : b * 4 + 4], ',')) for b in range(4)]) AS band_hash
+      FROM sig
+    )
+    SELECT DISTINCT band_hash FROM bands
+    """,
+)
+def streaming_minhash_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FUZZY dedup: MinHash band fingerprints streamed through
+    ``dropDuplicates`` — the LSH twin of streaming_doc_dedup, and the
+    scale recipe for near-dup filtering of an incoming corpus (state =
+    seen band hashes in RocksDB; with a TTL/watermark it becomes a
+    bounded sliding dedup window).
+
+    Streaming constraint drives the shape: the batch signature uses a
+    groupBy (functions/dedup.py), but an aggregation cannot precede
+    dropDuplicates in an append stream — so signatures come from a
+    STATELESS Arrow-batched ``mapInPandas`` stage (hashlib md5 ==
+    the md5 expression the oracle replays, verified bit-identical),
+    then the only stateful operator is the dedup itself.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from ..functions.hashes import MINHASH_P, PERM_A, PERM_B
+
+    def band_hashes(batches):
+        import re as _re
+
+        for pdf in batches:
+            out = []
+            for text in pdf["text"]:
+                norm = _re.sub(r"[^a-z0-9]+", " ", (text or "").lower()).strip()
+                toks = norm.split(" ") if norm else []
+                sh = list(dict.fromkeys(
+                    " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))
+                ))
+                if not sh:
+                    continue
+                shh = [
+                    int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh
+                ]
+                sig = [
+                    min((PERM_A[j] * h + PERM_B[j]) % MINHASH_P for h in shh)
+                    for j in range(16)
+                ]
+                for b in range(4):
+                    joined = ",".join(str(x) for x in sig[b * 4 : b * 4 + 4])
+                    out.append(
+                        hashlib.md5(f"{b}|{joined}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame({"band_hash": out})
+
+    docs = read_stream(spark, sf_dir, "documents")
+    bands = docs.select("text").mapInPandas(band_hashes, "band_hash string")
+    dd = bands.dropDuplicates(["band_hash"])
+    return run_stream_to_table(dd, output_mode="append")
