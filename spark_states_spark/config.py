@@ -28,7 +28,7 @@ STATE_EXPIRY_SECS = "spark.sql.streaming.stateStore.stateExpirySecs"
 DEFAULT_STATE_EXPIRY_SECS = -1
 STATE_STRICT_EXPIRE = "spark.sql.streaming.stateStore.strictExpire"
 DEFAULT_STATE_STRICT_EXPIRE = False
-UNNAMED_QUERY = "UNNAMED"  # Provider.scala:709
+UNNAMED_QUERY = "UNNAMED_QUERY"  # Provider.scala:705
 
 TTL_INFINITE = -1
 TTL_STATELESS = 0

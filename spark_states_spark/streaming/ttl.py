@@ -15,14 +15,20 @@ by its ``RocksDbStateTimeoutSuite``):
   sweep (reference TtlDB compaction-time expiry: keys live "≥ ttl",
   Provider.scala:80-85).
 
-PySpark-native implementation: a single ``applyInPandasWithState`` stage.
-State per key = (value, last_access). Time is an explicit **virtual
-clock** carried on the rows (``ts_s``) — the same determinism move as the
-reference's FakeTicker tests (SURVEY.md §5), and what makes the semantics
-replayable on event-time at any scale. A production processing-time
-binding is a one-line swap (``GroupStateTimeout.ProcessingTimeTimeout`` +
-wall clock), wired through ``state_timeout`` (writer.py) and the conf
-registry (config.py).
+PySpark-native implementation: a single ``applyInPandasWithState`` stage,
+in TWO clock bindings:
+
+- ``ttl_kv_ops`` — **virtual clock** carried on the rows (``ts_s``), the
+  same determinism move as the reference's FakeTicker tests (SURVEY.md
+  §5); expiry evaluates when ops arrive for a key or at batch-end sweep.
+  This is the oracle/test binding: replayable on event-time at any scale.
+- ``ttl_kv_ops_wallclock`` — **wall clock** via
+  ``GroupStateTimeout.ProcessingTimeTimeout``: an idle key's timeout
+  fires on the engine's processing-time clock even if no further ops
+  ever arrive for it — the reference's marquee "is not eventual"
+  guarantee (``README.md:42-47``, ``RocksDbStateTimeoutSuite.scala:
+  104-121``). This is the production binding, wired through
+  ``state_timeout`` (writer.py) and the conf registry (config.py).
 
 Scale shape: state lives in the configured RocksDB state store, keyed and
 partitioned by the group key — the Arrow batches stream per key-group, so
@@ -102,7 +108,7 @@ def _make_kernel(ttl: TtlConfig):
         # Deterministic replay order: virtual time, then sequence number.
         rows = rows.sort_values(["ts_s", "seq"])
         end_now = 0
-        for _, r in rows.iterrows():
+        for r in rows.itertuples(index=False):
             now = int(r.ts_s)
             end_now = max(end_now, now)
             op = r.op
@@ -147,11 +153,109 @@ def _make_kernel(ttl: TtlConfig):
 
 def ttl_kv_ops(ops_stream: DataFrame, ttl: TtlConfig) -> DataFrame:
     """Apply the TTL keyed-state kernel to a (key, op, value, ts_s, seq)
-    stream; emits one row per ``get`` with its outcome."""
+    stream; emits one row per ``get`` with its outcome.
+
+    Virtual-clock binding (``NoTimeout``): expiry is evaluated against the
+    rows' ``ts_s`` when ops arrive or at batch-end sweep — deterministic
+    and replayable, but an idle key in a live stream is only dropped once
+    something touches its group. For the reference's progress-independent
+    expiry use :func:`ttl_kv_ops_wallclock`.
+    """
     return ops_stream.groupBy("key").applyInPandasWithState(
         _make_kernel(ttl),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- wall-clock (processing-time) binding -------------------------------
+
+WALL_STATE_SCHEMA = T.StructType([T.StructField("value", T.LongType())])
+
+WALL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("found", T.BooleanType()),
+        T.StructField("value", T.LongType()),
+    ]
+)
+
+
+def _make_wallclock_kernel(ttl: TtlConfig):
+    """Per-key state function bound to the engine's processing-time clock.
+
+    Expire-after-access on wall time (the reference's Guava
+    ``expireAfterAccess`` cache, Provider.scala:711-726): every batch that
+    touches the key re-arms the timeout; a key with no traffic is
+    invoked with ``hasTimedOut`` once ``ttl_secs`` of wall time pass and
+    is physically dropped — **independently of query progress for that
+    key** (README.md:42-47). Within a batch the key definitionally has
+    traffic, so in-batch gets serve the live value; cross-batch expiry is
+    the engine's timeout, not a row-side clock.
+    """
+
+    def kernel(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # ttl elapsed with zero ops for this key: fires on the
+            # engine's clock alone — the "is not eventual" semantics.
+            state.remove()
+            return
+
+        if state.exists:
+            (value,) = state.get
+            have = True
+        else:
+            value, have = None, False
+
+        out: list[tuple[str, bool, int | None]] = []
+        rows = pd.concat(list(pdfs)).sort_values("seq")
+        for r in rows.itertuples(index=False):
+            if r.op == "put":
+                value, have = int(r.value), True
+            elif r.op == "get":
+                if have and not ttl.is_stateless:
+                    out.append((r.key, True, value))
+                else:
+                    out.append((r.key, False, None))
+            elif r.op == "remove":
+                value, have = None, False
+
+        if have and not ttl.is_stateless:
+            state.update((value,))
+            if not ttl.is_infinite:
+                # re-arm on every access: expireAfterAccess semantics.
+                state.setTimeoutDuration(ttl.ttl_secs * 1000)
+        elif state.exists:
+            state.remove()
+
+        if out:
+            pdf = pd.DataFrame(out, columns=["key", "found", "value"])
+            pdf["value"] = pd.array(pdf["value"], dtype="Int64")
+            yield pdf
+
+    return kernel
+
+
+def ttl_kv_ops_wallclock(ops_stream: DataFrame, ttl: TtlConfig) -> DataFrame:
+    """Production TTL binding: keyed state whose expiry fires on the
+    engine's processing-time clock via ``ProcessingTimeTimeout``.
+
+    Unlike :func:`ttl_kv_ops`, an idle key is dropped after ``ttl_secs``
+    of wall time even if no op ever arrives for it again — matching the
+    reference's wall-clock TTL (``RocksDbStateTimeoutSuite.scala:104-121``,
+    README.md:42-47 "is not eventual"). ``ts_s`` on the input rows is
+    ignored; ``seq`` still orders ops within a batch.
+    """
+    return ops_stream.groupBy("key").applyInPandasWithState(
+        _make_wallclock_kernel(ttl),
+        outputStructType=WALL_OUTPUT_SCHEMA,
+        stateStructType=WALL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

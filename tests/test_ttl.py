@@ -194,6 +194,77 @@ def test_state_survives_checkpoint_restart(spark, tmp_path):
     assert res[("a", 5)] == (True, 42)
 
 
+def test_wallclock_timeout_fires_without_traffic(spark, tmp_path):
+    """Progress-independent expiry — the reference's marquee guarantee
+    (README.md:42-47 "is not eventual", RocksDbStateTimeoutSuite.scala:
+    104-121): a key that receives NO further ops is dropped once the
+    wall-clock TTL elapses, purely by the engine's ProcessingTimeTimeout.
+
+    This is the one test that must run on real time: the property under
+    test is precisely that expiry does not depend on traffic, so a
+    virtual clock cannot express it.
+    """
+    from spark_states_spark.streaming.ttl import ttl_kv_ops_wallclock
+
+    src = _write_batches(tmp_path, [[("a", "put", 7, 0), ("a", "get", None, 0)]])
+    stream = (
+        spark.readStream.schema(OPS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = ttl_kv_ops_wallclock(stream, TtlConfig("q", 2, strict=True))
+    collected: list = []
+
+    def sink(df, _epoch):
+        collected.extend(df.collect())
+
+    name = f"wall_{uuid.uuid4().hex[:10]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt_wall"))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        # Phase 1: the in-batch get serves the live key.
+        while time.time() < deadline and not collected:
+            time.sleep(0.2)
+        assert collected, "first micro-batch never produced output"
+        assert (collected[0].found, collected[0].value) == (True, 7)
+
+        # Phase 2: write NOTHING more. Only the engine's timeout can drop
+        # the key; wait for the state row count to hit zero.
+        def rows_total():
+            p = q.lastProgress
+            if not p or not p.get("stateOperators"):
+                return None
+            return p["stateOperators"][0]["numRowsTotal"]
+
+        while time.time() < deadline and rows_total() != 0:
+            time.sleep(0.25)
+        assert rows_total() == 0, (
+            f"idle key not expired by wall clock; numRowsTotal={rows_total()}"
+        )
+
+        # Phase 3: a late get confirms the key is gone.
+        pdf = pd.DataFrame(
+            [{"key": "a", "op": "get", "value": None, "ts_s": 99, "seq": 0}]
+        )
+        pdf["value"] = pd.array(pdf["value"], dtype="Int64")
+        late = os.path.join(src, "batch_late.parquet")
+        pdf.to_parquet(late)
+        os.utime(late, (time.time(), time.time()))
+        while time.time() < deadline and len(collected) < 2:
+            time.sleep(0.2)
+        assert len(collected) >= 2, "late get never produced output"
+        assert (collected[1].found, collected[1].value) == (False, None)
+    finally:
+        q.stop()
+
+
 def test_per_query_ttl_registry():
     """Conf parsing parity: stateExpirySecs[.query] map + UNNAMED fallback
     (reference getExpirationByQuery / stateTimeout suite 'different
@@ -205,7 +276,8 @@ def test_per_query_ttl_registry():
         "spark.sql.streaming.stateStore.strictExpire": "true",
     }
     m = expiration_by_query(conf)
-    assert m["query1"] == 3 and m["query2"] == 5 and m["UNNAMED"] == -1
+    # sentinel string identical to the reference constant (Provider.scala:705)
+    assert m["query1"] == 3 and m["query2"] == 5 and m["UNNAMED_QUERY"] == -1
     assert resolve_ttl(conf, "query1") == TtlConfig("query1", 3, True)
     assert resolve_ttl(conf, "query2") == TtlConfig("query2", 5, True)
     assert resolve_ttl(conf, None).ttl_secs == -1
