@@ -8,8 +8,15 @@ API so Catalyst applies pushdown/pruning/join-selection/AQE.
 
 Scale notes (100 TB mindset), applied throughout:
 - filters + column pruning reach the parquet scan (tests/test_plans.py);
-- small dimension sides are explicitly ``F.broadcast`` so the big fact side
-  never shuffles for those joins;
+- broadcast policy: an explicit ``F.broadcast`` hint is reserved for
+  inputs whose size is BOUNDED BY THE SCHEMA — region (5 rows), nation
+  (25), single-row aggregates — plus the one designated broadcast-join
+  demo (``join_broadcast_dim``). Anything that scales with the data
+  (customer/supplier/part/orders/lineitem and their pre-joins) carries no
+  hint: Catalyst's size estimate broadcasts it while small, and AQE
+  re-plans shuffled joins to broadcast from true runtime sizes. A
+  hard-coded hint on an sf-scaling table is an OOM at 100×
+  (tests/test_plans.py::test_no_fact_side_broadcast_hints enforces this);
 - aggregations are single groupBy calls so Spark plans partial (map-side)
   aggregation before the shuffle.
 
@@ -85,7 +92,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-style — selective dim filters broadcast into the fact join."""
+    """TPC-H Q3-style — both join sides scale with the data (orders is only
+    date-halved, customer grows with sf), so neither is broadcast-hinted:
+    lineitem⋈orders is a shuffled hash join on l_orderkey and AQE converts
+    the customer side to broadcast at runtime when its post-filter size
+    actually fits."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -97,9 +108,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(
-                orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-            ),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == orders.o_orderkey,
         )
         .groupBy(
@@ -129,7 +138,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style 6-way join — all dims broadcast; fact never re-shuffles."""
+    """TPC-H Q5-style 6-way join — only the fixed-cardinality dims
+    (nation=25, region=5) are broadcast-hinted; orders/supplier/customer
+    all scale with sf, so those joins shuffle on their keys and AQE
+    upgrades them to broadcast at runtime when small enough."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
@@ -139,10 +151,10 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(
-            F.broadcast(c),
+            c,
             (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -489,14 +501,15 @@ def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 — top-20 customers by returned-item revenue. Join order:
     lineitem filters first (returnflag pushed to scan), orders date-pruned,
-    then broadcast customer⋈nation onto the aggregated fact side."""
+    then join customer (nation broadcast into it; customer itself scales
+    with sf, so its join is left to AQE rather than broadcast-hinted)."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
     )
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
-    cn = F.broadcast(c.join(n, F.col("c_nationkey") == F.col("n_nationkey")))
+    cn = c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cn, F.col("o_custkey") == F.col("c_custkey"))
@@ -518,9 +531,10 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 — promo revenue share for one month. part is broadcast so
-    the month-pruned lineitem scan never shuffles; the conditional sum is
-    one map-side-combined aggregate."""
+    """TPC-H Q14 — promo revenue share for one month. part is unfiltered
+    here and scales with sf, so no broadcast hint: AQE broadcasts it at
+    runtime while it fits, and the join degrades gracefully to a shuffle
+    at scale. The conditional sum is one map-side-combined aggregate."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
     )
@@ -529,7 +543,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(12,2)")
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(_disc_price()).cast("double")).alias(
                 "promo_revenue_pct"
@@ -566,7 +580,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
     )
 
@@ -646,7 +660,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 (adapted to fixture columns) — OR-of-ANDs across both join
     sides. Catalyst splits the common conjuncts (CNF conversion) so each
-    side's scan still gets a pushable filter; part stays broadcast."""
+    side's scan still gets a pushable filter; the part join is unhinted
+    (AQE broadcasts the filtered part side at runtime while it fits)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     cond = (
@@ -658,7 +673,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("l_quantity").between(20, 40))
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(dsum(_disc_price()).alias("revenue"))
     )
@@ -725,8 +740,9 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 — bilateral trade volume. The two nation filters broadcast
-    into supplier/customer before the fact joins, so the lineitem side is
-    pre-filtered by semi-joined dimension keys."""
+    into supplier/customer (nation is fixed at 25 rows); the pre-joined
+    supplier/customer sides themselves scale with sf, so their fact joins
+    carry no hint — AQE broadcasts them at runtime while they fit."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
     )
@@ -745,9 +761,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey") == F.col("n2_key"),
     ).select("c_custkey", "cust_nation")
     return (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
@@ -783,9 +799,11 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8 — national market share in a region. Every dimension is
-    broadcast; lineitem is the only shuffled relation (on l_orderkey for
-    the orders join)."""
+    """TPC-H Q8 — national market share in a region. Nation/region (fixed
+    cardinality) broadcast into customer/supplier; the sf-scaling sides —
+    part, the European customer keyset, the supplier⋈nation pre-join —
+    get no hint, leaving the broadcast-vs-shuffle call to AQE's runtime
+    sizes."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     s = load_table(spark, sf_dir, "supplier")
@@ -808,10 +826,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey") == F.col("sn_key"),
     ).select("s_suppkey", "supp_nation")
     vol = (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust_eur), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_eur, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_nat, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.year("o_orderdate").cast("int").alias("o_year"),
             _disc_price().alias("volume"),
@@ -853,8 +871,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", F.col("n_name").alias("nation"))
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(dsum(_disc_price()).alias("profit"))
@@ -893,7 +911,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -919,7 +937,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )

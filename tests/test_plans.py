@@ -9,10 +9,93 @@ in the catalog. A regression here is invisible at sf0.01 and fatal at
 1000 executors.
 """
 
+import re
+
 import pytest
 
 from spark_states_spark.catalog import QUERIES
 from spark_states_spark.plans import plan_str as plan
+
+
+def _broadcast_scan_tables(df) -> set:
+    """Parquet tables scanned underneath a BroadcastExchange in the physical
+    plan. Descent stops at aggregate nodes: broadcasting an aggregate's
+    OUTPUT (e.g. a 1-row max/avg) is judged by the aggregate's group
+    cardinality, not by the size of the table it scans."""
+    out: set = set()
+
+    def walk(node, inside):
+        name = node.nodeName()
+        inside = inside or "BroadcastExchange" in name
+        if inside and "Aggregate" in name:
+            return
+        if inside and "Scan" in name:
+            out.update(re.findall(r"(\w+)\.parquet", node.simpleString(1 << 20)))
+        for i in range(node.children().size()):
+            walk(node.children().apply(i), inside)
+
+    walk(df._jdf.queryExecution().executedPlan(), False)
+    return out
+
+
+# The ONLY relations an explicit F.broadcast hint may pull in: cardinality
+# bounded by the schema, not the data. Everything else must earn its
+# broadcast from Catalyst size estimates / AQE runtime sizes — a hard-coded
+# hint on an sf-scaling table is an executor OOM at 100× scale.
+_BOUNDED_DIMS = {"region", "nation"}
+
+# join_broadcast_dim is the catalog's designated broadcast-join capability
+# demo; its filtered part side is the documented exception.
+_HINT_EXEMPT = {"join_broadcast_dim": {"part"}}
+
+_JOIN_FAMILY = [
+    "q3_shipping_priority",
+    "q4_priority_late_ship",
+    "q5_region_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume",
+    "q19_disjunctive_predicates",
+    "q22_idle_customers",
+    "join_broadcast_dim",
+    "semi_join_customers",
+    "anti_join_customers",
+    "outer_join_nation_counts",
+    "asof_join_latest_order",
+]
+
+
+@pytest.mark.parametrize("name", _JOIN_FAMILY)
+def test_no_fact_side_broadcast_hints(spark, sf_dir, name):
+    """With auto-broadcast disabled, any BroadcastExchange left in the plan
+    comes from an explicit hint — and a hint may only cover bounded-
+    cardinality dims. This is the test that FAILS when someone broadcasts
+    a fact-side relation 'because it was small at sf0.1'."""
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        hinted = _broadcast_scan_tables(QUERIES[name](spark, sf_dir))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    allowed = _BOUNDED_DIMS | _HINT_EXEMPT.get(name, set())
+    assert hinted <= allowed, (
+        f"{name} broadcast-hints sf-scaling relation(s) {hinted - allowed}: "
+        "at 100x scale this broadcast OOMs every executor"
+    )
 
 
 def test_q6_filters_and_projection_reach_scan(spark, sf_dir):
@@ -48,8 +131,12 @@ def test_filter_project_prunes_columns(spark, sf_dir):
     ],
 )
 def test_dim_joins_are_broadcast(spark, sf_dir, name):
-    """Fact⋈dim joins must be BroadcastHashJoin — a sort-merge join here
-    means the 100 TB fact table shuffles on the join key for nothing."""
+    """At test scale every dim side is small, so each of these plans should
+    contain at least one BroadcastHashJoin — from the bounded-dim hints
+    (nation/region) or from Catalyst's size estimates. A sort-merge-only
+    plan here means even the tiny dims shuffle the fact side for nothing.
+    (The inverse guard — no broadcast of sf-scaling tables — is
+    test_no_fact_side_broadcast_hints.)"""
     p = plan(QUERIES[name](spark, sf_dir))
     assert "BroadcastHashJoin" in p, f"no broadcast join in {name}:\n{p}"
 
