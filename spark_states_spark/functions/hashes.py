@@ -78,6 +78,32 @@ def spark_minhash_sig(shingle_hashes: str, n_perm: int) -> str:
     )
 
 
+def spark_minhash_fold(shingle_hashes: str, n_perm: int) -> str:
+    """MinHash signature as a single ``aggregate`` fold (Spark SQL) — the
+    aggregation-free twin of the explode+min shape in functions/dedup.py,
+    for contexts (append-mode streaming before ``dropDuplicates``) where a
+    groupBy is not allowed before the stateful operator.
+
+    Why a fold and not ``spark_minhash_sig``'s transform-of-transforms:
+    Catalyst's CollapseProject inlines the shingle-hash expression into
+    every permutation lambda, re-evaluating the md5 pass ``n_perm`` times.
+    Here ``shingle_hashes`` appears exactly once as ``aggregate``'s input,
+    so each shingle's md5 runs once; the fold lambda does n_perm
+    multiply-adds per shingle against UNROLLED literal constants (an
+    ``element_at(array(...), j)`` form would rebuild the array per
+    evaluation). Empty input folds to the ``MINHASH_P`` sentinel row —
+    callers filter empties upstream.
+    """
+    perms = "array(" + ",".join(
+        f"(({PERM_A[j]}L * h + {PERM_B[j]}L) % {MINHASH_P}L)" for j in range(n_perm)
+    ) + ")"
+    init = "array(" + ",".join(f"{MINHASH_P}L" for _ in range(n_perm)) + ")"
+    return (
+        f"aggregate({shingle_hashes}, {init}, "
+        f"(acc, h) -> zip_with(acc, {perms}, (x, y) -> least(x, y)))"
+    )
+
+
 def duck_minhash_sig(shingle_hashes: str, n_perm: int) -> str:
     a = "[" + ",".join(str(v) for v in PERM_A[:n_perm]) + "]"
     b = "[" + ",".join(str(v) for v in PERM_B[:n_perm]) + "]"

@@ -339,45 +339,37 @@ def streaming_minhash_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Streaming constraint drives the shape: the batch signature uses a
     groupBy (functions/dedup.py), but an aggregation cannot precede
-    dropDuplicates in an append stream — so signatures come from a
-    STATELESS Arrow-batched ``mapInPandas`` stage (hashlib md5 ==
-    the md5 expression the oracle replays, verified bit-identical),
-    then the only stateful operator is the dedup itself.
+    dropDuplicates in an append stream — so the signature is one
+    aggregation-free JVM expression chain (whole-stage codegen, zero
+    Python in the hot path): tokenize → shingle → md5-once-per-shingle →
+    ``spark_minhash_fold`` (see functions/hashes.py for why a fold, not
+    the transform-of-transforms form), then ``explode`` over the band
+    index — a Generate node, i.e. a CollapseProject barrier — so the sig
+    is materialized once per doc before the 4 per-band projections read
+    slices of it. The only stateful operator is the dedup itself.
     """
-    import hashlib
+    from ..functions.hashes import (
+        SPARK_TOKS,
+        spark_h32,
+        spark_minhash_fold,
+        spark_shingles,
+    )
 
-    import pandas as pd
-
-    from ..functions.hashes import MINHASH_P, PERM_A, PERM_B
-
-    def band_hashes(batches):
-        import re as _re
-
-        for pdf in batches:
-            out = []
-            for text in pdf["text"]:
-                norm = _re.sub(r"[^a-z0-9]+", " ", (text or "").lower()).strip()
-                toks = norm.split(" ") if norm else []
-                sh = list(dict.fromkeys(
-                    " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))
-                ))
-                if not sh:
-                    continue
-                shh = [
-                    int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh
-                ]
-                sig = [
-                    min((PERM_A[j] * h + PERM_B[j]) % MINHASH_P for h in shh)
-                    for j in range(16)
-                ]
-                for b in range(4):
-                    joined = ",".join(str(x) for x in sig[b * 4 : b * 4 + 4])
-                    out.append(
-                        hashlib.md5(f"{b}|{joined}".encode()).hexdigest()
-                    )
-            yield pd.DataFrame({"band_hash": out})
-
+    toks = SPARK_TOKS.format(col="text")
+    shh = f"transform({spark_shingles(toks, 3)}, s -> {spark_h32('s')})"
+    sig = spark_minhash_fold(shh, 16)
     docs = read_stream(spark, sf_dir, "documents")
-    bands = docs.select("text").mapInPandas(band_hashes, "band_hash string")
+    bands = (
+        docs.select("text")
+        # < 3 tokens → no 3-gram shingles; the oracle's len(sh) > 0 filter.
+        .filter(F.expr(f"size({toks}) >= 3"))
+        .selectExpr(f"{sig} AS sig")
+        .select(F.expr("explode(sequence(0, 3))").alias("b"), "sig")
+        .selectExpr(
+            "md5(concat(cast(b as string), '|', concat_ws(',', "
+            "transform(slice(sig, b * 4 + 1, 4), x -> cast(x as string))))) "
+            "AS band_hash"
+        )
+    )
     dd = bands.dropDuplicates(["band_hash"])
     return run_stream_to_table(dd, output_mode="append")
