@@ -149,12 +149,29 @@ def extract_features(media: DataFrame) -> DataFrame:
     )
 
 
-@register("multimodal_decode_features")  # rows-only: stubbed decode is not SQL
+@register(
+    "multimodal_decode_features",
+    # The stub decoder's geometry is a pure function of the payload bytes
+    # (width/height from octet_length, n_frames from the first byte, 8-dim
+    # feature) — so the mapInPandas pipeline CAN have a real DuckDB oracle.
+    # ascii(text) = first payload byte: the fixture text is pure ASCII
+    # (verified octet_length(encode(text)) == length(text) for every row at
+    # sf0.001/0.01/0.1) and never empty.
+    oracle="""
+    SELECT doc_id,
+           ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+           CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
+           CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height,
+           CAST(1 + ascii(text) % 8 AS INT) AS n_frames,
+           CAST(8 AS INT) AS feature_dim
+    FROM documents
+    """,
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract pipeline over binary media (stubbed codec).
 
     Returns scalar features only (the array column stays engine-side) so
-    the driver's rows-only check sees a stable flat schema.
+    the driver's canonicalization sees a stable flat schema.
     """
     feats = extract_features(media_table(spark, sf_dir))
     return feats.select(
@@ -178,7 +195,10 @@ _RESIZE_SCHEMA = T.StructType(
         T.StructField("out_height", T.IntegerType()),
         T.StructField("scale_x", T.DoubleType()),
         T.StructField("scale_y", T.DoubleType()),
-        T.StructField("sampled_frames", T.ArrayType(T.IntegerType())),
+        # CSV, not array<int>: the driver's pandas canonicalization crashes
+        # sorting list cells (round-2 `unhashable type: 'list'`); the flat
+        # string carries identical information.
+        T.StructField("sampled_frames_csv", T.StringType()),
     ]
 )
 
@@ -199,7 +219,36 @@ def sample_frames_stub(n_frames: int, k: int) -> list[int]:
     return sorted({round(i * (n_frames - 1) / max(k - 1, 1)) for i in range(k)})
 
 
-@register("multimodal_resize_sample")  # rows-only: stubbed codec path
+@register(
+    "multimodal_resize_sample",
+    # The resize geometry and frame decimation are pure arithmetic on the
+    # payload bytes (see decode_image_stub / sample_frames_stub), so the
+    # pipeline has a real DuckDB oracle. The frame CASE enumerates
+    # sample_frames_stub(nf, 3) for nf in 1..8 — Python banker's rounding
+    # makes round(1.5)=2, round(2.5)=2, round(3.5)=4, hence the literals.
+    oracle=f"""
+    WITH geo AS (
+      SELECT doc_id,
+             ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+             16 + octet_length(encode(text)) % 64 AS w,
+             16 + (octet_length(encode(text)) // 64) % 64 AS h,
+             1 + ascii(text) % 8 AS nf
+      FROM documents
+    )
+    SELECT doc_id, media_type,
+           CAST({_TARGET_W} AS INT) AS out_width,
+           CAST({_TARGET_H} AS INT) AS out_height,
+           CAST({_TARGET_W}.0 / w AS DOUBLE) AS scale_x,
+           CAST({_TARGET_H}.0 / h AS DOUBLE) AS scale_y,
+           CASE WHEN media_type <> 'video' THEN '0'
+                ELSE CASE nf WHEN 1 THEN '0' WHEN 2 THEN '0,1' WHEN 3 THEN '0,1,2'
+                             WHEN 4 THEN '0,2,3' WHEN 5 THEN '0,2,4'
+                             WHEN 6 THEN '0,2,5' WHEN 7 THEN '0,3,6'
+                             WHEN 8 THEN '0,4,7' END
+           END AS sampled_frames_csv
+    FROM geo
+    """,
+)
 def multimodal_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize + frame-sample pipeline stage (decode → geometry → sampling).
 
@@ -219,7 +268,9 @@ def multimodal_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h, nf, _feat = decode_image_stub(bytes(payload))
                 ow, oh, sx, sy = resize_stub(w, h)
                 frames = sample_frames_stub(nf if mtype == "video" else 1, _SAMPLE_K)
-                rows.append((doc_id, mtype, ow, oh, sx, sy, frames))
+                rows.append(
+                    (doc_id, mtype, ow, oh, sx, sy, ",".join(map(str, frames)))
+                )
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -229,7 +280,7 @@ def multimodal_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "out_height",
                     "scale_x",
                     "scale_y",
-                    "sampled_frames",
+                    "sampled_frames_csv",
                 ],
             )
 

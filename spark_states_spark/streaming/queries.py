@@ -242,7 +242,35 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(joined, output_mode="append")
 
 
-@register("keyed_state_ttl")  # rows-only: sequential keyed-state fold is not SQL
+def _event_kv_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events stream → deterministic keyed-state op stream: purchase →
+    put(value cents), error → remove, view/signup → get; virtual clock =
+    event time, sequence = event_id."""
+    events = read_stream(spark, sf_dir, "events")
+    return events.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("key"),
+        F.when(F.col("event_type") == "purchase", "put")
+        .when(F.col("event_type") == "error", "remove")
+        .otherwise("get")
+        .alias("op"),
+        (F.col("value") * 100).cast("long").alias("value"),
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.col("event_id").alias("seq"),
+    )
+
+
+def _get_outcome_summary(out: DataFrame) -> DataFrame:
+    """Aggregate per-key get outcomes into a compact deterministic result."""
+    return out.groupBy("key").agg(
+        F.count("*").alias("n_gets"),
+        F.sum(F.col("found").cast("int")).alias("n_hits"),
+        F.sum(F.when(F.col("found"), F.col("value")).otherwise(0)).alias(
+            "sum_hit_values"
+        ),
+    )
+
+
+@register("keyed_state_ttl")  # rows-only: finite-TTL expiry fold is not SQL
 def keyed_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's marquee operator: arbitrary keyed state with TTL
     (expire-after-access, per-query conf) driven by the events stream.
@@ -256,27 +284,59 @@ def keyed_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ttl = resolve_ttl(
         {"spark.sql.streaming.stateStore.stateExpirySecs": "3600"}, "events_kv"
     )
-    events = read_stream(spark, sf_dir, "events")
-    ops = events.select(
-        F.concat(F.lit("u"), F.col("user_id")).alias("key"),
-        F.when(F.col("event_type") == "purchase", "put")
-        .when(F.col("event_type") == "error", "remove")
-        .otherwise("get")
-        .alias("op"),
-        (F.col("value") * 100).cast("long").alias("value"),
-        F.unix_timestamp("ts").alias("ts_s"),
-        F.col("event_id").alias("seq"),
+    out = run_stream_to_table(
+        ttl_kv_ops(_event_kv_ops(spark, sf_dir), ttl), output_mode="append"
     )
-    out = run_stream_to_table(ttl_kv_ops(ops, ttl), output_mode="append")
-    # Aggregate get-outcomes per key so the rows-only check sees a compact,
-    # fully deterministic result.
-    return out.groupBy("key").agg(
-        F.count("*").alias("n_gets"),
-        F.sum(F.col("found").cast("int")).alias("n_hits"),
-        F.sum(F.when(F.col("found"), F.col("value")).otherwise(0)).alias(
-            "sum_hit_values"
-        ),
+    return _get_outcome_summary(out)
+
+
+@register(
+    "keyed_state_ttl_infinite",
+    # ttl = -1 (the reference's default, README.md:102-104) makes the kernel
+    # SQL-expressible: a get finds the key iff the latest preceding put/remove
+    # op for that key (in (ts_s, seq) replay order) is a put — plain window
+    # functions over the op stream, so the TTL kernel family gets a real
+    # value-checked driver verdict instead of rows-only (VERDICT r02 #1d).
+    oracle="""
+    WITH ops AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS key,
+             CASE WHEN event_type = 'purchase' THEN 'put'
+                  WHEN event_type = 'error' THEN 'remove'
+                  ELSE 'get' END AS op,
+             CAST(trunc(value * 100) AS BIGINT) AS v,
+             epoch_ns(ts) // 1000000000 AS ts_s,
+             event_id AS seq
+      FROM events
+    ),
+    st AS (
+      SELECT key, op,
+             last_value(CASE WHEN op IN ('put', 'remove')
+                             THEN {'o': op, 'v': v} END IGNORE NULLS)
+               OVER (PARTITION BY key ORDER BY ts_s, seq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+      FROM ops
     )
+    SELECT key,
+           CAST(count(*) AS BIGINT) AS n_gets,
+           CAST(sum(CASE WHEN prev.o = 'put' THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN prev.o = 'put' THEN prev.v ELSE 0 END) AS BIGINT)
+             AS sum_hit_values
+    FROM st WHERE op = 'get' GROUP BY key
+    """,
+)
+def keyed_state_ttl_infinite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Infinite-TTL keyed state (``ttl = -1``, the reference default): the
+    same applyInPandasWithState kernel as ``keyed_state_ttl``, with state
+    that never expires — a get succeeds iff a put for the key precedes it
+    with no intervening remove."""
+    from ..config import resolve_ttl
+    from .ttl import ttl_kv_ops
+
+    ttl = resolve_ttl({}, "events_kv_inf")  # default -1 = infinite
+    out = run_stream_to_table(
+        ttl_kv_ops(_event_kv_ops(spark, sf_dir), ttl), output_mode="append"
+    )
+    return _get_outcome_summary(out)
 
 
 @register(

@@ -43,6 +43,42 @@ def canonicalize(columns: list[str], rows: list[tuple]) -> tuple[list[str], list
     return cols, canon
 
 
+_INTEGRAL_SPARK = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _driver_fidelity_problems(spark_df, ora_pdf) -> list[str]:
+    """Checks mirroring the DRIVER's pandas-based canonicalization, which is
+    stricter than the fetchall() value compare below in two ways observed in
+    round 2 (VERDICT.md, What's wrong #1-2):
+
+    - array/map output columns crash its sort (``unhashable type: 'list'``);
+    - an oracle column pandas materializes as float64 while Spark returns an
+      integer type hash-mismatches (e.g. DuckDB HUGEINT -> float64), even
+      when every value is numerically identical.
+    """
+    problems: list[str] = []
+    for f in spark_df.schema.fields:
+        t = f.dataType.simpleString()
+        if t.startswith(("array<", "map<")):
+            problems.append(
+                f"column {f.name!r}: {t} is unhashable in the driver's pandas "
+                "canonicalization — flatten it (concat_ws / explode)"
+            )
+            continue
+        if f.name in ora_pdf.columns:
+            dt = ora_pdf[f.name].dtype
+            if (
+                t in _INTEGRAL_SPARK
+                and getattr(dt, "kind", "") == "f"
+                and not ora_pdf[f.name].isna().any()
+            ):
+                problems.append(
+                    f"column {f.name!r}: spark {t} vs oracle pandas {dt} "
+                    "(e.g. DuckDB HUGEINT→float64) — CAST the oracle column"
+                )
+    return problems
+
+
 def compare(spark_df, con, oracle_sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty == pass)."""
     problems: list[str] = []
@@ -51,6 +87,8 @@ def compare(spark_df, con, oracle_sql: str) -> list[str]:
     res = con.execute(oracle_sql)
     ora_cols = [d[0] for d in res.description]
     ora_rows = [tuple(r) for r in res.fetchall()]
+    # Driver-fidelity pre-checks (pandas materialization of the oracle).
+    problems.extend(_driver_fidelity_problems(spark_df, con.execute(oracle_sql).df()))
 
     if sorted(sp_cols) != sorted(ora_cols):
         problems.append(f"columns differ: spark={sorted(sp_cols)} oracle={sorted(ora_cols)}")
