@@ -1,5 +1,6 @@
 from .tables import (
     TABLES,
+    chunked_stream,
     load_table,
     load_tables,
     read_stream,
@@ -9,6 +10,7 @@ from .tables import (
 
 __all__ = [
     "TABLES",
+    "chunked_stream",
     "load_table",
     "load_tables",
     "read_stream",

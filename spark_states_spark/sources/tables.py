@@ -102,6 +102,80 @@ def _stream_dir(path: str) -> str:
     return d
 
 
+def chunked_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "events",
+    n_chunks: int = 8,
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Stream a fixture table as ``n_chunks`` event-time-ordered micro-batches.
+
+    The single-file fixture is re-staged (once, cached in /tmp keyed by
+    source path + chunk count) as N parquet files sorted by ``order_cols``
+    and split into contiguous time ranges, with strictly increasing mtimes
+    so the file source (which orders by modification time) delivers them
+    oldest-first; ``maxFilesPerTrigger=1`` then yields one micro-batch per
+    chunk with a monotonically advancing watermark — real multi-batch state
+    eviction, exactly the lifecycle the reference's store serves one commit
+    per batch (Provider.scala:44-47).
+
+    In-order arrival makes watermark-evicting queries deterministic: the
+    watermark during batch N is max(ts of batches < N) − delay, which is
+    ≤ every ts in batch N, so no event is ever late-dropped.
+
+    100 TB note: this staging is test-harness-only — it simulates arrival
+    order for a bounded fixture. Production streams arrive from Kafka /
+    object-store listings already ordered by time; nothing here is on a
+    scale path (the stage is a one-time local sort of a test file).
+    """
+    path = table_path(sf_dir, name)
+    key = f"{os.path.abspath(path)}|{n_chunks}|{','.join(order_cols)}"
+    digest = hashlib.sha1(key.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), "sss_stream_chunks", digest)
+    n_have = (
+        len([f for f in os.listdir(d) if f.endswith(".parquet")])
+        if os.path.isdir(d)
+        else -1
+    )
+    if n_have != n_chunks:
+        import time as _time
+        import uuid as _uuid
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        t = t.take(pc.sort_indices(t, sort_keys=[(c, "ascending") for c in order_cols]))
+        tmp = f"{d}.tmp-{_uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        bounds = [round(i * t.num_rows / n_chunks) for i in range(n_chunks + 1)]
+        now = _time.time()
+        for i in range(n_chunks):
+            f = os.path.join(tmp, f"part-{i:05d}.parquet")
+            pq.write_table(t.slice(bounds[i], bounds[i + 1] - bounds[i]), f)
+            os.utime(f, (now + i, now + i))
+        try:
+            os.rename(tmp, d)
+        except OSError:  # concurrent builder won the race; theirs is identical
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    if name == "events":
+        schema: T.StructType = EVENTS_RAW_SCHEMA
+    else:
+        schema = spark.read.parquet(path).schema
+    df = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(d)
+    )
+    if name == "events":
+        df = with_event_time(df)
+    return df
+
+
 def read_stream(
     spark: SparkSession,
     sf_dir: str,

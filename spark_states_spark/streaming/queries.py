@@ -193,6 +193,188 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(agg, output_mode="complete")
 
 
+_HOURLY_ORACLE = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """
+
+
+@register("streaming_hourly_agg_update", oracle=_HOURLY_ORACLE)
+def streaming_hourly_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production recipe for the tumbling-window aggregation: UPDATE output
+    mode over time-ordered micro-batches (``chunked_stream``), so the
+    declared watermark actually evicts closed windows from the RocksDB
+    store — state stays bounded, the reference's reason to exist
+    (README.md:11-13) — unlike the complete-mode oracle harness
+    (``streaming_hourly_agg``) which retains and re-emits every window.
+
+    The memory sink accumulates one row per (window, type) per batch it
+    changed in; a window's count grows strictly across its updates, so the
+    final state of every window = its max-by-n_events row — which is what
+    the batch GROUP BY oracle checks. In-order chunk arrival means no event
+    is ever late, so no update is lost to eviction.
+    """
+    from ..sources import chunked_stream
+    from .windows import windowed_counts
+
+    agg = windowed_counts(chunked_stream(spark, sf_dir, "events"), "1 hour")
+    out = run_stream_to_table(agg, output_mode="update")
+    return (
+        out.groupBy("window_start", "event_type")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("fin"))
+        .select(
+            "window_start",
+            "event_type",
+            F.col("fin.n_events").alias("n_events"),
+            F.col("fin.sum_value").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "streaming_sliding_window_update",
+    oracle="""
+    WITH expanded AS (
+      SELECT e.event_type,
+             make_timestamp(((epoch_ns(ts) // 1000 // 1800000000) * 1800
+                             - off.o * 1800) * 1000000) AS wstart,
+             e.value
+      FROM events e, (SELECT unnest([0, 1]) AS o) off
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_window_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h / 30 min slide) in UPDATE mode over time-ordered
+    micro-batches — the state-evicting production twin of
+    ``streaming_sliding_window`` (see ``streaming_hourly_agg_update`` for
+    the eviction/determinism argument)."""
+    from ..sources import chunked_stream
+    from .windows import windowed_counts
+
+    agg = windowed_counts(
+        chunked_stream(spark, sf_dir, "events"), "1 hour", slide="30 minutes"
+    )
+    out = run_stream_to_table(agg, output_mode="update")
+    return (
+        out.groupBy("window_start", "event_type")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+
+
+@register(
+    "streaming_session_window_append",
+    # Append mode emits a session exactly once, when the watermark passes its
+    # end. Empirically pinned on this Spark build (tests/test_streaming_modes):
+    # the final no-data batch runs under availableNow, eviction fires iff
+    # session_end <= watermark (inclusive), and the watermark is the
+    # millisecond-floored global max event time minus the 10-min delay —
+    # hence the ((gmax // 1000) - 600000) * 1000 bound.
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, value,
+             epoch_ns(ts) // 1000 AS ts_us,
+             lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+                                             ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_us
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
+                     THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_id
+      FROM flagged
+    ), sess AS (
+      SELECT user_id,
+             CAST(min(ts_us) // 1000000 AS BIGINT) AS session_start_s,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+             max(ts_us) + 1800000000 AS end_us
+      FROM numbered
+      GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start_s, n_events, sum_value
+    FROM sess
+    WHERE end_us <= ((SELECT max(epoch_ns(ts) // 1000) FROM events) // 1000
+                     - 600000) * 1000
+    """,
+)
+def streaming_session_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) in APPEND mode over time-ordered
+    micro-batches: each session is emitted exactly once when the watermark
+    closes it, and its state is evicted — the production recipe, vs the
+    complete-mode oracle harness (``streaming_session_window``). Sessions
+    still open at end-of-stream (within watermark of the last event) are
+    never emitted; the oracle applies the same closed-session filter.
+    """
+    from ..sources import chunked_stream
+
+    events = chunked_stream(spark, sf_dir, "events")
+    sess = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("session_window.start").alias("session_start_s"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_stream_to_table(sess, output_mode="append")
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_user_days
+    FROM (SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS d FROM events)
+    GROUP BY event_type
+    """,
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — Spark's native expression of the
+    reference's TTL-bounded seen-set (README.md:34-49, SURVEY §2.3
+    streaming-dedup row): dedup state is evicted once the watermark passes
+    a key's first-seen ts + delay, so the seen-set stops growing (asserted
+    on state metrics in tests/test_streaming_modes.py).
+
+    Determinism: the dedup key includes the event's UTC day, so a key spans
+    < 24 h, and the 25 h watermark delay guarantees every later duplicate
+    arrives (in time-ordered chunks) while the key is still in state —
+    whatever the intra-batch processing order. Exactly one row is emitted
+    per (event_type, user_id, day), making the result the batch DISTINCT
+    the oracle computes, while state still evicts ~a day behind the stream.
+    """
+    from ..sources import chunked_stream
+
+    events = chunked_stream(spark, sf_dir, "events")
+    keyed = events.select(
+        "event_type", "user_id", "ts", F.to_date("ts").alias("day")
+    )
+    dd = keyed.withWatermark("ts", "25 hours").dropDuplicatesWithinWatermark(
+        ["event_type", "user_id", "day"]
+    )
+    out = run_stream_to_table(dd, output_mode="append")
+    return out.groupBy("event_type").agg(F.count("*").alias("n_user_days"))
+
+
 @register(
     "streaming_interval_join",
     oracle="""

@@ -22,8 +22,15 @@ def run_stream_to_table(
     output_mode: str = "complete",
     query_name: str | None = None,
     checkpoint_location: str | None = None,
+    with_progress: bool = False,
 ) -> DataFrame:
-    """Start ``stream_df`` with availableNow, await drain, return result DF."""
+    """Start ``stream_df`` with availableNow, await drain, return result DF.
+
+    With ``with_progress=True`` returns ``(result_df, progress)`` where
+    ``progress`` is the query's per-batch ``recentProgress`` dicts — used by
+    tests to assert on state-store metrics (numRowsTotal / numRowsRemoved),
+    the PySpark face of ``StateStore.metrics`` (Provider.scala:282-283).
+    """
     spark = stream_df.sparkSession
     name = query_name or f"sss_{uuid.uuid4().hex[:12]}"
     ckpt = checkpoint_location or tempfile.mkdtemp(prefix=f"ckpt_{name}_")
@@ -36,4 +43,6 @@ def run_stream_to_table(
         .start()
     )
     query.awaitTermination()
+    if with_progress:
+        return spark.table(name), list(query.recentProgress)
     return spark.table(name)

@@ -19,17 +19,17 @@ from ..sources import read_stream
 from .runner import run_stream_to_table
 
 
-def windowed_counts_stream(
-    spark: SparkSession,
-    sf_dir: str,
+def windowed_counts(
+    events: DataFrame,
     window: str = "1 hour",
     watermark: str = "10 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window count/sum per event_type over the events stream."""
-    events = read_stream(spark, sf_dir, "events")
+    """Windowed count/sum per event_type over an events stream DataFrame."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window), "event_type")
+        .groupBy(win, "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
@@ -43,6 +43,16 @@ def windowed_counts_stream(
             "sum_value",
         )
     )
+
+
+def windowed_counts_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window count/sum per event_type over the events stream."""
+    return windowed_counts(read_stream(spark, sf_dir, "events"), window, watermark)
 
 
 def streaming_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

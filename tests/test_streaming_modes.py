@@ -1,0 +1,86 @@
+"""Eviction-mode streaming tests: update/append output modes over
+time-ordered micro-batches must actually BOUND state (the reference's
+reason to exist, README.md:11-13) — asserted on the state-store metrics
+(numRowsTotal / numRowsRemoved), the PySpark face of StateStore.metrics
+(Provider.scala:282-283). Complete-mode twins retain every window; these
+must not."""
+
+from pyspark.sql import functions as F
+
+from spark_states_spark.sources import chunked_stream
+from spark_states_spark.streaming.runner import run_stream_to_table
+from spark_states_spark.streaming.windows import windowed_counts
+
+
+def _state_series(progress):
+    """(numRowsTotal per batch, total numRowsRemoved) for the first
+    stateful operator across a query's recentProgress."""
+    totals, removed = [], 0
+    for p in progress:
+        ops = p["stateOperators"]
+        if ops:
+            totals.append(ops[0]["numRowsTotal"])
+            removed += ops[0]["numRowsRemoved"]
+    return totals, removed
+
+
+def test_update_mode_tumbling_evicts_state(spark, sf_dir):
+    """Update-mode tumbling agg: watermark evicts closed windows each batch;
+    every window key is evicted exactly once or still live at the end, and
+    the state never holds more than a fraction of all windows at once."""
+    agg = windowed_counts(chunked_stream(spark, sf_dir, "events"), "1 hour")
+    out, progress = run_stream_to_table(agg, "update", with_progress=True)
+    totals, removed = _state_series(progress)
+    n_windows = out.select("window_start", "event_type").distinct().count()
+    assert removed > 0, "watermark never evicted any window state"
+    # State plateaus: the peak is far below the total window count (complete
+    # mode would reach n_windows). 8 time-ordered chunks over ~30 days of
+    # events → live state ≈ one chunk's windows + the 10-min watermark lag.
+    assert max(totals) < n_windows / 2, (totals, n_windows)
+    # Conservation: evicted + still-live == every window ever created.
+    assert removed + totals[-1] == n_windows, (removed, totals, n_windows)
+
+
+def test_append_mode_session_evicts_and_emits_once(spark, sf_dir):
+    """Append-mode session windows: a session is emitted exactly once when
+    the watermark passes its end, and its state is evicted."""
+    events = chunked_stream(spark, sf_dir, "events")
+    sess = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("session_window.start").alias("session_start_s"),
+            "n_events",
+        )
+    )
+    out, progress = run_stream_to_table(sess, "append", with_progress=True)
+    totals, removed = _state_series(progress)
+    assert removed > 0, "watermark never closed any session"
+    # Emitted exactly once: (user, start) pairs are unique in the sink.
+    n = out.count()
+    assert out.select("user_id", "session_start_s").distinct().count() == n
+    # Sessions emitted == sessions evicted from state (append emits exactly
+    # the evicted set; the final batch's live rows are the still-open tail).
+    assert n == removed, (n, removed)
+
+
+def test_dedup_within_watermark_state_plateaus(spark, sf_dir):
+    """dropDuplicatesWithinWatermark: the seen-set stops growing — keys are
+    dropped once the watermark passes first-seen + 25 h, so peak state is a
+    small fraction of all distinct keys over the 30-day stream."""
+    events = chunked_stream(spark, sf_dir, "events")
+    keyed = events.select(
+        "event_type", "user_id", "ts", F.to_date("ts").alias("day")
+    )
+    dd = keyed.withWatermark("ts", "25 hours").dropDuplicatesWithinWatermark(
+        ["event_type", "user_id", "day"]
+    )
+    out, progress = run_stream_to_table(dd, "append", with_progress=True)
+    totals, removed = _state_series(progress)
+    n_keys = out.count()  # one emission per distinct key (determinism arg
+    # in streaming_dedup_within_watermark's docstring)
+    assert removed > 0, "seen-set never evicted"
+    assert max(totals) < n_keys * 0.6, (max(totals), n_keys)
+    assert removed + totals[-1] == n_keys, (removed, totals, n_keys)
