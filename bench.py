@@ -49,20 +49,26 @@ HEADLINE = [
     "similarity_ivf_ann",
     "text_token_stats",
     "text_quality_scores",
+    "text_fingerprint",
     "streaming_hourly_agg",
     "streaming_dedup",
+    "streaming_interval_join",
+    "streaming_session_window",
+    "streaming_minhash_band_dedup",
 ]
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
-    """Steady-state latency: best of two runs, cache cleared before each.
+    """Steady-state latency: best of three runs, cache cleared before each.
 
     The first execution of a plan shape absorbs JVM codegen/JIT warm-up
     (measured ~2× on q1); clearing the cache between runs keeps .cache()'d
-    intermediates from turning the second run into a cache read.
+    intermediates from turning the second run into a cache read. Best-of-3
+    (was 2) damps run-environment noise — the BENCH_r02-vs-r01 +34% swing
+    on untouched queries was machine noise, not code (VERDICT r02).
     """
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)

@@ -45,6 +45,10 @@ _N_PERM = 16
 _BANDS = 4
 _ROWS_PER_BAND = _N_PERM // _BANDS
 _SHINGLE_K = 3
+# Band buckets larger than this are triangle-block salted (functions/skew.py)
+# so one hot bucket can't become a single quadratic straggler task. ~10k rows
+# → ≤ ~10⁸ candidate checks per task, seconds of JVM work.
+_BAND_BUCKET_CAP = 10_000
 
 
 def _exploded_shingle_hashes(d: DataFrame, hash_fn) -> DataFrame:
@@ -196,14 +200,17 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the only shuffles are (band_hash → doc_id) for candidate
     buckets and doc_id for the signature re-join. No all-pairs stage exists
-    anywhere.
+    anywhere, and a hot band bucket (a large exact/near-dup cluster all
+    sharing one band hash) is triangle-block salted (functions/skew.py) so
+    its quadratic pair space runs as many bounded tasks, not one straggler.
     """
+    from .skew import salted_pair_join
+
     sig = _minhash_sig_df(spark, sf_dir).cache()
     cand = sig.select("doc_id", F.explode("bands").alias("bh"))
-    a, b = cand.alias("a"), cand.alias("b")
     pairs = (
-        a.join(b, (F.col("a.bh") == F.col("b.bh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        salted_pair_join(cand, "bh", "doc_id", cap=_BAND_BUCKET_CAP)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
         .distinct()
     )
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
@@ -269,6 +276,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DF_CAP = 50  # rare-shingle document-frequency cap for candidate generation
 _MIN_SHARED = 3  # candidate support: pairs must share ≥ this many rare shingles
+# Per-doc shingle-set cap: verification keeps only the _SHINGLE_CAP smallest
+# 60-bit hashes per doc (a bottom-k minwise sketch — an unbiased Jaccard
+# estimator when a doc exceeds the cap, exact below it), bounding row width
+# for pathological documents. Fixture docs are far below the cap, so the
+# oracle (which applies the identical rule) stays value-exact.
+_SHINGLE_CAP = 4096
 
 
 @register(
@@ -278,8 +291,11 @@ _MIN_SHARED = 3  # candidate support: pairs must share ≥ this many rare shingl
     sh AS (SELECT doc_id,
                   [{duck_h60('s')} for s in {duck_shingles('toks', _SHINGLE_K)}] AS shs
            FROM tok),
-    sized AS (SELECT doc_id, shs, len(shs) AS n FROM sh WHERE len(shs) > 0),
-    inv AS (SELECT doc_id, unnest(shs) AS s FROM sized),
+    -- bottom-k sketch cap (engine's _SHINGLE_CAP rule, identical)
+    sized AS (SELECT doc_id, list_sort(shs)[1:{_SHINGLE_CAP}] AS shs,
+                     len(list_sort(shs)[1:{_SHINGLE_CAP}]) AS n
+              FROM sh WHERE len(shs) > 0),
+    inv AS (SELECT doc_id, unnest(shs) AS s FROM sh WHERE len(shs) > 0),
     rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= {_DF_CAP}),
     rinv AS (SELECT i.doc_id, i.s FROM inv i JOIN rare r ON i.s = r.s),
     cand AS (
@@ -317,7 +333,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     ex = _exploded_shingle_hashes(d, spark_h60).distinct().cache()
-    sized = ex.groupBy("doc_id").agg(
+    # Bottom-k cap BEFORE collect_list so a pathological document never
+    # materializes an unbounded array row (_SHINGLE_CAP rationale above).
+    # The row_number window partitions by doc_id — the same key the groupBy
+    # shuffles on, so no extra exchange is introduced.
+    w = W.partitionBy("doc_id").orderBy("s")
+    capped = (
+        ex.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= _SHINGLE_CAP)
+        .drop("_rk")
+    )
+    sized = capped.groupBy("doc_id").agg(
         F.collect_list("s").alias("shs"), F.count("*").alias("n")
     )
     rare = ex.groupBy("s").agg(F.count("*").alias("df")).filter(

@@ -202,6 +202,9 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Near-dup threshold tuned to the fixture's cosine distribution (max
 # inter-vector cosine ≈ 0.51); the operator SHAPE is threshold-agnostic.
 _NEARDUP_COS = 0.4
+# LSH cells over this size are triangle-block salted (functions/skew.py);
+# a 4096² float64 GEMM is ~130 MB / sub-second per task.
+_GEMM_BUCKET_CAP = 4096
 
 
 @register(
@@ -236,42 +239,69 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     and only candidates pay the exact-cosine verification. Candidate pairs
     whose every bucket disagrees are not surfaced — the documented LSH
     recall trade, applied identically by the oracle. Scale shape: one
-    bucketing pass over the corpus, a self-equi-join on bucket id (bounded
-    by bucket load, salt-able if a bucket is hot), then an exact re-check
-    joined by vec_id.
+    bucketing pass over the corpus, a self-equi-join on bucket id, then an
+    exact re-check joined by vec_id. Hot buckets are triangle-block salted
+    (functions/skew.py): a bucket over ``_GEMM_BUCKET_CAP`` rows is split
+    into salted blocks and its pair space fanned over block pairs, so the
+    per-task GEMM stays bounded instead of one straggler task owning the
+    whole hot cell.
     """
     import numpy as np
     import pandas as pd
+
+    from .skew import with_triangle_blocks
 
     e = load_table(spark, sf_dir, "embeddings")
     bucketed = e.selectExpr(
         "vec_id", "embedding", f"explode({_spark_buckets()}) AS bucket"
     )
 
-    # Candidate pairs per bucket via one numpy matmul (vectorized Pandas
-    # UDF path): an LSH cell's all-pairs cosine is a tiny dense GEMM, vs a
-    # pair-join that shuffles ~40% of all pairs at this threshold and pays
-    # an interpreted 64-dim dot per pair (measured 3× slower at sf0.1).
+    # Candidate pairs per bucket block via one numpy matmul (vectorized
+    # Pandas UDF path): an LSH cell's all-pairs cosine is a tiny dense GEMM,
+    # vs a pair-join that shuffles ~40% of all pairs at this threshold and
+    # pays an interpreted 64-dim dot per pair (measured 3× slower at sf0.1).
     # numpy is a PREFILTER only (threshold − 1e-9 guards its different
     # summation order); survivors get the exact JVM-expression cosine
     # below, so emitted values stay bit-identical to the oracle.
-    def pairs_in_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": []}, dtype="int64")
-        M = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
-        M /= np.linalg.norm(M, axis=1, keepdims=True)
-        cos = M @ M.T
-        ids = pdf["vec_id"].to_numpy()
-        ii, jj = np.triu_indices(len(ids), k=1)
-        keep = cos[ii, jj] >= _NEARDUP_COS - 1e-9
-        ai, bi = ids[ii[keep]], ids[jj[keep]]
+    #
+    # Block semantics (exact-once per pair): the diagonal block (bi == bj)
+    # computes its own triangle; an off-diagonal block computes only the
+    # cross pairs between its two salt sides.
+    def pairs_in_block(key, pdf):
+        _, bi, bj = key
+        empty = pd.DataFrame({"vec_a": [], "vec_b": []}, dtype="int64")
+        if bi == bj:
+            if len(pdf) < 2:
+                return empty
+            M = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            M /= np.linalg.norm(M, axis=1, keepdims=True)
+            cos = M @ M.T
+            ids = pdf["vec_id"].to_numpy()
+            ii, jj = np.triu_indices(len(ids), k=1)
+            keep = cos[ii, jj] >= _NEARDUP_COS - 1e-9
+            ai, bv = ids[ii[keep]], ids[jj[keep]]
+        else:
+            pa, pb = pdf[pdf["_salt"] == bi], pdf[pdf["_salt"] == bj]
+            if pa.empty or pb.empty:
+                return empty
+            Ma = np.asarray(pa["embedding"].tolist(), dtype=np.float64)
+            Mb = np.asarray(pb["embedding"].tolist(), dtype=np.float64)
+            Ma /= np.linalg.norm(Ma, axis=1, keepdims=True)
+            Mb /= np.linalg.norm(Mb, axis=1, keepdims=True)
+            cos = Ma @ Mb.T
+            ii, jj = np.nonzero(cos >= _NEARDUP_COS - 1e-9)
+            ai = pa["vec_id"].to_numpy()[ii]
+            bv = pb["vec_id"].to_numpy()[jj]
         return pd.DataFrame(
-            {"vec_a": np.minimum(ai, bi), "vec_b": np.maximum(ai, bi)}
+            {"vec_a": np.minimum(ai, bv), "vec_b": np.maximum(ai, bv)}
         )
 
+    blocked = with_triangle_blocks(
+        bucketed, ["bucket"], "vec_id", cap=_GEMM_BUCKET_CAP
+    )
     cand = (
-        bucketed.groupBy("bucket")
-        .applyInPandas(pairs_in_bucket, "vec_a long, vec_b long")
+        blocked.groupBy("bucket", "_bi", "_bj")
+        .applyInPandas(pairs_in_block, "vec_a long, vec_b long")
         .distinct()
     )
     # Exact verify on the (small) surviving set: per-vector norms computed

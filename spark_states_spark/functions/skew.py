@@ -1,0 +1,98 @@
+"""Hot-bucket (skew) handling for bucket-local self-joins.
+
+LSH-style dedup reduces all-pairs work to per-bucket self-joins — but one
+hot bucket (a boilerplate cluster, a degenerate hash cell) then becomes a
+single straggler task doing O(n²) work while every other task idles. The
+classic fix is the triangle block decomposition: split a hot bucket's rows
+into ``s`` salted blocks and fan its pair-space out over the s(s+1)/2
+block pairs, so the quadratic work runs as many bounded tasks instead of
+one unbounded one. Total pair work is unchanged; the straggler is gone.
+
+Replication cost: each row of a hot bucket is sent to the ``s`` block
+pairs containing its salt (cold buckets: s = 1, zero extra copies). Block
+sizes are ~group/s, so per-task work is ~(2·group/s)² ≈ 4·cap² — bounded
+by the cap, not by the hottest key.
+
+Everything here is JVM-side DataFrame code (broadcast of the hot-key list,
+``xxhash64`` salting, one ``explode``); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Block-pair membership of a row: every (i ≤ j) pair that contains the
+# row's salt. named_struct keeps it a single whole-stage-codegen explode.
+_BLOCK_PAIRS = (
+    "filter(flatten(transform(sequence(0, _s - 1), i -> "
+    "transform(sequence(i, _s - 1), j -> named_struct('bi', i, 'bj', j)))), "
+    "p -> p.bi = _salt OR p.bj = _salt)"
+)
+
+
+def with_triangle_blocks(
+    df: DataFrame, key_cols: list[str], id_col: str, cap: int
+) -> DataFrame:
+    """Append triangle-block columns ``_salt``, ``_bi``, ``_bj`` to ``df``.
+
+    Groups (by ``key_cols``) larger than ``cap`` are split into
+    ``s = ceil(n / cap)`` salted blocks; each row is replicated to every
+    block pair containing its deterministic salt
+    (``xxhash64(id) mod s``). Cold groups pass through once with
+    ``(_salt, _bi, _bj) = (0, 0, 0)``.
+
+    The hot-key list is tiny by construction (at most total/cap keys) and
+    is broadcast, so the only shuffle added is the count aggregation.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("_gn"))
+    hot = (
+        counts.filter(F.col("_gn") > cap)
+        .withColumn("_s", F.ceil(F.col("_gn") / cap).cast("int"))
+        .drop("_gn")
+    )
+    return (
+        df.join(F.broadcast(hot), key_cols, "left")
+        .withColumn("_s", F.coalesce(F.col("_s"), F.lit(1)))
+        .withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.col("_s")).cast("int")
+        )
+        .withColumn("_blk", F.explode(F.expr(_BLOCK_PAIRS)))
+        .select(*df.columns, "_salt", F.col("_blk.bi").alias("_bi"), F.col("_blk.bj").alias("_bj"))
+    )
+
+
+def salted_pair_join(
+    df: DataFrame, key_col: str, id_col: str, cap: int
+) -> DataFrame:
+    """All unordered id pairs sharing ``key_col``, skew-split by ``cap``.
+
+    Pure-JVM equivalent of ``df self-join on key AND id_a < id_b`` that a
+    hot key cannot turn into one straggler task: the join key becomes
+    (key, block-pair) and the salt-role predicate keeps every pair emitted
+    EXACTLY once (equal salts match only the diagonal block; distinct
+    salts match only via the single role assignment that agrees with the
+    sorted block pair), so no downstream dedup is required.
+
+    Returns columns ``id_a``, ``id_b`` (id_a < id_b) plus ``key_col``.
+    """
+    t = with_triangle_blocks(df, [key_col], id_col, cap)
+    a, b = t.alias("a"), t.alias("b")
+    same_task = (
+        (F.col(f"a.{key_col}") == F.col(f"b.{key_col}"))
+        & (F.col("a._bi") == F.col("b._bi"))
+        & (F.col("a._bj") == F.col("b._bj"))
+    )
+    role_once = (
+        (F.col("a._salt") == F.col("a._bi")) & (F.col("b._salt") == F.col("a._bj"))
+    ) | (
+        (F.col("a._salt") == F.col("a._bj")) & (F.col("b._salt") == F.col("a._bi"))
+    )
+    return (
+        a.join(b, same_task & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & role_once)
+        .select(
+            F.col(f"a.{key_col}").alias(key_col),
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+    )

