@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from spark_states_spark.catalog import ORACLES, QUERIES  # noqa: E402
+from spark_states_spark.catalog import ORACLES, ordered_queries  # noqa: E402
 
 
 def _ensure_conf(spark: SparkSession) -> None:
@@ -63,7 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         run.__doc__ = fn.__doc__
         return run
 
-    return {name: wrap(fn) for name, fn in QUERIES.items()}
+    return {name: wrap(fn) for name, fn in ordered_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -46,6 +46,7 @@ from .operators import relational  # noqa: E402,F401
 from .functions import multimodal  # noqa: E402,F401
 from .functions import dedup  # noqa: E402,F401
 from .streaming import queries as streaming_queries  # noqa: E402,F401
+from .streaming import inspect as streaming_inspect  # noqa: E402,F401
 from .functions import similarity  # noqa: E402,F401
 from .functions import text  # noqa: E402,F401
 from .operators import sessionize  # noqa: E402,F401
@@ -53,3 +54,56 @@ from .operators import scalars  # noqa: E402,F401
 from .operators import asof  # noqa: E402,F401
 from .operators import windows  # noqa: E402,F401
 from .operators import setops  # noqa: E402,F401
+
+# Verification-priority reorder: entries whose code changed this round, or
+# which have never had an external (driver) verdict, float to the front so a
+# prefix-sampling harness re-checks them soonest; everything else keeps its
+# registration order. The list is data, not logic — update it per round with
+# the set of touched/new entries (ADVICE r02: any family touched by a diff
+# must sit inside the verified window). The local DuckDB gate stays
+# order-independent and covers ALL entries every test run.
+_VERIFY_FIRST = [
+    # streaming entries changed this round (state-partition sizing, the
+    # CollapseProject repartition barrier) or added in round 3
+    "streaming_interval_join",
+    "streaming_minhash_band_dedup",
+    "streaming_interval_join_left_outer",
+    "streaming_interval_join_left_semi",
+    "state_store_scan",
+    "state_metadata_inventory",
+    # changed this round: hot-bucket salting + per-doc shingle cap; simhash
+    # oracle-cast fix from late round 2 awaits its first green verdict
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    # added late round 2, no driver verdict yet
+    "streaming_hourly_agg_update",
+    "streaming_sliding_window_update",
+    "streaming_session_window_append",
+    "streaming_dedup_within_watermark",
+    "keyed_state_ttl_infinite",
+    # added in round 3, no driver verdict yet
+    "text_pii_scrub",
+    "text_tfidf_top_terms",
+    # fixed in round 3 (geometry oracles replacing rows-only / crashed rows)
+    "multimodal_decode_features",
+    "multimodal_resize_sample",
+]
+
+
+def ordered_queries() -> dict[str, QueryFn]:
+    """QUERIES with the priority entries first.
+
+    Computed lazily (NOT at import time): when a registering module is the
+    first import, its ``from ..catalog import register`` re-enters this
+    module while the importing module is still partially initialized, so an
+    import-time reorder would see an incomplete registry and fail.
+    ``__spark_entry__.queries()`` calls this after all registrations exist.
+    """
+    missing = [n for n in _VERIFY_FIRST if n not in QUERIES]
+    if missing:
+        raise ValueError(f"_VERIFY_FIRST names unknown entries: {missing}")
+    ordered = {n: QUERIES[n] for n in _VERIFY_FIRST}
+    ordered.update({n: f for n, f in QUERIES.items() if n not in _VERIFY_FIRST})
+    return ordered

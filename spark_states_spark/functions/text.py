@@ -277,3 +277,134 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
               array_min(transform(sequence(0, length(n) - 8), i -> {gram_hash}))
             ELSE {spark_h32('n')} END AS winnow_fp""",
     )
+
+
+# --- PII redaction ------------------------------------------------------
+
+# Conservative ASCII patterns that parse identically under Java regex
+# (Spark) and RE2 (DuckDB): no lookaround, no \d/\w shorthands, and NO
+# backslash escapes — these patterns are embedded in SQL string literals,
+# where Spark's lexer eats a single backslash ('\.' becomes '.'); [.]
+# spells a literal dot safely in both dialects.
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+_PII_PHONE = "[+][0-9][0-9-]{6,}[0-9]"
+_PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+# The fixture corpus is synthetic word soup with no PII, so the operator is
+# exercised on deterministically injected PII: every doc gets an email, a
+# phone and an IP derived from doc_id. Both engines build the identical
+# augmented text, so the oracle verifies real redaction, not a no-op.
+_PII_AUG_SPARK = (
+    "concat(substring(text, 1, 80), ' contact user', doc_id, '@mail',"
+    " doc_id % 7, '.com or +1-555-', lpad(cast(doc_id % 10000 as string),"
+    " 4, '0'), ' at 10.', doc_id % 256, '.0.', (doc_id * 7) % 256, ' end')"
+)
+_PII_AUG_DUCK = (
+    "concat(substr(text, 1, 80), ' contact user', doc_id, '@mail',"
+    " doc_id % 7, '.com or +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR),"
+    " 4, '0'), ' at 10.', doc_id % 256, '.0.', (doc_id * 7) % 256, ' end')"
+)
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_DUCK} AS t FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g'),
+               '{_PII_IPV4}', '[IP]', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT) AS n_ips
+    FROM aug
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction for training corpora: mask emails, phone numbers and
+    IPv4 addresses, and count what was masked (the usual audit metric).
+
+    All JVM regex expressions — one projection, no shuffle, no Python:
+    at 100 TB this runs at scan speed with full codegen. Redaction order
+    (email → phone → IP) is fixed and mirrored by the oracle; patterns are
+    restricted to the Java∩RE2 common dialect so both engines match the
+    same spans.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace(t,"
+        f" '{_PII_EMAIL}', '[EMAIL]'),"
+        f" '{_PII_PHONE}', '[PHONE]'),"
+        f" '{_PII_IPV4}', '[IP]')"
+    )
+    return d.selectExpr("doc_id", f"{_PII_AUG_SPARK} AS t").selectExpr(
+        "doc_id",
+        f"{scrub} AS scrubbed",
+        f"size(regexp_extract_all(t, '{_PII_EMAIL}', 0)) AS n_emails",
+        f"size(regexp_extract_all(t, '{_PII_PHONE}', 0)) AS n_phones",
+        f"size(regexp_extract_all(t, '{_PII_IPV4}', 0)) AS n_ips",
+    )
+
+
+# --- TF-IDF keyword extraction ------------------------------------------
+
+_TFIDF_TOPK = 3
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {TOKENS_SQL.format(col='text')} AS toks
+                 FROM documents),
+    terms AS (SELECT doc_id, unnest(toks) AS term FROM tok WHERE len(toks) > 0),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM terms GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM terms GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) / (1 + df.df) AS score,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY CAST(tf.tf AS DOUBLE) / (1 + df.df)
+                                         DESC, tf.term) AS rank
+      FROM tf JOIN df USING (term))
+    SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= {_TFIDF_TOPK}
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 distinctive terms by tf-idf.
+
+    idf here is the raw inverse-frequency variant ``1 / (1 + df)`` rather
+    than the log form: with tf and df both small integers, ``tf / (1+df)``
+    is a single IEEE-correctly-rounded division, so score and ranking are
+    bit-identical across engines — ``ln`` implementations are not
+    guaranteed to agree in the last ulp, which would make an oracle
+    hash-compare flaky. Ranking ties break lexicographically.
+
+    Scale shape: explode → two hash aggs (doc-term tf, term df) + one
+    term-keyed join (term cardinality = vocabulary, small vs corpus; at
+    100 TB the df side is broadcastable) + one per-doc window. No Python,
+    no driver loop.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens_col(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    terms = tok.select("doc_id", F.explode("toks").alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    score = F.col("tf").cast("double") / (F.lit(1) + F.col("df"))
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(df, "term")
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )

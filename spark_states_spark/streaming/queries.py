@@ -410,7 +410,10 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
 
 
-def _interval_join_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _interval_join_sides(spark: SparkSession, sf_dir: str):
+    """The two watermarked sides + join condition shared by every
+    stream-stream interval-join variant: purchases joined to errors by the
+    same user within [p_ts, p_ts + 30 min], both sides delayed 10 min."""
     p = (
         read_stream(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
@@ -431,15 +434,118 @@ def _interval_join_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("x_ts", "10 minutes")
     )
-    joined = p.join(
-        x,
+    cond = (
         (F.col("p_user") == F.col("x_user"))
         & (F.col("x_ts") >= F.col("p_ts"))
-        & (F.col("x_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 MINUTES")),
-    ).select(
+        & (F.col("x_ts") <= F.col("p_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return p, x, cond
+
+
+def _interval_join_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p, x, cond = _interval_join_sides(spark, sf_dir)
+    joined = p.join(x, cond).select(
         "purchase_id", "error_id", F.col("p_user").alias("user_id")
     )
     return run_stream_to_table(joined, output_mode="append")
+
+
+def _with_state_parts(spark: SparkSession, n: int, fn):
+    """Run ``fn()`` with the state-partition count pinned to ``n`` (the
+    per-query deployment knob documented on streaming_interval_join)."""
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        return fn()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+# Shared CTE prefix: both outer/semi oracles reason about the final global
+# watermark — Spark's multi-watermark policy is MIN over inputs (each side's
+# watermark = max event time seen on that side − its 10-min delay), advanced
+# by availableNow's final no-data batch. Timestamps in microseconds to match
+# Spark's nanos→micros event-time conversion (sources/tables.py).
+_IJ_ORACLE_PREFIX = """
+    WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us
+               FROM events WHERE event_type = 'purchase'),
+    x AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us
+          FROM events WHERE event_type = 'error'),
+    wm AS (SELECT least((SELECT max(ts_us) FROM p),
+                        (SELECT max(ts_us) FROM x)) - 600000000 AS w)
+"""
+
+
+@register(
+    "streaming_interval_join_left_outer",
+    oracle=_IJ_ORACLE_PREFIX
+    + """
+    SELECT p.event_id AS purchase_id, x.event_id AS error_id, p.user_id
+    FROM p JOIN x
+      ON p.user_id = x.user_id
+     AND x.ts_us >= p.ts_us AND x.ts_us <= p.ts_us + 1800000000
+    UNION ALL
+    SELECT p.event_id, CAST(NULL AS BIGINT), p.user_id
+    FROM p
+    WHERE NOT EXISTS (SELECT 1 FROM x
+                      WHERE x.user_id = p.user_id
+                        AND x.ts_us >= p.ts_us
+                        AND x.ts_us <= p.ts_us + 1800000000)
+      AND p.ts_us + 1800000000 < (SELECT w FROM wm)
+    """,
+)
+def streaming_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer stream-stream interval join (SURVEY.md §2.3 names
+    inner AND outer): purchases with their errors-within-30-min, or NULL
+    once the join window provably closed.
+
+    Null-extension is WATERMARK-DRIVEN state eviction — exactly the
+    store-bounding behavior the reference exists for (README.md:11-13): an
+    unmatched purchase row is emitted with a NULL right side only when the
+    global watermark passes ``p_ts + 30 min`` STRICTLY (boundary pinned
+    empirically: a row whose window closes exactly AT the watermark is
+    retained, not emitted). Purchases newer than that stay buffered with
+    no output — the oracle encodes the same cutoff from the data, so the
+    driver verifies Spark's eviction frontier, not just the matches.
+    """
+    def run() -> DataFrame:
+        p, x, cond = _interval_join_sides(spark, sf_dir)
+        joined = p.join(x, cond, "leftOuter").select(
+            "purchase_id", "error_id", F.col("p_user").alias("user_id")
+        )
+        return run_stream_to_table(joined, output_mode="append")
+
+    return _with_state_parts(spark, 8, run)
+
+
+@register(
+    "streaming_interval_join_left_semi",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND EXISTS (SELECT 1 FROM events x
+                  WHERE x.event_type = 'error'
+                    AND x.user_id = p.user_id
+                    AND epoch_ns(x.ts) // 1000 >= epoch_ns(p.ts) // 1000
+                    AND epoch_ns(x.ts) // 1000
+                        <= epoch_ns(p.ts) // 1000 + 1800000000)
+    """,
+)
+def streaming_interval_join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi stream-stream interval join: purchases that saw at least
+    one error within 30 min — each left row emitted at most once, on its
+    first match, never null-extended. The streaming EXISTS: right state
+    only ever stores enough to answer membership, and the drained result
+    equals the batch semi join."""
+    def run() -> DataFrame:
+        p, x, cond = _interval_join_sides(spark, sf_dir)
+        joined = p.join(x, cond, "leftSemi").select(
+            "purchase_id", F.col("p_user").alias("user_id")
+        )
+        return run_stream_to_table(joined, output_mode="append")
+
+    return _with_state_parts(spark, 8, run)
 
 
 def _event_kv_ops(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -14,6 +14,11 @@ SF_DIR_SMALL = "/root/testdata/sf0.001"
 @pytest.fixture(scope="session")
 def spark():
     spark = build_session(app_name="spark_states_spark_tests")
+    # The JVM-wide state-store maintenance task starts with the interval of
+    # the FIRST stateful query and never re-reads it. Pin it fast here,
+    # before any test runs a query, so retention/GC tests (which need a
+    # maintenance pass within their deadline) are order-independent.
+    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "1s")
     yield spark
     spark.stop()
 

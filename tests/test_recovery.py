@@ -88,3 +88,205 @@ def test_corrupted_state_files_fail_restart_not_degrade(spark, tmp_path):
     _write_batch(src, [("a", "put", 3, 1)], base + 10)
     with pytest.raises(StreamingQueryException):
         _run_counts(spark, src, ckpt)
+
+
+def test_failed_batch_not_committed_restart_recomputes(spark, tmp_path):
+    """Abort semantics at query granularity (PARITY row 6, StateStore.abort
+    Provider.scala:222-238): a batch that fails AFTER its stateful tasks ran
+    leaves no committed version — the restart re-executes that batch from
+    the last committed state, and the final aggregate carries no duplicate
+    or partial effects from the failed attempt."""
+    import os as _os
+    import uuid as _uuid
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    marker = str(tmp_path / "fail_once")
+    base = time.time() - 100
+    _write_batch(src, [("a", "put", 1, 0), ("b", "put", 2, 0)], base)
+    _write_batch(src, [("a", "put", 3, 1), ("c", "put", 4, 1)], base + 10)
+
+    captured: dict[int, dict] = {}
+
+    def fb(df, batch_id):
+        rows = df.collect()  # forces the stateful tasks to execute
+        if batch_id == 1 and not _os.path.exists(marker):
+            open(marker, "w").close()
+            raise RuntimeError("injected failure after state execution")
+        captured[batch_id] = {r["key"]: r["count"] for r in rows}
+
+    def run():
+        stream = (
+            spark.readStream.schema(OPS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        agg = stream.groupBy("key").count()
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(fb)
+            .queryName(f"ab_{_uuid.uuid4().hex[:10]}")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(StreamingQueryException):
+        run()
+    assert _os.path.exists(marker), "failure was never injected"
+    assert 1 not in captured, "failed batch must not reach the sink"
+
+    run()  # restart on the same checkpoint re-runs batch 1
+    assert captured[1] == {"a": 2, "b": 1, "c": 1}
+
+
+def test_task_retry_aborts_and_recommits_state(tmp_path):
+    """Abort semantics at TASK granularity — the reference's abort path
+    (Provider.scala:222-238 discards the uncommitted version; Spark task
+    retry re-opens the store at the committed base). A post-aggregation UDF
+    fails the state-writing task's first attempt mid-batch; the retry must
+    produce exactly-once aggregates. Runs in a subprocess: task retries
+    need a `local[N,maxFailures]` master, which is fixed per JVM."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import os, sys, tempfile, time
+        import pandas as pd
+        from pyspark.sql import SparkSession, functions as F
+        from spark_states_spark.session import build_session
+
+        marker = sys.argv[1]
+        spark = build_session(master="local[2,2]", app_name="task_retry")
+        spark.sparkContext.setLogLevel("ERROR")
+
+        src = tempfile.mkdtemp()
+        pdf = pd.DataFrame({
+            "key": ["a", "a", "b"],
+            "ts": pd.to_datetime(["2024-01-01"] * 3),
+        })
+        pdf.to_parquet(os.path.join(src, "b0.parquet"))
+
+        @F.udf("long")
+        def fail_once(n):
+            if not os.path.exists(marker):
+                open(marker, "w").close()
+                raise RuntimeError("injected task failure")
+            return n
+
+        stream = spark.readStream.schema("key string, ts timestamp").parquet(src)
+        agg = (stream.groupBy("key").count()
+               .select("key", fail_once(F.col("count")).alias("n")))
+        q = (agg.writeStream.outputMode("complete").format("memory")
+             .queryName("tr").option("checkpointLocation", tempfile.mkdtemp())
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = {r["key"]: r["n"] for r in spark.table("tr").collect()}
+        assert os.path.exists(marker), "failure never injected"
+        assert got == {"a": 2, "b": 1}, f"wrong counts after retry: {got}"
+        print("TASK_RETRY_OK")
+        spark.stop()
+        """
+    )
+    marker = str(tmp_path / "task_marker")
+    res = subprocess.run(
+        [sys.executable, "-c", script, marker],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert "TASK_RETRY_OK" in res.stdout, res.stderr[-3000:]
+
+
+def test_old_state_versions_cleaned_up(spark, tmp_path):
+    """Maintenance GC (PARITY row 12, Provider.doMaintenance
+    Provider.scala:411-418 + cleanup :573-592): with
+    ``minBatchesToRetain=2`` and frequent snapshots, state files of old
+    versions are deleted by the maintenance thread — the 'Cleaning up'
+    suite (RocksDbStateStoreProviderSuite.scala:85-104) re-expressed on
+    Spark's provider."""
+    import glob as _glob
+    import uuid as _uuid
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    base = time.time() - 100
+    n_batches = 6
+    for i in range(n_batches):
+        _write_batch(src, [("a", "put", i, i)], base + i)
+
+    confs = {
+        "spark.sql.streaming.minBatchesToRetain": "2",
+        "spark.sql.streaming.stateStore.maintenanceInterval": "300ms",
+        # snapshot every version so old changelogs become GC-eligible.
+        # NOTE: the RocksDB provider reads the generic key below (its
+        # RocksDBConf entry is SQLConf-backed); the rocksdb.-prefixed
+        # spelling is NOT consulted for this setting.
+        "spark.sql.streaming.stateStore.minDeltasForSnapshot": "1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        stream = (
+            spark.readStream.schema(OPS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        agg = stream.groupBy("key").count()
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(f"gc_{_uuid.uuid4().hex[:10]}")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+
+            def version_files():
+                # N.changelog / N.zip are version artifacts; the shared
+                # SSTs/ dir and _metadata are not version-numbered
+                out = set()
+                for pat in ("*.changelog", "*.zip"):
+                    for f in _glob.glob(
+                        os.path.join(ckpt, "state", "**", pat), recursive=True
+                    ):
+                        stem = os.path.basename(f).split(".")[0]
+                        if stem.isdigit():
+                            out.add(int(stem))
+                return out
+
+            # all batches processed → newest version present
+            while time.time() < deadline and (
+                not version_files() or max(version_files(), default=0) < n_batches
+            ):
+                time.sleep(0.3)
+            # GC: old versions disappear. Deletion passes ride on snapshot
+            # uploads, so the final pass may run one version behind the
+            # last commit — the property pinned is BOUNDED retention
+            # (storage does not grow with stream length), not an exact
+            # cutoff (provider-internal).
+            while time.time() < deadline and (
+                not version_files() or min(version_files()) < n_batches - 2
+            ):
+                time.sleep(0.3)
+            vs = version_files()
+            assert max(vs) >= n_batches, f"not all batches committed: {vs}"
+            assert min(vs) >= n_batches - 2, (
+                f"old state versions never cleaned up: {sorted(vs)}"
+            )
+            assert len(vs) <= 3, f"retention window unbounded: {sorted(vs)}"
+        finally:
+            q.stop()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
