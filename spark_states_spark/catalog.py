@@ -89,6 +89,12 @@ _VERIFY_FIRST = [
     # fixed in round 3 (geometry oracles replacing rows-only / crashed rows)
     "multimodal_decode_features",
     "multimodal_resize_sample",
+    # round 3: the last five TPC-H shapes (22/22 complete)
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
 ]
 
 

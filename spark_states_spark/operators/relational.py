@@ -998,3 +998,294 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.75)").alias("q75"),
         F.expr("percentile(l_extendedprice, 0.90)").alias("price_p90"),
     )
+
+
+# --- Remaining TPC-H query shapes (completing the 22-query family) -------
+#
+# The fixture has no partsupp table and no l_commitdate/l_receiptdate/
+# l_shipmode columns, so Q2/Q11/Q20 derive their supply relation from
+# lineitem's (l_partkey, l_suppkey) pairs and Q12/Q21 define "late" as
+# shipping long after the order date — the QUERY SHAPES (correlated min,
+# fraction-of-total HAVING, conditional split counts, nested INs,
+# EXISTS/NOT EXISTS self-joins) are preserved exactly.
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eu AS (
+      SELECT sp.l_partkey, sp.unit_cost, s.s_name, s.s_acctbal, n.n_name
+      FROM supply sp JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+                     JOIN nation n ON s.s_nationkey = n.n_nationkey
+                     JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    mc AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM eu GROUP BY l_partkey)
+    SELECT e.s_acctbal, e.s_name, e.n_name AS nation,
+           p.p_partkey AS partkey, p.p_type, e.unit_cost
+    FROM eu e JOIN mc ON e.l_partkey = mc.l_partkey AND e.unit_cost = mc.min_cost
+              JOIN part p ON e.l_partkey = p.p_partkey
+    WHERE p.p_size <= 10 AND p.p_type = 'ECONOMY'
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — cheapest supplier per part within a region, i.e. a
+    correlated MIN subquery decorrelated into aggregate + min-rejoin (the
+    only formulation that scales: the correlated form re-scans the supply
+    relation per part). The supply relation is derived from lineitem
+    (no partsupp in the fixture): unit_cost = min observed unit price per
+    (part, supplier).
+
+    Scale shape: one shuffle on (partkey, suppkey) builds supply; the
+    EUROPE filter prunes via two bounded broadcast dims (nation 25,
+    region 5); min-per-part is a second map-side-combined agg on partkey;
+    the equality rejoin on (partkey, unit_cost) is exact — both sides are
+    the same IEEE doubles. Ties (two suppliers at the min) are all kept,
+    same as the SQL.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    eu = (
+        supply.join(s, supply.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("l_partkey", "unit_cost", "s_name", "s_acctbal", "n_name")
+    )
+    mc = (
+        eu.groupBy(F.col("l_partkey").alias("mc_partkey"))
+        .agg(F.min("unit_cost").alias("min_cost"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "ECONOMY")
+    )
+    return (
+        eu.join(
+            mc,
+            (F.col("l_partkey") == F.col("mc_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("p_partkey").alias("partkey"),
+            "p_type",
+            "unit_cost",
+        )
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH val AS (
+      SELECT l.l_partkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1.0 - l.l_discount AS DECIMAL(4,2))) AS v
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey)
+    SELECT l_partkey AS partkey, CAST(v AS DOUBLE) AS total_value
+    FROM val
+    WHERE CAST(v AS DOUBLE)
+          > CAST((SELECT sum(v) FROM val) AS DOUBLE) * 0.001
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — per-part value of goods supplied from one nation,
+    keeping parts whose value exceeds a FRACTION OF THE GLOBAL TOTAL
+    (scalar subquery over the same aggregate). Value sums are
+    decimal-exact; the threshold compare happens on the correctly-rounded
+    double conversions so both engines draw the identical boundary.
+
+    Scale shape: nation filter reaches the supplier scan; one shuffle on
+    l_partkey with map-side partial agg; the grand total is a single-row
+    aggregate of the (already small) per-part result, broadcast back —
+    the per-part aggregate is computed ONCE and reused for both sides.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    val = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(dec2("l_extendedprice") * rate("1.0 - l_discount")).alias("v"))
+    )
+    total = val.agg(F.sum("v").cast("double").alias("grand_total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("v").cast("double") > F.col("grand_total") * 0.001)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("v").cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_linestatus
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — late-shipped lines split into high/low-priority
+    counts per group (conditional aggregation over a join). The fixture
+    has no l_shipmode/l_commitdate, so the group key is l_linestatus and
+    "late" = shipped >= 90 days after the order date.
+
+    Scale shape: the shipdate range filter pushes to the lineitem scan;
+    one shuffled equi-join on orderkey (both sides sf-scaling, no hint —
+    AQE decides); both CASE counts fold into ONE aggregate pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE '%widget%')
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l.l_suppkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+      AND s.s_nationkey IN (
+        SELECT n.n_nationkey FROM nation n
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA')
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — suppliers in a region who shipped an outsized
+    quantity of a named part family: nested IN subqueries three levels
+    deep (supplier ← aggregated lineitem ← part), via the SQL API so
+    Catalyst's subquery rewrite (IN → left-semi) is what's exercised.
+
+    Scale shape: both INs become semi joins — the part-name filter prunes
+    lineitem through a semi join BEFORE the per-supplier aggregate, and
+    the HAVING runs on the already-aggregated (suppkey-sized) set; the
+    nation/region IN is a bounded-dim semi join. Quantity sum is
+    decimal-exact so the >300 boundary is bit-stable.
+    """
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("q20_supplier")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q20_lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("q20_part")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("q20_nation")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("q20_region")
+    return spark.sql(
+        """
+        SELECT s.s_name, s.s_acctbal
+        FROM q20_supplier s
+        WHERE s.s_suppkey IN (
+            SELECT l.l_suppkey FROM q20_lineitem l
+            WHERE l.l_partkey IN (SELECT p_partkey FROM q20_part
+                                  WHERE p_name LIKE '%widget%')
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l.l_suppkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+          AND s.s_nationkey IN (
+            SELECT n.n_nationkey FROM q20_nation n
+            JOIN q20_region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA')
+        """
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM lineitem l1
+      JOIN orders o ON l1.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+      AND r.r_name = 'AMERICA'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who were the SOLE late shipper on a
+    multi-supplier failed order: the classic EXISTS + NOT EXISTS pair of
+    correlated self-joins on lineitem ("some other supplier shipped this
+    order; no other supplier shipped it late"). "Late" = shipped > 60
+    days after the order date (no l_receiptdate in the fixture).
+
+    Scale shape: Catalyst turns the EXISTS into a left-semi and the NOT
+    EXISTS into a left-anti join, all three lineitem sides hash-partition
+    on l_orderkey, so the self-joins reuse one exchange instead of
+    re-shuffling; supplier/nation/region prune the l1 side first.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q21_lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q21_orders")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("q21_supplier")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("q21_nation")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("q21_region")
+    return spark.sql(
+        """
+        SELECT s.s_name, count(*) AS numwait
+        FROM q21_lineitem l1
+          JOIN q21_orders o ON l1.l_orderkey = o.o_orderkey
+          JOIN q21_supplier s ON l1.l_suppkey = s.s_suppkey
+          JOIN q21_nation n ON s.s_nationkey = n.n_nationkey
+          JOIN q21_region r ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderstatus = 'F'
+          AND r.r_name = 'AMERICA'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
+          AND EXISTS (SELECT 1 FROM q21_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM q21_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+        GROUP BY s.s_name
+        """
+    )

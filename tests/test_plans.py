@@ -181,6 +181,7 @@ _NON_EQUI_BY_DESIGN = {
     "similarity_ivf_ann",
     "q22_idle_customers",  # 1-row avg-balance threshold broadcast
     "q15_top_supplier",  # 1-row max-revenue threshold broadcast
+    "q11_important_stock",  # 1-row grand-total threshold broadcast
 }
 
 
