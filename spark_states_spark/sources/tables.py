@@ -34,28 +34,24 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Explicit schema for the streaming fixture (file stream sources require one).
-# ``ts`` is TIMESTAMP(NANOS) in parquet; Spark reads it as int64 nanos under
-# spark.sql.legacy.parquet.nanosAsLong=true and ``with_event_time`` converts
-# to a proper TimestampType (µs, floored — consistent with DuckDB second-level
-# truncation in oracles).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# The events fixture's ``ts`` physical type has varied across driver testdata
+# generations: TIMESTAMP(NANOS) (read as int64 under
+# spark.sql.legacy.parquet.nanosAsLong=true) or TIMESTAMP(MICROS) (read as
+# TIMESTAMP_NTZ). ``with_event_time`` normalizes every layout to a session-TZ
+# TimestampType (µs) — the session runs in UTC, so the NTZ cast is
+# value-preserving and matches DuckDB's epoch view of the same file.
 
 
 def with_event_time(df: DataFrame) -> DataFrame:
-    """Convert the raw int64-nanosecond ``ts`` column to TimestampType."""
+    """Normalize the ``ts`` column to TimestampType, whatever the layout."""
     from pyspark.sql import functions as F
 
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dtype = df.schema["ts"].dataType
+    if isinstance(dtype, T.LongType):  # legacy nanos-as-long layout
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dtype, T.TimestampNTZType):  # micros layout (UTC session)
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return df
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -130,7 +126,14 @@ def chunked_stream(
     scale path (the stage is a one-time local sort of a test file).
     """
     path = table_path(sf_dir, name)
-    key = f"{os.path.abspath(path)}|{n_chunks}|{','.join(order_cols)}"
+    # Key the staged-chunk cache by source file identity (mtime+size), not
+    # just path: the driver regenerates testdata in place between rounds and
+    # a path-only key would silently serve the previous generation's data.
+    st = os.stat(path)
+    key = (
+        f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}"
+        f"|{n_chunks}|{','.join(order_cols)}"
+    )
     digest = hashlib.sha1(key.encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), "sss_stream_chunks", digest)
     n_have = (
@@ -161,10 +164,7 @@ def chunked_stream(
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
-    if name == "events":
-        schema: T.StructType = EVENTS_RAW_SCHEMA
-    else:
-        schema = spark.read.parquet(path).schema
+    schema = spark.read.parquet(path).schema
     df = (
         spark.readStream.schema(schema)
         .format("parquet")
@@ -190,10 +190,7 @@ def read_stream(
     (Provider.scala:44-47).
     """
     if schema is None:
-        if name == "events":
-            schema = EVENTS_RAW_SCHEMA
-        else:
-            schema = spark.read.parquet(table_path(sf_dir, name)).schema
+        schema = spark.read.parquet(table_path(sf_dir, name)).schema
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
