@@ -41,14 +41,18 @@ def _ensure_conf(spark: SparkSession) -> None:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    Streaming tumbling-window aggregation over the events stream, state kept
-    in the RocksDB state store (the reference's raison d'être), drained with
-    Trigger.AvailableNow and returned as a batch DataFrame.
+    Streaming tumbling-window aggregation in UPDATE mode over time-ordered
+    micro-batches: the watermark actually EVICTS closed windows from the
+    RocksDB state store, so state stays bounded — the reason the reference
+    exists (its README motivates the provider with the OOM risk of
+    unbounded in-memory state). Drained with Trigger.AvailableNow and
+    returned as a batch DataFrame. The complete-mode variant
+    (streaming_hourly_agg) remains in the catalog as an oracle harness.
     """
     _ensure_conf(spark)
-    from spark_states_spark.streaming.windows import streaming_hourly_agg
+    from spark_states_spark.streaming.queries import streaming_hourly_agg_update
 
-    return streaming_hourly_agg(spark, "/root/testdata/sf0.001")
+    return streaming_hourly_agg_update(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

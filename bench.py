@@ -55,6 +55,17 @@ HEADLINE = [
     "streaming_interval_join",
     "streaming_session_window",
     "streaming_minhash_band_dedup",
+    # round-3/4 surface (VERDICT r03 #4): the state-EVICTING production
+    # recipes, the outer interval join, the new text ops, the state-reader
+    # scan, and the strict finite-TTL kernel.
+    "streaming_hourly_agg_update",
+    "streaming_session_window_append",
+    "streaming_dedup_within_watermark",
+    "streaming_interval_join_left_outer",
+    "text_pii_scrub",
+    "text_tfidf_top_terms",
+    "state_store_scan",
+    "keyed_state_ttl_strict",
 ]
 
 
@@ -102,11 +113,18 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    if "streaming_hourly_agg" in timings:
+    # Throughput reflects the PRODUCTION recipe (update-mode, watermark-
+    # evicting state — VERDICT r03 #4), falling back to the complete-mode
+    # harness only if the update entry was excluded from a subset run.
+    tput_query = (
+        "streaming_hourly_agg_update"
+        if "streaming_hourly_agg_update" in timings
+        else "streaming_hourly_agg" if "streaming_hourly_agg" in timings else None
+    )
+    if tput_query:
         n_events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()
-        result["streaming_events_per_sec"] = round(
-            n_events / timings["streaming_hourly_agg"]
-        )
+        result["streaming_events_per_sec"] = round(n_events / timings[tput_query])
+        result["streaming_events_per_sec_query"] = tput_query
     print(json.dumps(result))
     spark.stop()
 

@@ -63,38 +63,69 @@ from .operators import setops  # noqa: E402,F401
 # must sit inside the verified window). The local DuckDB gate stays
 # order-independent and covers ALL entries every test run.
 _VERIFY_FIRST = [
-    # streaming entries changed this round (state-partition sizing, the
-    # CollapseProject repartition barrier) or added in round 3
-    "streaming_interval_join",
-    "streaming_minhash_band_dedup",
-    "streaming_interval_join_left_outer",
-    "streaming_interval_join_left_semi",
-    "state_store_scan",
-    "state_metadata_inventory",
-    # changed this round: hot-bucket salting + per-doc shingle cap; simhash
-    # oracle-cast fix from late round 2 awaits its first green verdict
+    # --- new in round 4: the finite-TTL oracle family (VERDICT r03 #1-2) ---
+    "keyed_state_ttl_strict",
+    "keyed_state_ttl_stateless",
+    "keyed_state_ttl_per_query",
+    # --- code-touched in round 4 (r03-green, but their plans changed:
+    # adaptive salting in functions/skew.py; real BMP/WAV container parsing
+    # in the multimodal decode stage) ---
     "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
-    "dedup_simhash",
-    # added late round 2, no driver verdict yet
-    "streaming_hourly_agg_update",
-    "streaming_sliding_window_update",
-    "streaming_session_window_append",
-    "streaming_dedup_within_watermark",
-    "keyed_state_ttl_infinite",
-    # added in round 3, no driver verdict yet
-    "text_pii_scrub",
-    "text_tfidf_top_terms",
-    # fixed in round 3 (geometry oracles replacing rows-only / crashed rows)
     "multimodal_decode_features",
-    "multimodal_resize_sample",
-    # round 3: the last five TPC-H shapes (22/22 complete)
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
+    # --- the 46-entry tail: last driver verdict r01 (first five) or r02;
+    # rotated into the r04 window per VERDICT r03 #3 so every entry
+    # completes a second driver pass ---
+    "q9_product_profit",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "agg_grouping_sets",
+    "agg_exact_percentiles",
+    "multimodal_manifest",
+    "dedup_exact_groups",
+    "dedup_exact_keep_first",
+    "streaming_hourly_agg",
+    "streaming_dedup",
+    "streaming_doc_dedup",
+    "streaming_session_window",
+    "streaming_sliding_window",
+    "similarity_cosine_topk",
+    "similarity_lsh_ann",
+    "similarity_ivf_ann",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_fingerprint",
+    "hourly_event_stats",
+    "sessionize_events",
+    "user_funnel_counts",
+    "user_gap_median",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_conditional",
+    "scalar_json_funcs",
+    "scalar_array_funcs",
+    "scalar_map_funcs",
+    "asof_join_latest_order",
+    "window_topk_per_group",
+    "window_running_revenue",
+    "window_order_gaps",
+    "window_rank_family",
+    "window_first_last",
+    "window_range_frame",
+    "setop_union_all",
+    "setop_intersect",
+    "setop_except",
+    "setop_union_distinct",
+    "setop_except_all",
+    "setop_intersect_all",
+    # Two tail entries deliberately left outside the 50-entry sample window
+    # (49 tail + 3 touched = 52 > 50): `keyed_state_ttl` — rows-only by
+    # design, and all three of its oracle-backed twins sit at the top of
+    # this window — and `streaming_global_limit` — r02-green, trivial
+    # least(n, count) oracle, code untouched since r01. Both remain covered
+    # by the local order-independent DuckDB gate every test run.
 ]
 
 

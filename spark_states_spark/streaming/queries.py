@@ -625,11 +625,16 @@ def keyed_state_ttl_infinite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _get_outcome_summary(out)
 
 
-@register("keyed_state_ttl")  # rows-only: finite-TTL expiry fold is not SQL
+@register("keyed_state_ttl")  # rows-only twin kept for the lazy (non-strict)
 def keyed_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's marquee operator: arbitrary keyed state with TTL
     (expire-after-access, per-query conf) driven by the events stream —
     the finite-TTL variant of ``keyed_state_ttl_infinite``.
+
+    This entry runs the NON-STRICT (lazy) mode, whose served-while-expired
+    window depends on sweep timing and so has no batch SQL equivalent —
+    rows-only by design. The strict mode, which the reference enforces
+    exactly on read, is fully oracle-verified: ``keyed_state_ttl_strict``.
 
     Ops derive deterministically from events: purchase → put(value cents),
     view/signup → get, error → remove; virtual clock = event time.
@@ -644,6 +649,156 @@ def keyed_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ttl_kv_ops(_event_kv_ops(spark, sf_dir), ttl), output_mode="append"
     )
     return _get_outcome_summary(out)
+
+
+def _strict_ttl_oracle(ttl_s: int) -> str:
+    """Gap-sessionization oracle for STRICT expire-after-access keyed state.
+
+    Strict finite TTL (the reference's marquee semantics,
+    ``RocksDbStateTimeoutSuite.scala:123-170`` "ttl should reset on get, set
+    and update", enforced on read per ``RocksDbStateStoreProvider.scala:
+    139-146``) IS SQL-expressible under the virtual clock: a get is served
+    iff its epoch (the run since the latest put, cut by put/remove) started
+    with a put AND every consecutive gap in the epoch's access chain is
+    < ttl. Dead gets don't extend the deadline — but the running MAX over
+    the naive (all-rows) gap chain is still exact, because the first gap
+    ≥ ttl kills that get and, time being monotone within a key, every later
+    get of the epoch too (so which accesses "really" reset never matters
+    past the first violation). Same lag/running-sum family as the
+    session-window oracle above.
+    """
+    return f"""
+    WITH ops AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS key,
+             CASE WHEN event_type = 'purchase' THEN 'put'
+                  WHEN event_type = 'error' THEN 'remove'
+                  ELSE 'get' END AS op,
+             CAST(trunc(value * 100) AS BIGINT) AS v,
+             epoch_ns(ts) // 1000000000 AS ts_s,
+             event_id AS seq
+      FROM events
+    ),
+    epo AS (
+      SELECT *,
+             sum(CASE WHEN op IN ('put', 'remove') THEN 1 ELSE 0 END)
+               OVER (PARTITION BY key ORDER BY ts_s, seq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS epoch
+      FROM ops
+    ),
+    gaps AS (
+      SELECT *, first_value(op) OVER w AS ep_op,
+             first_value(v) OVER w AS ep_v,
+             coalesce(ts_s - lag(ts_s) OVER w, 0) AS gap
+      FROM epo
+      WINDOW w AS (PARTITION BY key, epoch ORDER BY ts_s, seq)
+    ),
+    alive AS (
+      SELECT *, max(gap) OVER (PARTITION BY key, epoch ORDER BY ts_s, seq
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS max_gap
+      FROM gaps
+    )
+    SELECT key,
+           CAST(count(*) AS BIGINT) AS n_gets,
+           CAST(sum(CASE WHEN ep_op = 'put' AND max_gap < {ttl_s}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN ep_op = 'put' AND max_gap < {ttl_s}
+                         THEN ep_v ELSE 0 END) AS BIGINT) AS sum_hit_values
+    FROM alive WHERE op = 'get' GROUP BY key
+    """
+
+
+def _run_ttl_summary(spark: SparkSession, sf_dir: str, conf: dict, name: str) -> DataFrame:
+    """Run the TTL kernel over the events op stream with ``conf`` resolved
+    for query ``name``; return the per-key get-outcome summary."""
+    from ..config import resolve_ttl
+    from .ttl import ttl_kv_ops
+
+    ttl = resolve_ttl(conf, name)
+    out = run_stream_to_table(
+        ttl_kv_ops(_event_kv_ops(spark, sf_dir), ttl), output_mode="append"
+    )
+    return _get_outcome_summary(out)
+
+
+_STRICT_TTL_SECS = 21600  # ~40th pct of per-key access gaps: hits AND expiries
+
+
+@register("keyed_state_ttl_strict", oracle=_strict_ttl_oracle(_STRICT_TTL_SECS))
+def keyed_state_ttl_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FINITE-TTL keyed state, strict mode — the reference's defining
+    expire-after-access semantics with a full value-checked oracle: a key
+    expires ``ttl`` seconds after its last put or served get (dead gets
+    don't extend; a strict miss drops the key on read,
+    ``RocksDbStateStoreProvider.scala:139-146``). Virtual clock = event
+    time, so the fold is deterministic and the gap-sessionization oracle
+    (see ``_strict_ttl_oracle``) replays it exactly.
+    """
+    conf = {
+        "spark.sql.streaming.stateStore.stateExpirySecs": str(_STRICT_TTL_SECS),
+        "spark.sql.streaming.stateStore.strictExpire": "true",
+    }
+    return _run_ttl_summary(spark, sf_dir, conf, "events_kv_strict")
+
+
+@register(
+    "keyed_state_ttl_stateless",
+    # ttl = 0 → stateless: every put is immediately invisible, every get
+    # misses (reference README.md:34-49, RocksDbStateTimeoutSuite.scala:
+    # 83-102) — so the oracle is simply the per-key get count with zero hits.
+    oracle="""
+    SELECT 'u' || CAST(user_id AS VARCHAR) AS key,
+           CAST(sum(CASE WHEN event_type NOT IN ('purchase', 'error')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_gets,
+           CAST(0 AS BIGINT) AS n_hits,
+           CAST(0 AS BIGINT) AS sum_hit_values
+    FROM events
+    GROUP BY user_id
+    HAVING sum(CASE WHEN event_type NOT IN ('purchase', 'error')
+               THEN 1 ELSE 0 END) > 0
+    """,
+)
+def keyed_state_ttl_stateless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless mode (``ttl = 0``): the kernel runs, state is never
+    retained, every get misses — the reference's third headline TTL
+    behavior (``RocksDbStateTimeoutSuite.scala:83-102``)."""
+    conf = {"spark.sql.streaming.stateStore.stateExpirySecs": "0"}
+    return _run_ttl_summary(spark, sf_dir, conf, "events_kv_stateless")
+
+
+_PER_QUERY_TTLS = {"kv_fast": 3600, "kv_slow": 86400}
+
+
+@register(
+    "keyed_state_ttl_per_query",
+    # Two kernels resolve different TTLs from ONE conf registry via
+    # stateExpirySecs.<queryName> (Provider.scala:738-742 semantics) and run
+    # over the same op stream; the oracle unions the per-TTL strict folds.
+    oracle="\nUNION ALL\n".join(
+        f"SELECT '{name}' AS query_name, * FROM ({_strict_ttl_oracle(ttl)})"
+        for name, ttl in sorted(_PER_QUERY_TTLS.items())
+    ),
+)
+def keyed_state_ttl_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query TTL differentiation (``RocksDbStateTimeoutSuite.scala:
+    172-240``): two queries share one conf registry and one clock but
+    resolve different ``stateExpirySecs.<name>`` deadlines — the fast one
+    expires most state between accesses, the slow one retains it. Output =
+    both get-outcome summaries, tagged by query name.
+    """
+    conf = {"spark.sql.streaming.stateStore.strictExpire": "true"}
+    for name, ttl in _PER_QUERY_TTLS.items():
+        conf[f"spark.sql.streaming.stateStore.stateExpirySecs.{name}"] = str(ttl)
+    parts = [
+        _run_ttl_summary(spark, sf_dir, conf, name).select(
+            F.lit(name).alias("query_name"), "*"
+        )
+        for name in sorted(_PER_QUERY_TTLS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @register(
