@@ -6,12 +6,18 @@ does: the bytes travel untouched through scans/joins/filters; decode and
 feature extraction happen in Arrow-batched ``mapInPandas`` stages at the
 edge of the plan.
 
-The container has no codec libraries, so (per the build contract) the
-decode step is STUBBED: ``decode_image_stub`` produces deterministic fake
-features from the payload bytes, and ``decode_image_real`` raises
-``NotImplementedError`` behind an import-try for PIL. The Spark-side
-plumbing — binary schema, metadata struct, Arrow batch shapes, partition
-behavior — is real and tested (tests/test_multimodal.py).
+Decode is REAL for the two uncompressed container formats the stdlib can
+handle without codec libraries: image payloads travel as valid **BMP**
+files (14-byte BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER + padded
+24-bpp pixel rows) and audio payloads as valid **WAV** files (RIFF/WAVE
+with PCM-16 ``fmt `` and ``data`` chunks); the decode stage parses those
+headers byte-for-byte with ``struct`` (``parse_bmp`` / ``parse_wav``) —
+no arithmetic shortcut touches the geometry it reports. Compressed
+formats (JPEG/PNG/MP4...) still need codec libs the container doesn't
+ship, so ``decode_image_real`` stays import-gated and video geometry
+comes from the deterministic stub. The Spark-side plumbing — binary
+schema, metadata struct, Arrow batch shapes, partition behavior — is
+real and tested (tests/test_llm_ops.py).
 
 Since the fixtures ship no real media, payloads are synthesized from
 ``documents.text`` (utf-8 bytes) — byte-for-byte reproducible in the
@@ -20,6 +26,7 @@ DuckDB oracle, which verifies the manifest path end-to-end.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -81,12 +88,126 @@ _FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("media_type", T.StringType()),
+        T.StructField("container", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sample_rate_hz", T.IntegerType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ]
 )
+
+
+# --- real uncompressed-container codecs (stdlib struct, no codec libs) ---
+#
+# The fixture ships no actual media, so the upstream-storage step is
+# simulated in the same Arrow batch: raw bytes are wrapped into a VALID
+# container (encode_*), then the decoder parses the container's binary
+# headers for real (parse_*). A green oracle therefore certifies a genuine
+# header round-trip, not arithmetic replay: the parser never sees the
+# source length, only the struct-packed bytes.
+
+
+def _tile(payload: bytes, size: int) -> bytes:
+    """Repeat ``payload`` to exactly ``size`` bytes (zero-fill if empty)."""
+    if not payload:
+        return bytes(size)
+    reps = size // len(payload) + 1
+    return (payload * reps)[:size]
+
+
+def bmp_geometry(n_payload: int) -> tuple[int, int]:
+    """Deterministic image dimensions for a payload of ``n_payload`` bytes
+    (the published contract the DuckDB oracle mirrors)."""
+    return 16 + n_payload % 64, 16 + (n_payload // 64) % 64
+
+
+def encode_bmp(payload: bytes) -> bytes:
+    """Wrap raw bytes into a valid 24-bpp BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER + 4-byte-aligned pixel rows tiled from the payload)."""
+    w, h = bmp_geometry(len(payload))
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return file_header + info_header + _tile(payload, img_size)
+
+
+def parse_bmp(data: bytes) -> tuple[int, int]:
+    """Parse a BMP's headers; return (width, height). Raises ValueError on
+    anything that is not an uncompressed 24-bpp Windows BMP."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP: bad magic or truncated header")
+    file_size, _, _, pixel_off = struct.unpack_from("<IHHI", data, 2)
+    hdr_size, width, height, planes, bpp = struct.unpack_from("<IiiHH", data, 14)
+    compression, img_size = struct.unpack_from("<II", data, 30)
+    if hdr_size != 40 or planes != 1 or compression != 0:
+        raise ValueError("unsupported BMP variant")
+    if bpp != 24:
+        raise ValueError(f"unsupported bit depth {bpp}")
+    row_size = (width * 3 + 3) & ~3
+    if img_size != row_size * abs(height) or len(data) != file_size:
+        raise ValueError("BMP size fields inconsistent with payload")
+    if pixel_off != 54:
+        raise ValueError("unexpected pixel-array offset")
+    return width, abs(height)
+
+
+def wav_params(n_payload: int) -> tuple[int, int]:
+    """Deterministic (sample_rate_hz, n_samples) for a payload of
+    ``n_payload`` bytes (the published contract the oracle mirrors)."""
+    return 8000 + (n_payload % 8) * 1000, 64 + n_payload % 4096
+
+
+def encode_wav(payload: bytes) -> bytes:
+    """Wrap raw bytes into a valid RIFF/WAVE file (PCM-16 mono): canonical
+    ``fmt `` chunk + ``data`` chunk tiled from the payload."""
+    rate, n_samples = wav_params(len(payload))
+    data_size = n_samples * 2
+    fmt = struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + 16 + 8 + data_size)
+        + b"WAVE"
+        + b"fmt "
+        + fmt
+        + b"data"
+        + struct.pack("<I", data_size)
+        + _tile(payload, data_size)
+    )
+
+
+def parse_wav(data: bytes) -> tuple[int, int]:
+    """Walk a RIFF/WAVE file's chunks; return (sample_rate_hz, n_samples).
+    Raises ValueError unless it is a well-formed PCM-16 mono WAV."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE magic")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    if riff_size != len(data) - 8:
+        raise ValueError("RIFF size inconsistent with file length")
+    rate = channels = bits = data_size = None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _brate, _align, bits = struct.unpack_from(
+                "<HHIIHH", data, body
+            )
+            if audio_fmt != 1:
+                raise ValueError(f"not PCM (format tag {audio_fmt})")
+        elif cid == b"data":
+            data_size = csize
+        pos = body + csize + (csize & 1)  # chunks are word-aligned
+    if rate is None or data_size is None:
+        raise ValueError("missing fmt or data chunk")
+    if channels != 1 or bits != 16:
+        raise ValueError(f"unsupported layout: {channels} ch / {bits} bit")
+    return rate, data_size // (channels * bits // 8)
 
 
 def decode_image_real(payload: bytes):  # pragma: no cover - env has no codecs
@@ -117,10 +238,19 @@ def decode_image_stub(payload: bytes) -> tuple[int, int, int, list[float]]:
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over the binary payload column.
+    """Arrow-batched decode + feature extraction over the binary payload.
 
-    ``mapInPandas`` keeps the decode embarrassingly parallel per input
-    partition — no shuffle; batch size is governed by
+    Per media type: image payloads are containerized as real BMPs and the
+    decoder reads width/height out of the BITMAPINFOHEADER with ``struct``
+    (``parse_bmp``); audio payloads as real WAVs, the decoder walking the
+    RIFF chunks for sample rate and count (``parse_wav``); video keeps the
+    deterministic stub geometry (compressed codecs are env-gated, see
+    ``decode_image_real``). The 8-dim feature sketch is computed from the
+    raw payload bytes for every type.
+
+    ``mapInPandas`` keeps the whole synth→parse→featurize pipeline
+    embarrassingly parallel per input partition — no shuffle, one Python
+    crossing; batch size is governed by
     spark.sql.execution.arrow.maxRecordsPerBatch.
     """
 
@@ -130,19 +260,38 @@ def extract_features(media: DataFrame) -> DataFrame:
             for doc_id, mtype, payload in zip(
                 pdf["doc_id"], pdf["media_type"], pdf["payload"]
             ):
-                w, h, nf, feat = decode_image_stub(bytes(payload))
-                rows.append((doc_id, mtype, w, h, nf, feat))
-            yield pd.DataFrame(
+                raw = bytes(payload)
+                feat = decode_image_stub(raw)[3]
+                if mtype == "image":
+                    w, h = parse_bmp(encode_bmp(raw))
+                    rows.append((doc_id, mtype, "bmp", w, h, 1, None, None, feat))
+                elif mtype == "audio":
+                    rate, n_samples = parse_wav(encode_wav(raw))
+                    rows.append(
+                        (doc_id, mtype, "wav", None, None, None, n_samples, rate, feat)
+                    )
+                else:  # video: codec libs absent, stub geometry (documented)
+                    w, h, nf, _ = decode_image_stub(raw)
+                    rows.append((doc_id, mtype, "raw", w, h, nf, None, None, feat))
+            pdf_out = pd.DataFrame(
                 rows,
                 columns=[
                     "doc_id",
                     "media_type",
+                    "container",
                     "width",
                     "height",
                     "n_frames",
+                    "n_samples",
+                    "sample_rate_hz",
                     "feature",
                 ],
             )
+            # Nullable int32: plain int columns silently become float64
+            # under None, which Arrow would reject against IntegerType.
+            for c in ("width", "height", "n_frames", "n_samples", "sample_rate_hz"):
+                pdf_out[c] = pd.array(pdf_out[c], dtype="Int32")
+            yield pdf_out
 
     return media.select("doc_id", "media_type", "payload").mapInPandas(
         run, schema=_FEATURE_SCHEMA
@@ -151,24 +300,43 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 @register(
     "multimodal_decode_features",
-    # The stub decoder's geometry is a pure function of the payload bytes
-    # (width/height from octet_length, n_frames from the first byte, 8-dim
-    # feature) — so the mapInPandas pipeline CAN have a real DuckDB oracle.
-    # ascii(text) = first payload byte: the fixture text is pure ASCII
-    # (verified octet_length(encode(text)) == length(text) for every row at
-    # sf0.001/0.01/0.1) and never empty.
+    # Image/audio geometry is now read out of REAL container headers
+    # (struct-parsed BMP / WAV, see parse_bmp/parse_wav); the synthesizers
+    # write those headers from the published contracts bmp_geometry /
+    # wav_params, which this oracle mirrors — so a green row certifies the
+    # binary round-trip. Video keeps the stub contract (codec libs are
+    # env-gated). ascii(text) = first payload byte: the fixture text is
+    # pure ASCII (verified at sf0.001/0.01/0.1) and never empty.
     oracle="""
-    SELECT doc_id,
-           ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
-           CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
-           CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height,
-           CAST(1 + ascii(text) % 8 AS INT) AS n_frames,
+    WITH m AS (
+      SELECT doc_id,
+             ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+             octet_length(encode(text)) AS n,
+             ascii(text) AS b0
+      FROM documents
+    )
+    SELECT doc_id, media_type,
+           CASE media_type WHEN 'image' THEN 'bmp' WHEN 'audio' THEN 'wav'
+                ELSE 'raw' END AS container,
+           CASE WHEN media_type IN ('image', 'video')
+                THEN CAST(16 + n % 64 AS INT) END AS width,
+           CASE WHEN media_type IN ('image', 'video')
+                THEN CAST(16 + (n // 64) % 64 AS INT) END AS height,
+           CASE WHEN media_type = 'image' THEN CAST(1 AS INT)
+                WHEN media_type = 'video' THEN CAST(1 + b0 % 8 AS INT)
+           END AS n_frames,
+           CASE WHEN media_type = 'audio'
+                THEN CAST(64 + n % 4096 AS INT) END AS n_samples,
+           CASE WHEN media_type = 'audio'
+                THEN CAST(8000 + (n % 8) * 1000 AS INT) END AS sample_rate_hz,
            CAST(8 AS INT) AS feature_dim
-    FROM documents
+    FROM m
     """,
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extract pipeline over binary media (stubbed codec).
+    """Decode/feature-extract pipeline over binary media: genuine
+    struct-based BMP/WAV header parsing for image/audio, stub geometry for
+    video (codec-gated).
 
     Returns scalar features only (the array column stays engine-side) so
     the driver's canonicalization sees a stable flat schema.
@@ -177,9 +345,12 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id",
         "media_type",
+        "container",
         "width",
         "height",
         "n_frames",
+        "n_samples",
+        "sample_rate_hz",
         F.size("feature").alias("feature_dim"),
     )
 

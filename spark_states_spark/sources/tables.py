@@ -80,8 +80,9 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 def _stream_dir(path: str) -> str:
     """Stage a single parquet file behind a directory for the file stream
     source (which requires a directory input). A stable symlink dir in /tmp,
-    keyed by the absolute path — testdata is read-only so this never goes
-    stale. On a real deployment streams read directories/object-store
+    keyed by the absolute path; the symlink resolves by path at read time,
+    so it follows the driver's in-place regeneration of testdata between
+    rounds. On a real deployment streams read directories/object-store
     prefixes directly and this staging is bypassed.
     """
     if os.path.isdir(path):
@@ -96,6 +97,21 @@ def _stream_dir(path: str) -> str:
         except FileExistsError:
             pass
     return d
+
+
+def _source_identity(path: str) -> str:
+    """Content-identity stamp for a fixture path. A single file contributes
+    its (mtime_ns, size); a directory of parquet parts contributes every
+    member's (name, mtime_ns, size), since in-place member overwrites need
+    not touch the directory's own stat."""
+    if os.path.isdir(path):
+        stamps = []
+        for f in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, f))
+            stamps.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
+        return ";".join(stamps)
+    st = os.stat(path)
+    return f"{st.st_mtime_ns}:{st.st_size}"
 
 
 def chunked_stream(
@@ -126,12 +142,14 @@ def chunked_stream(
     scale path (the stage is a one-time local sort of a test file).
     """
     path = table_path(sf_dir, name)
-    # Key the staged-chunk cache by source file identity (mtime+size), not
-    # just path: the driver regenerates testdata in place between rounds and
-    # a path-only key would silently serve the previous generation's data.
-    st = os.stat(path)
+    # Key the staged-chunk cache by source content identity (mtime+size per
+    # file), not just path: the driver regenerates testdata in place between
+    # rounds and a path-only key would silently serve the previous
+    # generation's data. For a directory-of-parts fixture the member files'
+    # stats are folded in — overwriting members in place need not change
+    # the directory's own stat.
     key = (
-        f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}"
+        f"{os.path.abspath(path)}|{_source_identity(path)}"
         f"|{n_chunks}|{','.join(order_cols)}"
     )
     digest = hashlib.sha1(key.encode()).hexdigest()[:12]
@@ -164,7 +182,10 @@ def chunked_stream(
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
-    schema = spark.read.parquet(path).schema
+    # Infer the stream schema from the STAGED chunk files, not the original
+    # fixture: pyarrow's writer may coerce the timestamp physical type
+    # (e.g. nanos→micros), and schema + data must come from the same files.
+    schema = spark.read.parquet(d).schema
     df = (
         spark.readStream.schema(schema)
         .format("parquet")

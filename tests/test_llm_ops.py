@@ -4,10 +4,16 @@ from pyspark.sql import functions as F
 
 from spark_states_spark.functions.dedup import dedup_minhash_lsh_pairs, dedup_ngram_jaccard
 from spark_states_spark.functions.multimodal import (
+    bmp_geometry,
     decode_image_real,
     decode_image_stub,
+    encode_bmp,
+    encode_wav,
     extract_features,
     media_table,
+    parse_bmp,
+    parse_wav,
+    wav_params,
 )
 from spark_states_spark.functions.similarity import (
     similarity_cosine_topk,
@@ -54,7 +60,7 @@ def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
 
 def test_multimodal_batch_plumbing(spark, sf_dir_small):
     """mapInPandas decode: schema, determinism across partitionings, and
-    feature vector shape."""
+    per-container field population."""
     media = media_table(spark, sf_dir_small)
     feats = extract_features(media)
     rows = {r.doc_id: r for r in feats.collect()}
@@ -63,9 +69,51 @@ def test_multimodal_batch_plumbing(spark, sf_dir_small):
     assert rows.keys() == rows2.keys()
     some = next(iter(rows))
     assert rows[some] == rows2[some]
-    r = rows[some]
-    assert len(r.feature) == 8 and all(0.0 <= v <= 1.0 for v in r.feature)
-    assert r.width >= 16 and r.height >= 16 and 1 <= r.n_frames <= 8
+    for r in rows.values():
+        assert len(r.feature) == 8 and all(0.0 <= v <= 1.0 for v in r.feature)
+        if r.media_type == "image":
+            assert r.container == "bmp" and r.width >= 16 and r.height >= 16
+            assert r.n_frames == 1 and r.n_samples is None
+        elif r.media_type == "audio":
+            assert r.container == "wav" and r.width is None
+            assert r.n_samples >= 64 and r.sample_rate_hz >= 8000
+        else:
+            assert r.container == "raw" and 1 <= r.n_frames <= 8
+
+
+def test_bmp_roundtrip_is_a_real_parse():
+    """encode_bmp writes genuine BITMAPFILE/INFO headers; parse_bmp reads
+    the geometry back out of the struct-packed bytes alone."""
+    for payload in (b"x", b"hello world" * 50, bytes(range(256)), b"\x00" * 4097):
+        bmp = encode_bmp(payload)
+        assert bmp[:2] == b"BM"
+        assert parse_bmp(bmp) == bmp_geometry(len(payload))
+    # the parser is not a passthrough: flipping the bpp field is rejected
+    bad = bytearray(encode_bmp(b"abc"))
+    bad[28] = 8  # biBitCount 24 -> 8
+    with pytest.raises(ValueError):
+        parse_bmp(bytes(bad))
+    with pytest.raises(ValueError):
+        parse_bmp(b"PNG not a bmp")
+    # truncated pixel array: size fields no longer match the file
+    with pytest.raises(ValueError):
+        parse_bmp(encode_bmp(b"abc")[:-10])
+
+
+def test_wav_roundtrip_walks_riff_chunks():
+    for payload in (b"x", b"pcm" * 999, bytes(range(256))):
+        wav = encode_wav(payload)
+        assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+        assert parse_wav(wav) == wav_params(len(payload))
+    bad = bytearray(encode_wav(b"abc"))
+    bad[20] = 85  # fmt tag PCM -> MP3
+    with pytest.raises(ValueError):
+        parse_wav(bytes(bad))
+    with pytest.raises(ValueError):
+        parse_wav(b"RIFFxxxxAVI ")
+    # RIFF size field inconsistent after truncation
+    with pytest.raises(ValueError):
+        parse_wav(encode_wav(b"abc")[:-2])
 
 
 def test_real_decoder_is_gated():
