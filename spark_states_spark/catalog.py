@@ -63,10 +63,17 @@ from .operators import setops  # noqa: E402,F401
 # must sit inside the verified window). The local DuckDB gate stays
 # order-independent and covers ALL entries every test run.
 _VERIFY_FIRST = [
-    # --- new in round 4: the finite-TTL oracle family (VERDICT r03 #1-2) ---
+    # --- new in round 4: the finite-TTL oracle family (VERDICT r03 #1-2)
+    # plus the wall-clock binding's first driver row and three new
+    # operator shapes (full-outer interval join, stream-static enrich,
+    # hourly→daily rollup cascade) ---
     "keyed_state_ttl_strict",
     "keyed_state_ttl_stateless",
     "keyed_state_ttl_per_query",
+    "keyed_state_wallclock_infinite",
+    "streaming_interval_join_full_outer",
+    "streaming_static_enrich",
+    "rollup_hourly_to_daily",
     # --- code-touched in round 4 (r03-green, but their plans changed:
     # adaptive salting in functions/skew.py; real BMP/WAV container parsing
     # in the multimodal decode stage) ---
@@ -114,18 +121,17 @@ _VERIFY_FIRST = [
     "window_rank_family",
     "window_first_last",
     "window_range_frame",
-    "setop_union_all",
-    "setop_intersect",
-    "setop_except",
-    "setop_union_distinct",
     "setop_except_all",
     "setop_intersect_all",
-    # Two tail entries deliberately left outside the 50-entry sample window
-    # (49 tail + 3 touched = 52 > 50): `keyed_state_ttl` — rows-only by
-    # design, and all three of its oracle-backed twins sit at the top of
-    # this window — and `streaming_global_limit` — r02-green, trivial
-    # least(n, count) oracle, code untouched since r01. Both remain covered
-    # by the local order-independent DuckDB gate every test run.
+    # Six tail entries deliberately left outside the 50-entry sample window
+    # (never-verified new entries outrank a second pass of stable ones):
+    # `keyed_state_ttl` — rows-only by design, all three oracle-backed
+    # twins sit at the top of this window; `streaming_global_limit` —
+    # r02-green trivial least(n, count) oracle; and the four simple setops
+    # (`setop_union_all/_union_distinct/_intersect/_except`) — r02-green,
+    # untouched, trivially-stable oracles (the trickier multiset
+    # `_except_all`/`_intersect_all` stay in). All remain covered by the
+    # local order-independent DuckDB gate every test run.
 ]
 
 

@@ -55,6 +55,52 @@ def hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollup_hourly_to_daily",
+    # The oracle aggregates raw events straight to days; the engine rolls up
+    # FROM the hourly aggregate — equal by associativity of count/sum.
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def rollup_hourly_to_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup cascade: daily stats derived from the HOURLY
+    aggregate, not from raw events — the hypertable/continuous-aggregate
+    pattern. At 100 TB the daily job reads n_hours × n_types pre-aggregated
+    rows instead of re-scanning the raw table, and the hourly intermediate
+    is exactly what ``streaming_hourly_agg_update`` maintains incrementally,
+    so the cascade composes with the streaming pipeline.
+
+    Only decomposable aggregates cascade (count/sum/min/max — summed here
+    as DECIMALs so the two-level sum is bit-exact with the one-level
+    oracle; double only at the end). Distinct counts do NOT roll up from
+    finalized values — at scale those cascade as mergeable sketches (HLL),
+    which is why this entry carries no ``n_users`` column.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sv"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", "hour_ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sv").cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
     "sessionize_events",
     oracle="""
     WITH ordered AS (

@@ -519,6 +519,57 @@ def streaming_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> Data
 
 
 @register(
+    "streaming_interval_join_full_outer",
+    oracle=_IJ_ORACLE_PREFIX
+    + """
+    SELECT p.event_id AS purchase_id, x.event_id AS error_id, p.user_id
+    FROM p JOIN x
+      ON p.user_id = x.user_id
+     AND x.ts_us >= p.ts_us AND x.ts_us <= p.ts_us + 1800000000
+    UNION ALL
+    SELECT p.event_id, CAST(NULL AS BIGINT), p.user_id
+    FROM p
+    WHERE NOT EXISTS (SELECT 1 FROM x
+                      WHERE x.user_id = p.user_id
+                        AND x.ts_us >= p.ts_us
+                        AND x.ts_us <= p.ts_us + 1800000000)
+      AND p.ts_us + 1800000000 < (SELECT w FROM wm)
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), x.event_id, x.user_id
+    FROM x
+    WHERE NOT EXISTS (SELECT 1 FROM p
+                      WHERE p.user_id = x.user_id
+                        AND x.ts_us >= p.ts_us
+                        AND x.ts_us <= p.ts_us + 1800000000)
+      AND x.ts_us < (SELECT w FROM wm)
+    """,
+)
+def streaming_interval_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer stream-stream interval join: matches, plus each side's
+    rows null-extended once its join window provably closed at the global
+    watermark. The two frontiers differ per side's role in the condition:
+    an unmatched purchase waits until ``w`` passes ``p_ts + 30 min`` (a
+    later error could still match), an unmatched error only until ``w``
+    passes its own ``x_ts`` (any matching purchase must have
+    ``p_ts ≤ x_ts``). Both cutoffs strict, mirroring the empirically
+    pinned left-outer boundary (a row whose window closes exactly AT the
+    watermark is retained, not emitted). The oracle derives both
+    frontiers from the data, so the driver verifies eviction on BOTH
+    state buffers, not just the match set.
+    """
+    def run() -> DataFrame:
+        p, x, cond = _interval_join_sides(spark, sf_dir)
+        joined = p.join(x, cond, "fullOuter").select(
+            "purchase_id",
+            "error_id",
+            F.coalesce(F.col("p_user"), F.col("x_user")).alias("user_id"),
+        )
+        return run_stream_to_table(joined, output_mode="append")
+
+    return _with_state_parts(spark, 8, run)
+
+
+@register(
     "streaming_interval_join_left_semi",
     oracle="""
     SELECT p.event_id AS purchase_id, p.user_id
@@ -799,6 +850,113 @@ def keyed_state_ttl_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the most common production streaming
+    shape: each purchase event is joined to the (static) customer→nation
+    dimension as it arrives, then revenue is rolled up per nation.
+
+    State story: a stream-static join keeps NO state at all — the static
+    side is re-planned into every micro-batch, so this composes with any
+    downstream stateful operator without growing the store. Broadcast
+    policy (the repo rule tests/test_plans.py enforces): only the
+    schema-bounded ``nation`` dim carries an explicit hint; ``customer``
+    scales with sf, so it must EARN its broadcast from Catalyst/AQE size
+    estimates — small today, a shuffled stream-static join at 100 TB,
+    never a hinted OOM.
+    """
+    ev = (
+        read_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "value")
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), F.col("n_name").alias("nation"))
+    )
+    enriched = ev.join(dim, "user_id")
+    out = run_stream_to_table(enriched, output_mode="append")
+    return out.groupBy("nation").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "keyed_state_wallclock_infinite",
+    # The PRODUCTION clock binding (ProcessingTimeTimeout kernel) gets a
+    # driver-checkable oracle by running it at ttl = -1: with infinite TTL
+    # the wall clock never expires anything, so the outcome is a pure fold
+    # over the op stream in the kernel's replay order — which for the
+    # wall-clock kernel is ``seq`` alone (arrival order stands in for wall
+    # time; there is no virtual ts column in its state).
+    oracle="""
+    WITH ops AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS key,
+             CASE WHEN event_type = 'purchase' THEN 'put'
+                  WHEN event_type = 'error' THEN 'remove'
+                  ELSE 'get' END AS op,
+             CAST(trunc(value * 100) AS BIGINT) AS v,
+             event_id AS seq
+      FROM events
+    ),
+    st AS (
+      SELECT key, op,
+             last_value(CASE WHEN op IN ('put', 'remove')
+                             THEN {'o': op, 'v': v} END IGNORE NULLS)
+               OVER (PARTITION BY key ORDER BY seq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+      FROM ops
+    )
+    SELECT key,
+           CAST(count(*) AS BIGINT) AS n_gets,
+           CAST(sum(CASE WHEN prev.o = 'put' THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN prev.o = 'put' THEN prev.v ELSE 0 END) AS BIGINT)
+             AS sum_hit_values
+    FROM st WHERE op = 'get' GROUP BY key
+    """,
+)
+def keyed_state_wallclock_infinite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wall-clock (``ProcessingTimeTimeout``) TTL kernel — the
+    reference's production "is not eventual" binding — driven at infinite
+    TTL so its outcome is deterministic and oracle-checkable: a get is
+    served iff the latest preceding op for its key in ``seq`` order is a
+    put. Finite wall-clock TTLs stay pinned by local clock-controlled
+    tests (tests/test_ttl.py), where elapsed real time is observable.
+    """
+    from ..config import resolve_ttl
+    from .runner import run_stream_drain_wallclock
+    from .ttl import ttl_kv_ops_wallclock
+
+    ttl = resolve_ttl({}, "events_kv_wall_inf")  # default -1 = infinite
+    n_rows = load_table(spark, sf_dir, "events").count()
+    out = run_stream_drain_wallclock(
+        ttl_kv_ops_wallclock(_event_kv_ops(spark, sf_dir), ttl),
+        n_input_rows=n_rows,
+        output_mode="append",
+    )
+    return _get_outcome_summary(out)
 
 
 @register(

@@ -46,3 +46,55 @@ def run_stream_to_table(
     if with_progress:
         return spark.table(name), list(query.recentProgress)
     return spark.table(name)
+
+
+def run_stream_drain_wallclock(
+    stream_df: DataFrame,
+    n_input_rows: int,
+    output_mode: str = "append",
+    timeout_s: float = 180.0,
+) -> DataFrame:
+    """Drain a ``ProcessingTimeTimeout`` stateful stream and return the sink.
+
+    ``Trigger.AvailableNow`` never terminates a query whose operator holds
+    a processing-time timeout conf (the engine keeps scheduling batches to
+    service potential timeouts), so the wall-clock TTL kernel cannot use
+    :func:`run_stream_to_table`. Instead: run on a fast processing-time
+    trigger, wait until every input row has been processed AND a trailing
+    empty batch has committed (so the sink provably holds all output),
+    then stop. Caller supplies ``n_input_rows`` (a cheap metadata count of
+    the source) to make "drained" well-defined.
+    """
+    import time as _time
+
+    spark = stream_df.sparkSession
+    name = f"sss_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    query = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + timeout_s
+        while _time.time() < deadline:
+            progress = list(query.recentProgress)
+            seen = sum(p["numInputRows"] for p in progress)
+            if (
+                seen >= n_input_rows
+                and progress
+                and progress[-1]["numInputRows"] == 0
+            ):
+                break
+            _time.sleep(0.2)
+        else:
+            raise TimeoutError(
+                f"wall-clock stream did not drain {n_input_rows} rows "
+                f"within {timeout_s}s"
+            )
+    finally:
+        query.stop()
+    return spark.table(name)
