@@ -66,6 +66,10 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "state_store_scan",
     "keyed_state_ttl_strict",
+    # round-4 additions: the remaining outer-join shape and the stateless
+    # stream-static enrichment recipe.
+    "streaming_interval_join_full_outer",
+    "streaming_static_enrich",
 ]
 
 

@@ -217,12 +217,22 @@ def streaming_hourly_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     final state of every window = its max-by-n_events row — which is what
     the batch GROUP BY oracle checks. In-order chunk arrival means no event
     is ever late, so no update is lost to eviction.
+
+    State partitions are pinned to 8 (the per-query deployment knob, same
+    rationale as streaming_interval_join): every micro-batch pays one
+    state-store open+commit PER PARTITION, and an 8-batch chunked replay
+    at 32 partitions spends ~2× the query's wall time on that fixed cost
+    alone at fixture scale. A 100 TB deployment raises the count with
+    volume — state stays per-key partitioned; nothing assumes 8.
     """
     from ..sources import chunked_stream
     from .windows import windowed_counts
 
-    agg = windowed_counts(chunked_stream(spark, sf_dir, "events"), "1 hour")
-    out = run_stream_to_table(agg, output_mode="update")
+    def run() -> DataFrame:
+        agg = windowed_counts(chunked_stream(spark, sf_dir, "events"), "1 hour")
+        return run_stream_to_table(agg, output_mode="update")
+
+    out = _with_state_parts(spark, 8, run)
     return (
         out.groupBy("window_start", "event_type")
         .agg(F.max(F.struct("n_events", "sum_value")).alias("fin"))
@@ -260,10 +270,13 @@ def streaming_sliding_window_update(spark: SparkSession, sf_dir: str) -> DataFra
     from ..sources import chunked_stream
     from .windows import windowed_counts
 
-    agg = windowed_counts(
-        chunked_stream(spark, sf_dir, "events"), "1 hour", slide="30 minutes"
-    )
-    out = run_stream_to_table(agg, output_mode="update")
+    def run() -> DataFrame:
+        agg = windowed_counts(
+            chunked_stream(spark, sf_dir, "events"), "1 hour", slide="30 minutes"
+        )
+        return run_stream_to_table(agg, output_mode="update")
+
+    out = _with_state_parts(spark, 8, run)
     return (
         out.groupBy("window_start", "event_type")
         .agg(F.max("n_events").alias("n_events"))
@@ -320,24 +333,29 @@ def streaming_session_window_append(spark: SparkSession, sf_dir: str) -> DataFra
     """
     from ..sources import chunked_stream
 
-    events = chunked_stream(spark, sf_dir, "events")
-    sess = (
-        events.withWatermark("ts", "10 minutes")
-        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
-                "sum_value"
-            ),
+    def run() -> DataFrame:
+        events = chunked_stream(spark, sf_dir, "events")
+        sess = (
+            events.withWatermark("ts", "10 minutes")
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                    "sum_value"
+                ),
+            )
+            .select(
+                "user_id",
+                F.unix_timestamp("session_window.start").alias("session_start_s"),
+                "n_events",
+                "sum_value",
+            )
         )
-        .select(
-            "user_id",
-            F.unix_timestamp("session_window.start").alias("session_start_s"),
-            "n_events",
-            "sum_value",
-        )
-    )
-    return run_stream_to_table(sess, output_mode="append")
+        return run_stream_to_table(sess, output_mode="append")
+
+    # 8 state partitions: see streaming_hourly_agg_update (per-batch
+    # per-partition store commits dominate chunked replays otherwise).
+    return _with_state_parts(spark, 8, run)
 
 
 @register(
@@ -364,14 +382,18 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     """
     from ..sources import chunked_stream
 
-    events = chunked_stream(spark, sf_dir, "events")
-    keyed = events.select(
-        "event_type", "user_id", "ts", F.to_date("ts").alias("day")
-    )
-    dd = keyed.withWatermark("ts", "25 hours").dropDuplicatesWithinWatermark(
-        ["event_type", "user_id", "day"]
-    )
-    out = run_stream_to_table(dd, output_mode="append")
+    def run() -> DataFrame:
+        events = chunked_stream(spark, sf_dir, "events")
+        keyed = events.select(
+            "event_type", "user_id", "ts", F.to_date("ts").alias("day")
+        )
+        dd = keyed.withWatermark("ts", "25 hours").dropDuplicatesWithinWatermark(
+            ["event_type", "user_id", "day"]
+        )
+        return run_stream_to_table(dd, output_mode="append")
+
+    # 8 state partitions: see streaming_hourly_agg_update.
+    out = _with_state_parts(spark, 8, run)
     return out.groupBy("event_type").agg(F.count("*").alias("n_user_days"))
 
 
