@@ -190,3 +190,18 @@ def test_no_accidental_cartesian(spark, sf_dir, name):
     p = plan(QUERIES[name](spark, sf_dir))
     assert "CartesianProduct" not in p, f"cartesian product in {name}"
     assert "BroadcastNestedLoopJoin" not in p, f"nested-loop join in {name}"
+
+
+def test_rollup_cascade_reaggregates_not_rescans(spark, sf_dir):
+    """The hourly→daily rollup must read the raw table ONCE and roll the
+    daily level up from the hourly aggregate: one scan, two partial+final
+    aggregate pairs around two exchanges. A second scan would mean the
+    daily level recomputed from raw — the anti-pattern the cascade exists
+    to avoid at 100 TB."""
+    p = plan(QUERIES["rollup_hourly_to_daily"](spark, sf_dir))
+    # formatted explain lists each node once in the tree and once in the
+    # detail section — count the detail headers "(N) Scan parquet".
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    assert n_scans == 1, f"cascade rescans raw events ({n_scans} scans):\n{p}"
+    n_aggs = len(re.findall(r"\(\d+\) HashAggregate", p))
+    assert n_aggs >= 4, f"missing a partial/final pair ({n_aggs} aggs):\n{p}"

@@ -84,3 +84,28 @@ def test_dedup_within_watermark_state_plateaus(spark, sf_dir):
     assert removed > 0, "seen-set never evicted"
     assert max(totals) < n_keys * 0.6, (max(totals), n_keys)
     assert removed + totals[-1] == n_keys, (removed, totals, n_keys)
+
+
+def test_stream_static_enrich_keeps_no_state(spark, sf_dir):
+    """A stream-static join must run STATELESS — the static side is
+    re-planned into each micro-batch, never buffered in the state store.
+    This is the property that lets enrichment compose with downstream
+    stateful operators without growing the store."""
+    from spark_states_spark.sources import load_table, read_stream
+
+    ev = (
+        read_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "value")
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    out, progress = run_stream_to_table(
+        ev.join(dim, "user_id"), "append", with_progress=True
+    )
+    assert out.count() > 0
+    for p in progress:
+        assert not p["stateOperators"], (
+            f"stream-static join created state: {p['stateOperators']}"
+        )
