@@ -66,10 +66,11 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "state_store_scan",
     "keyed_state_ttl_strict",
-    # round-4 additions: the remaining outer-join shape and the stateless
-    # stream-static enrichment recipe.
+    # round-4 additions: the remaining outer-join shape, the stateless
+    # stream-static enrichment recipe, and int8-quantized vector search.
     "streaming_interval_join_full_outer",
     "streaming_static_enrich",
+    "similarity_quantized_topk",
 ]
 
 

@@ -74,6 +74,7 @@ _VERIFY_FIRST = [
     "streaming_interval_join_full_outer",
     "streaming_static_enrich",
     "rollup_hourly_to_daily",
+    "similarity_quantized_topk",
     # --- code-touched in round 4 (r03-green, but their plans changed:
     # adaptive salting in functions/skew.py; real BMP/WAV container parsing
     # in the multimodal decode stage) ---
@@ -121,17 +122,17 @@ _VERIFY_FIRST = [
     "window_rank_family",
     "window_first_last",
     "window_range_frame",
-    "setop_except_all",
     "setop_intersect_all",
-    # Six tail entries deliberately left outside the 50-entry sample window
-    # (never-verified new entries outrank a second pass of stable ones):
-    # `keyed_state_ttl` — rows-only by design, all three oracle-backed
-    # twins sit at the top of this window; `streaming_global_limit` —
-    # r02-green trivial least(n, count) oracle; and the four simple setops
-    # (`setop_union_all/_union_distinct/_intersect/_except`) — r02-green,
-    # untouched, trivially-stable oracles (the trickier multiset
-    # `_except_all`/`_intersect_all` stay in). All remain covered by the
-    # local order-independent DuckDB gate every test run.
+    # Seven tail entries deliberately left outside the 50-entry sample
+    # window (never-verified new entries outrank a second pass of stable
+    # ones): `keyed_state_ttl` — rows-only by design, all three
+    # oracle-backed twins sit at the top of this window;
+    # `streaming_global_limit` — r02-green trivial least(n, count) oracle;
+    # and five of the six setops (`setop_union_all/_union_distinct/
+    # _intersect/_except/_except_all`) — r02-green, untouched,
+    # trivially-stable oracles (the trickiest multiset `_intersect_all`
+    # stays in). All remain covered by the local order-independent DuckDB
+    # gate every test run.
 ]
 
 
