@@ -75,6 +75,8 @@ _VERIFY_FIRST = [
     "streaming_static_enrich",
     "rollup_hourly_to_daily",
     "similarity_quantized_topk",
+    "text_chunk_documents",
+    "sample_balanced_by_lang",
     # --- code-touched in round 4 (r03-green, but their plans changed:
     # adaptive salting in functions/skew.py; real BMP/WAV container parsing
     # in the multimodal decode stage) ---
@@ -113,8 +115,6 @@ _VERIFY_FIRST = [
     "scalar_math_funcs",
     "scalar_conditional",
     "scalar_json_funcs",
-    "scalar_array_funcs",
-    "scalar_map_funcs",
     "asof_join_latest_order",
     "window_topk_per_group",
     "window_running_revenue",
@@ -123,16 +123,17 @@ _VERIFY_FIRST = [
     "window_first_last",
     "window_range_frame",
     "setop_intersect_all",
-    # Seven tail entries deliberately left outside the 50-entry sample
+    # Nine tail entries deliberately left outside the 50-entry sample
     # window (never-verified new entries outrank a second pass of stable
     # ones): `keyed_state_ttl` — rows-only by design, all three
     # oracle-backed twins sit at the top of this window;
     # `streaming_global_limit` — r02-green trivial least(n, count) oracle;
-    # and five of the six setops (`setop_union_all/_union_distinct/
-    # _intersect/_except/_except_all`) — r02-green, untouched,
-    # trivially-stable oracles (the trickiest multiset `_intersect_all`
-    # stays in). All remain covered by the local order-independent DuckDB
-    # gate every test run.
+    # five of the six setops (`setop_union_all/_union_distinct/_intersect/
+    # _except/_except_all`) — r02-green, untouched, trivially-stable
+    # oracles (the trickiest multiset `_intersect_all` stays in); and
+    # `scalar_array_funcs`/`scalar_map_funcs` — r02-green pure-function
+    # round-trips (the other five scalar families stay in). All remain
+    # covered by the local order-independent DuckDB gate every test run.
 ]
 
 

@@ -408,3 +408,119 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TFIDF_TOPK)
         .select("doc_id", "term", "tf", "df", "score", "rank")
     )
+
+
+# --- training-data curation ops ------------------------------------------
+
+_CHUNK_TOKENS = 64  # chunk length in tokens
+_CHUNK_STRIDE = 48  # stride (overlap = CHUNK - STRIDE = 16 tokens)
+
+
+@register(
+    "text_chunk_documents",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {TOKENS_SQL.format(col='text')} AS toks FROM documents
+    ),
+    st AS (
+      SELECT doc_id, toks,
+             unnest([s for s in range(0, len(toks), {_CHUNK_STRIDE})]) AS s
+      FROM tok WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(s // {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+           array_to_string(toks[s + 1 : s + {_CHUNK_TOKENS}], ' ') AS chunk_text,
+           CAST(len(toks[s + 1 : s + {_CHUNK_TOKENS}]) AS INT) AS n_tokens
+    FROM st
+    WHERE s = 0 OR s + {_CHUNK_TOKENS - _CHUNK_STRIDE} < len(toks)
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: 64-token chunks, 48-token stride
+    (16-token overlap) — the standard context-window preparation step for
+    LLM training/embedding pipelines.
+
+    Shape: tokenize once per doc (the Generate from the start-offset
+    explode is a CollapseProject barrier, same pattern as the shingle
+    pipeline in functions/dedup.py), then each chunk is a cheap
+    slice+join. Linear in corpus size, no shuffle at all — chunks stay in
+    their document's partition. A trailing window that would add no new
+    tokens beyond the previous chunk's coverage is suppressed
+    (``s + overlap < n_tokens``), the standard de-duplication rule for
+    strided chunkers.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            "toks",
+            F.expr(
+                f"explode(sequence(0, size(toks) - 1, {_CHUNK_STRIDE}))"
+            ).alias("s"),
+        )
+        .filter(
+            (F.col("s") == 0)
+            | (F.col("s") + (_CHUNK_TOKENS - _CHUNK_STRIDE) < F.size("toks"))
+        )
+        .selectExpr(
+            "doc_id",
+            f"cast(s div {_CHUNK_STRIDE} as int) AS chunk_idx",
+            f"concat_ws(' ', slice(toks, s + 1, {_CHUNK_TOKENS})) AS chunk_text",
+            f"cast(size(slice(toks, s + 1, {_CHUNK_TOKENS})) as int) AS n_tokens",
+        )
+    )
+
+
+@register(
+    "sample_balanced_by_lang",
+    # Deterministic hash-ranked balanced downsampling: every language keeps
+    # exactly min-stratum-size docs, chosen by the smallest seeded md5 hash
+    # (portable across engines), so the "random" sample is reproducible and
+    # oracle-exact.
+    oracle=f"""
+    WITH tgt AS (
+      SELECT min(n) AS t FROM (SELECT count(*) AS n FROM documents GROUP BY lang)
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {duck_h32("'bal:' || CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked WHERE rn <= (SELECT t FROM tgt)
+    """,
+)
+def sample_balanced_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced corpus downsampling: every language stratum keeps exactly
+    ``min(stratum size)`` documents — the curation step that stops a
+    dominant language (en is ~3x fr in the fixture) from swamping a
+    training mix.
+
+    Selection is by smallest seeded hash, not ``rand()``: deterministic,
+    reproducible across runs/engines, and stable under re-partitioning.
+    Scale shape: one count aggregate (rows = n_langs, broadcast as a
+    1-row min) + one window rank per stratum — the rank's shuffle is the
+    only data movement, and at 100 TB the hash-order rank swaps for an
+    approximate per-stratum quantile threshold on the same hash column
+    (same semantics, no global sort per stratum).
+    """
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    target = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .agg(F.min("n").alias("t"))
+    )
+    h = spark_h32("concat('bal:', cast(doc_id as string))")
+    w = W.partitionBy("lang").orderBy(F.expr(h), "doc_id")
+    ranked = d.select("doc_id", "lang").withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.crossJoin(F.broadcast(target))
+        .filter(F.col("rn") <= F.col("t"))
+        .select("doc_id", "lang")
+    )
