@@ -71,6 +71,9 @@ HEADLINE = [
     "streaming_interval_join_full_outer",
     "streaming_static_enrich",
     "similarity_quantized_topk",
+    "text_chunk_documents",
+    "sample_balanced_by_lang",
+    "rollup_hourly_to_daily",
 ]
 
 

@@ -177,11 +177,13 @@ def test_q18_aggregates_before_join(spark, sf_dir):
 # deliberate broadcast cross-join against the 16-row centroid table.
 _NON_EQUI_BY_DESIGN = {
     "similarity_cosine_topk",
+    "similarity_quantized_topk",  # same broadcast-queries x corpus-scan shape
     "scalar_subquery_avg",
     "similarity_ivf_ann",
     "q22_idle_customers",  # 1-row avg-balance threshold broadcast
     "q15_top_supplier",  # 1-row max-revenue threshold broadcast
     "q11_important_stock",  # 1-row grand-total threshold broadcast
+    "sample_balanced_by_lang",  # 1-row min-stratum-size threshold broadcast
 }
 
 
