@@ -845,8 +845,9 @@ _PER_QUERY_TTLS = {"kv_fast": 3600, "kv_slow": 86400}
 @register(
     "keyed_state_ttl_per_query",
     # Two kernels resolve different TTLs from ONE conf registry via
-    # stateExpirySecs.<queryName> (Provider.scala:738-742 semantics) and run
-    # over the same op stream; the oracle unions the per-TTL strict folds.
+    # stateExpirySecs.<queryName> (RocksDbStateStoreProvider.scala:738-742
+    # semantics) and run over the same op stream; the oracle unions the
+    # per-TTL strict folds.
     oracle="\nUNION ALL\n".join(
         f"SELECT '{name}' AS query_name, * FROM ({_strict_ttl_oracle(ttl)})"
         for name, ttl in sorted(_PER_QUERY_TTLS.items())
