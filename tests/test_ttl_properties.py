@@ -148,3 +148,91 @@ def test_stateless_never_serves(strict, ops):
     outs, final = run_kernel(ttl, [rows])
     assert all(found is False for (_, _, found, _) in outs)
     assert final is None
+
+
+# --- differential: the gap-sessionization ORACLE SQL vs the kernel -------
+#
+# keyed_state_ttl_strict's DuckDB oracle claims: under the virtual clock,
+# strict expire-after-access is exactly "epoch starts with a put AND the
+# running MAX of consecutive naive gaps stays < ttl". The equivalence
+# argument (dead gets don't extend, but the first gap >= ttl kills every
+# later get of the epoch anyway) deserves adversarial inputs — especially
+# gap == ttl boundaries, which real fixture timestamps almost never hit.
+# hypothesis drives random op streams through DuckDB running the REAL
+# oracle SQL and through a direct replay of the kernel contract.
+
+_STRICT_TTL = 7  # small, so random gaps (0..15) straddle the boundary often
+
+
+def _strict_replay(rows, ttl):
+    """Direct replay of streaming/ttl.py strict-mode kernel semantics."""
+    out = {}
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r[0], []).append(r)
+    for key, ops in by_key.items():
+        ops.sort(key=lambda r: (r[3], r[4]))
+        value = last = None
+        have = False
+        n_gets = n_hits = total = 0
+        for _, op, v, ts, _seq in ops:
+            if op == "put":
+                value, last, have = v, ts, True
+            elif op == "get":
+                n_gets += 1
+                if have and ts - last < ttl:
+                    n_hits += 1
+                    total += value
+                    last = ts  # strict reset-on-access
+                elif have:
+                    value, last, have = None, None, False  # strict drop
+            else:
+                value, last, have = None, None, False
+        if n_gets:
+            out[key] = (n_gets, n_hits, total)
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # user
+            st.sampled_from(["purchase", "error", "view"]),
+            st.integers(min_value=0, max_value=50),  # value (cents/100)
+            st.integers(min_value=0, max_value=15),  # ts gap to previous
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_strict_oracle_sql_matches_kernel_contract(ops):
+    import duckdb
+
+    from spark_states_spark.streaming.queries import _strict_ttl_oracle
+
+    rows, ts = [], 0
+    for i, (user, etype, value, gap) in enumerate(ops):
+        ts += gap
+        rows.append((i, user, etype, float(value), ts))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({eid}, {u}, '{t}', {v}, to_timestamp({ts}))"
+            for eid, u, t, v, ts in rows
+        )
+        + ") AS t(event_id, user_id, event_type, value, ts)"
+    )
+    got = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(_strict_ttl_oracle(_STRICT_TTL)).fetchall()
+    }
+    model_rows = [
+        (f"u{u}",
+         {"purchase": "put", "error": "remove"}.get(t, "get"),
+         int(v * 100), ts, eid)
+        for eid, u, t, v, ts in rows
+    ]
+    want = {k: v for k, v in _strict_replay(model_rows, _STRICT_TTL).items()}
+    assert got == want, (got, want)
