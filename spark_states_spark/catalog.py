@@ -79,10 +79,15 @@ _VERIFY_FIRST = [
     "sample_balanced_by_lang",
     # --- code-touched in round 4 (r03-green, but their plans changed:
     # adaptive salting in functions/skew.py; real BMP/WAV container parsing
-    # in the multimodal decode stage) ---
+    # in the multimodal decode stage; 8-state-partition pinning on the
+    # chunked-replay streaming entries) ---
     "dedup_minhash_lsh_pairs",
     "dedup_embedding_cosine",
     "multimodal_decode_features",
+    "streaming_hourly_agg_update",
+    "streaming_sliding_window_update",
+    "streaming_session_window_append",
+    "streaming_dedup_within_watermark",
     # --- the 46-entry tail: last driver verdict r01 (first five) or r02;
     # rotated into the r04 window per VERDICT r03 #3 so every entry
     # completes a second driver pass ---
@@ -92,8 +97,6 @@ _VERIFY_FIRST = [
     "agg_grouping_sets",
     "agg_exact_percentiles",
     "multimodal_manifest",
-    "dedup_exact_groups",
-    "dedup_exact_keep_first",
     "streaming_hourly_agg",
     "streaming_dedup",
     "streaming_doc_dedup",
@@ -113,8 +116,6 @@ _VERIFY_FIRST = [
     "scalar_string_funcs",
     "scalar_date_funcs",
     "scalar_math_funcs",
-    "scalar_conditional",
-    "scalar_json_funcs",
     "asof_join_latest_order",
     "window_topk_per_group",
     "window_running_revenue",
@@ -123,17 +124,19 @@ _VERIFY_FIRST = [
     "window_first_last",
     "window_range_frame",
     "setop_intersect_all",
-    # Nine tail entries deliberately left outside the 50-entry sample
-    # window (never-verified new entries outrank a second pass of stable
-    # ones): `keyed_state_ttl` — rows-only by design, all three
+    # Thirteen tail entries deliberately left outside the 50-entry sample
+    # window (never-verified or code-touched entries outrank a second pass
+    # of stable ones): `keyed_state_ttl` — rows-only by design, all three
     # oracle-backed twins sit at the top of this window;
     # `streaming_global_limit` — r02-green trivial least(n, count) oracle;
     # five of the six setops (`setop_union_all/_union_distinct/_intersect/
     # _except/_except_all`) — r02-green, untouched, trivially-stable
-    # oracles (the trickiest multiset `_intersect_all` stays in); and
-    # `scalar_array_funcs`/`scalar_map_funcs` — r02-green pure-function
-    # round-trips (the other five scalar families stay in). All remain
-    # covered by the local order-independent DuckDB gate every test run.
+    # oracles (the trickiest multiset `_intersect_all` stays in);
+    # `scalar_conditional`/`scalar_json_funcs`/`scalar_array_funcs`/
+    # `scalar_map_funcs` — r02-green pure-function round-trips (the other
+    # three scalar families stay in); and `dedup_exact_groups`/
+    # `dedup_exact_keep_first` — r02-green trivial md5-group oracles. All
+    # remain covered by the local order-independent DuckDB gate every run.
 ]
 
 

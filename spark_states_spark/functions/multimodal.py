@@ -194,7 +194,11 @@ def parse_wav(data: bytes) -> tuple[int, int]:
         cid = data[pos : pos + 4]
         (csize,) = struct.unpack_from("<I", data, pos + 4)
         body = pos + 8
+        if body + csize > len(data):
+            raise ValueError(f"chunk {cid!r} overruns the file")
         if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("fmt chunk too short")
             audio_fmt, channels, rate, _brate, _align, bits = struct.unpack_from(
                 "<HHIIHH", data, body
             )
@@ -261,7 +265,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                 pdf["doc_id"], pdf["media_type"], pdf["payload"]
             ):
                 raw = bytes(payload)
-                feat = decode_image_stub(raw)[3]
+                w, h, nf, feat = decode_image_stub(raw)
                 if mtype == "image":
                     w, h = parse_bmp(encode_bmp(raw))
                     rows.append((doc_id, mtype, "bmp", w, h, 1, None, None, feat))
@@ -271,7 +275,6 @@ def extract_features(media: DataFrame) -> DataFrame:
                         (doc_id, mtype, "wav", None, None, None, n_samples, rate, feat)
                     )
                 else:  # video: codec libs absent, stub geometry (documented)
-                    w, h, nf, _ = decode_image_stub(raw)
                     rows.append((doc_id, mtype, "raw", w, h, nf, None, None, feat))
             pdf_out = pd.DataFrame(
                 rows,

@@ -86,8 +86,15 @@ def with_triangle_blocks(
         .withColumn("_s", F.ceil(F.col("_gn") / cap).cast("int"))
         .drop("_gn")
     )
-    if not hot.head(1):  # no hot groups: zero-overhead pass-through plan
+    # Collect the probe's result instead of head(1)-ing it: the hot list is
+    # a bounded aggregate (≤ total/cap rows — exactly what broadcast()
+    # would ship anyway), and reusing the collected rows as a literal
+    # DataFrame spares the main job recomputing the identical counts
+    # aggregate as its broadcast side.
+    hot_rows = hot.collect()
+    if not hot_rows:  # no hot groups: zero-overhead pass-through plan
         return _passthrough(df)
+    hot = df.sparkSession.createDataFrame(hot_rows, hot.schema)
     return (
         df.join(F.broadcast(hot), key_cols, "left")
         .withColumn("_s", F.coalesce(F.col("_s"), F.lit(1)))

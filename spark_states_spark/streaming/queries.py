@@ -649,14 +649,14 @@ def _get_outcome_summary(out: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "keyed_state_ttl_infinite",
-    # ttl = -1 (the reference's default, README.md:102-104) makes the kernel
-    # SQL-expressible: a get finds the key iff the latest preceding put/remove
-    # op for that key (in (ts_s, seq) replay order) is a put — plain window
-    # functions over the op stream, so the TTL kernel family gets a real
-    # value-checked driver verdict instead of rows-only (VERDICT r02 #1d).
-    oracle="""
+def _infinite_fold_oracle(order_by: str) -> str:
+    """Oracle for infinite-TTL keyed state: a get finds the key iff the
+    latest preceding put/remove op for that key — in the given replay
+    order — is a put. One plain window-function fold; the replay order is
+    the only thing that differs between the virtual-clock kernel
+    (``ts_s, seq``) and the wall-clock kernel (``seq`` alone: arrival
+    order stands in for wall time, its state has no virtual ts)."""
+    return f"""
     WITH ops AS (
       SELECT 'u' || CAST(user_id AS VARCHAR) AS key,
              CASE WHEN event_type = 'purchase' THEN 'put'
@@ -670,8 +670,8 @@ def _get_outcome_summary(out: DataFrame) -> DataFrame:
     st AS (
       SELECT key, op,
              last_value(CASE WHEN op IN ('put', 'remove')
-                             THEN {'o': op, 'v': v} END IGNORE NULLS)
-               OVER (PARTITION BY key ORDER BY ts_s, seq
+                             THEN {{'o': op, 'v': v}} END IGNORE NULLS)
+               OVER (PARTITION BY key ORDER BY {order_by}
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
       FROM ops
     )
@@ -681,21 +681,22 @@ def _get_outcome_summary(out: DataFrame) -> DataFrame:
            CAST(sum(CASE WHEN prev.o = 'put' THEN prev.v ELSE 0 END) AS BIGINT)
              AS sum_hit_values
     FROM st WHERE op = 'get' GROUP BY key
-    """,
+    """
+
+
+@register(
+    "keyed_state_ttl_infinite",
+    # ttl = -1 (the reference's default, README.md:102-104) makes the kernel
+    # SQL-expressible — a real value-checked driver verdict instead of
+    # rows-only (VERDICT r02 #1d).
+    oracle=_infinite_fold_oracle("ts_s, seq"),
 )
 def keyed_state_ttl_infinite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Infinite-TTL keyed state (``ttl = -1``, the reference default): the
     same applyInPandasWithState kernel as ``keyed_state_ttl``, with state
     that never expires — a get succeeds iff a put for the key precedes it
     with no intervening remove."""
-    from ..config import resolve_ttl
-    from .ttl import ttl_kv_ops
-
-    ttl = resolve_ttl({}, "events_kv_inf")  # default -1 = infinite
-    out = run_stream_to_table(
-        ttl_kv_ops(_event_kv_ops(spark, sf_dir), ttl), output_mode="append"
-    )
-    return _get_outcome_summary(out)
+    return _run_ttl_summary(spark, sf_dir, {}, "events_kv_inf")
 
 
 @register("keyed_state_ttl")  # rows-only twin kept for the lazy (non-strict)
@@ -712,16 +713,8 @@ def keyed_state_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ops derive deterministically from events: purchase → put(value cents),
     view/signup → get, error → remove; virtual clock = event time.
     """
-    from ..config import resolve_ttl
-    from .ttl import ttl_kv_ops
-
-    ttl = resolve_ttl(
-        {"spark.sql.streaming.stateStore.stateExpirySecs": "3600"}, "events_kv"
-    )
-    out = run_stream_to_table(
-        ttl_kv_ops(_event_kv_ops(spark, sf_dir), ttl), output_mode="append"
-    )
-    return _get_outcome_summary(out)
+    conf = {"spark.sql.streaming.stateStore.stateExpirySecs": "3600"}
+    return _run_ttl_summary(spark, sf_dir, conf, "events_kv")
 
 
 def _strict_ttl_oracle(ttl_s: int) -> str:
@@ -930,35 +923,10 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keyed_state_wallclock_infinite",
     # The PRODUCTION clock binding (ProcessingTimeTimeout kernel) gets a
     # driver-checkable oracle by running it at ttl = -1: with infinite TTL
-    # the wall clock never expires anything, so the outcome is a pure fold
-    # over the op stream in the kernel's replay order — which for the
-    # wall-clock kernel is ``seq`` alone (arrival order stands in for wall
-    # time; there is no virtual ts column in its state).
-    oracle="""
-    WITH ops AS (
-      SELECT 'u' || CAST(user_id AS VARCHAR) AS key,
-             CASE WHEN event_type = 'purchase' THEN 'put'
-                  WHEN event_type = 'error' THEN 'remove'
-                  ELSE 'get' END AS op,
-             CAST(trunc(value * 100) AS BIGINT) AS v,
-             event_id AS seq
-      FROM events
-    ),
-    st AS (
-      SELECT key, op,
-             last_value(CASE WHEN op IN ('put', 'remove')
-                             THEN {'o': op, 'v': v} END IGNORE NULLS)
-               OVER (PARTITION BY key ORDER BY seq
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
-      FROM ops
-    )
-    SELECT key,
-           CAST(count(*) AS BIGINT) AS n_gets,
-           CAST(sum(CASE WHEN prev.o = 'put' THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-           CAST(sum(CASE WHEN prev.o = 'put' THEN prev.v ELSE 0 END) AS BIGINT)
-             AS sum_hit_values
-    FROM st WHERE op = 'get' GROUP BY key
-    """,
+    # the wall clock never expires anything, so the outcome is the same
+    # fold as keyed_state_ttl_infinite in the wall-clock kernel's replay
+    # order (see _infinite_fold_oracle).
+    oracle=_infinite_fold_oracle("seq"),
 )
 def keyed_state_wallclock_infinite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The wall-clock (``ProcessingTimeTimeout``) TTL kernel — the

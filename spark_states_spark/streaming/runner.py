@@ -81,6 +81,13 @@ def run_stream_drain_wallclock(
     try:
         deadline = _time.time() + timeout_s
         while _time.time() < deadline:
+            if not query.isActive:
+                # Surface the real failure instead of spinning to a
+                # misleading drain timeout.
+                exc = query.exception()
+                raise RuntimeError(
+                    f"wall-clock stream terminated before draining: {exc}"
+                )
             progress = list(query.recentProgress)
             seen = sum(p["numInputRows"] for p in progress)
             if (
