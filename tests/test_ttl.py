@@ -368,3 +368,25 @@ def test_invalid_ttl_conf_rejected():
         expiration_by_query(
             {"spark.sql.streaming.stateStore.stateExpirySecs": "abc"}
         )
+
+
+def test_wallclock_drain_surfaces_kernel_failure(spark, tmp_path):
+    """run_stream_drain_wallclock must detect a dead query and re-raise its
+    real failure promptly — not spin to a misleading drain TimeoutError.
+    A put with a NULL value makes the kernel's int() conversion throw on
+    the executor, terminating the query."""
+    from spark_states_spark.streaming.runner import run_stream_drain_wallclock
+    from spark_states_spark.streaming.ttl import ttl_kv_ops_wallclock
+
+    src = _write_batches(tmp_path, [[("a", "put", None, 0), ("a", "get", None, 1)]])
+    stream = (
+        spark.readStream.schema(OPS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = ttl_kv_ops_wallclock(stream, TtlConfig("q", -1, strict=False))
+    t0 = time.time()
+    with pytest.raises(RuntimeError, match="terminated before draining"):
+        run_stream_drain_wallclock(out, n_input_rows=2, timeout_s=120.0)
+    # Fail-fast: the failure surfaced long before the drain deadline.
+    assert time.time() - t0 < 60
