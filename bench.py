@@ -74,6 +74,15 @@ HEADLINE = [
     "text_chunk_documents",
     "sample_balanced_by_lang",
     "rollup_hourly_to_daily",
+    # round-5 additions: the post-dedup curation pipeline (duplicate
+    # clustering, packing, decontamination, quality/repetition filters)
+    # and the right-outer interval join completing the stream-join matrix.
+    "dedup_cluster_connected_components",
+    "contamination_ngram_overlap",
+    "pack_token_budget_bins",
+    "text_gopher_quality_filter",
+    "text_repetition_stats",
+    "streaming_interval_join_right_outer",
 ]
 
 

@@ -49,6 +49,7 @@ from .streaming import queries as streaming_queries  # noqa: E402,F401
 from .streaming import inspect as streaming_inspect  # noqa: E402,F401
 from .functions import similarity  # noqa: E402,F401
 from .functions import text  # noqa: E402,F401
+from .functions import pipeline  # noqa: E402,F401
 from .operators import sessionize  # noqa: E402,F401
 from .operators import scalars  # noqa: E402,F401
 from .operators import asof  # noqa: E402,F401
@@ -63,10 +64,24 @@ from .operators import setops  # noqa: E402,F401
 # must sit inside the verified window). The local DuckDB gate stays
 # order-independent and covers ALL entries every test run.
 _VERIFY_FIRST = [
-    # --- new in round 4: the finite-TTL oracle family (VERDICT r03 #1-2)
-    # plus the wall-clock binding's first driver row and three new
-    # operator shapes (full-outer interval join, stream-static enrich,
-    # hourly→daily rollup cascade) ---
+    # --- new in round 5: the post-dedup curation pipeline (clustering,
+    # packing, shuffle sharding, stratified split, decontamination,
+    # Gopher-style quality + repetition filters, vocab coverage) and the
+    # right-outer interval join completing the stream-join matrix ---
+    "dedup_cluster_connected_components",
+    "pack_token_budget_bins",
+    "shuffle_shard_order",
+    "sample_stratified_split",
+    "contamination_ngram_overlap",
+    "text_gopher_quality_filter",
+    "text_repetition_stats",
+    "text_vocab_coverage",
+    "streaming_interval_join_right_outer",
+    # --- new in round 4 (the r04 driver pass never ran, so these still
+    # await their first external verdict): the finite-TTL oracle family
+    # (VERDICT r03 #1-2) plus the wall-clock binding's first driver row
+    # and three new operator shapes (full-outer interval join,
+    # stream-static enrich, hourly→daily rollup cascade) ---
     "keyed_state_ttl_strict",
     "keyed_state_ttl_stateless",
     "keyed_state_ttl_per_query",
@@ -97,11 +112,6 @@ _VERIFY_FIRST = [
     "agg_grouping_sets",
     "agg_exact_percentiles",
     "multimodal_manifest",
-    "streaming_hourly_agg",
-    "streaming_dedup",
-    "streaming_doc_dedup",
-    "streaming_session_window",
-    "streaming_sliding_window",
     "similarity_cosine_topk",
     "similarity_lsh_ann",
     "similarity_ivf_ann",
@@ -113,9 +123,6 @@ _VERIFY_FIRST = [
     "sessionize_events",
     "user_funnel_counts",
     "user_gap_median",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
     "asof_join_latest_order",
     "window_topk_per_group",
     "window_running_revenue",
@@ -123,20 +130,21 @@ _VERIFY_FIRST = [
     "window_rank_family",
     "window_first_last",
     "window_range_frame",
-    "setop_intersect_all",
-    # Thirteen tail entries deliberately left outside the 50-entry sample
-    # window (never-verified or code-touched entries outrank a second pass
-    # of stable ones): `keyed_state_ttl` — rows-only by design, all three
+    # Entries deliberately left outside the 50-entry sample window
+    # (never-verified or code-touched entries outrank a second pass of
+    # stable ones): `keyed_state_ttl` — rows-only by design, all three
     # oracle-backed twins sit at the top of this window;
     # `streaming_global_limit` — r02-green trivial least(n, count) oracle;
-    # five of the six setops (`setop_union_all/_union_distinct/_intersect/
-    # _except/_except_all`) — r02-green, untouched, trivially-stable
-    # oracles (the trickiest multiset `_intersect_all` stays in);
-    # `scalar_conditional`/`scalar_json_funcs`/`scalar_array_funcs`/
-    # `scalar_map_funcs` — r02-green pure-function round-trips (the other
-    # three scalar families stay in); and `dedup_exact_groups`/
-    # `dedup_exact_keep_first` — r02-green trivial md5-group oracles. All
-    # remain covered by the local order-independent DuckDB gate every run.
+    # all six setops — r02-green, untouched, trivially-stable oracles
+    # (`_intersect_all` rotated out this round for the r05 entries);
+    # all seven scalar pure-function round-trips (r02-green; rotated out
+    # this round to make room for the 9 round-5 entries);
+    # `dedup_exact_groups`/`dedup_exact_keep_first` — r02-green trivial
+    # md5-group oracles; and the complete-mode streaming oracle harnesses
+    # (`streaming_hourly_agg/_dedup/_doc_dedup/_session_window/
+    # _sliding_window`) — r02-green AND their state-evicting production
+    # twins sit inside the window. All remain covered by the local
+    # order-independent DuckDB gate every test run.
 ]
 
 

@@ -392,3 +392,166 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.filter(F.col("jaccard") >= 0.3).select(
         "doc_a", "doc_b", "n_inter", "jaccard"
     )
+
+
+# Connected-components clustering over the near-dup pair graph: pairs say
+# "these two are duplicates"; what a curation pipeline actually needs is the
+# CLUSTER (keep one doc per component, drop the rest). Threshold on the
+# signature-estimated Jaccard — multiples of 1/16, so >= 0.5 is exact in
+# both engines.
+_CC_EST_THRESHOLD = 0.5
+_CC_MAX_ITERS = 20
+
+
+@register(
+    "dedup_cluster_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_duck_minhash_cte()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    sim AS (
+      SELECT p.doc_a, p.doc_b
+      FROM pairs p JOIN sig sa ON p.doc_a = sa.doc_id
+                   JOIN sig sb ON p.doc_b = sb.doc_id
+      WHERE CAST(len([i for i in range({_N_PERM})
+                      if sa.sig[i + 1] = sb.sig[i + 1]]) AS DOUBLE) / {_N_PERM}
+            >= {_CC_EST_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM sim
+      UNION ALL
+      SELECT doc_b, doc_a FROM sim
+    ),
+    reach(doc_id, label) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.doc_id
+    ),
+    comp AS (SELECT doc_id, min(label) AS component_id FROM reach GROUP BY doc_id)
+    SELECT doc_id, component_id,
+           CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
+             AS component_size
+    FROM comp
+    """,
+)
+def dedup_cluster_connected_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    MinHash-LSH pair graph (est_jaccard >= 0.5), labeling every clustered
+    doc with min(doc_id) of its component — the canonical "keeper".
+
+    Algorithm: min-label propagation with pointer jumping. Each round
+    (a) lowers every node's label to the min over its neighbors' labels
+    (one join on the cached edge list) and (b) shortcuts label chains by
+    one hop (label := label's label). Step (b) is the doubling trick —
+    label chains halve each round, so convergence is O(log n) rounds even
+    on path-shaped components, vs O(diameter) for plain propagation; the
+    classic large-star/small-star map-reduce CC has the same bound and
+    would be the drop-in at 100 TB if edge lists themselves were skewed.
+    Per-round lineage is truncated with localCheckpoint (a production run
+    uses a checkpoint dir for fault tolerance); the convergence probe is
+    an EXISTS-style ``limit(1).count()``, not a full-table count.
+    """
+    sim = (
+        dedup_minhash_lsh_pairs(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= _CC_EST_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    labels = connected_components(sim)
+    w = W.partitionBy("label")
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("component_id"),
+        F.count("*").over(w).cast("bigint").alias("component_size"),
+    )
+
+
+def connected_components(pairs: DataFrame, max_iters: int = _CC_MAX_ITERS) -> DataFrame:
+    """(doc_a, doc_b) undirected pair list → (doc_id, label) with label =
+    min node id of the connected component. See the algorithm notes on
+    dedup_cluster_connected_components; exposed separately so the kernel
+    is testable on adversarial topologies (long paths) independent of the
+    MinHash pair generator.
+
+    Two sizing decisions matter here:
+    - Both edge directions come from ONE explode of the pair list (a
+      ``union`` of the pair plan with its swap would recompute the entire
+      upstream candidate pipeline twice before the cache fills).
+    - The iteration runs with shuffle partitions sized to the DUP GRAPH,
+      not the corpus: the pair list is orders of magnitude smaller than
+      its input (only near-duplicates appear), so after materializing the
+      cached edge list at corpus parallelism, the loop's joins repartition
+      down — at 100 TB the same two-regime split applies, just with a
+      larger loop-side constant.
+    """
+    spark = pairs.sparkSession
+    doc_a, doc_b = pairs.columns
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(doc_a).alias("u"), F.col(doc_b).alias("v")),
+                    F.struct(F.col(doc_b).alias("u"), F.col(doc_a).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .cache()
+    )
+    n_edges = edges.count()  # materialize at corpus-scale parallelism
+    loop_parts = max(2, min(32, n_edges // 50_000 + 2))
+    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        labels = (
+            edges.select(F.col("u").alias("doc_id"))
+            .distinct()
+            .withColumn("label", F.col("doc_id"))
+            .localCheckpoint(eager=True)
+        )
+        # Labels only ever decrease (every update is a least()), so the
+        # label sum strictly decreases each round until the fixpoint —
+        # a one-aggregate convergence probe, no self-join needed.
+        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+        for _ in range(max_iters):
+            nbr_min = (
+                edges.join(labels, edges.v == labels.doc_id)
+                .groupBy("u")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            stepped = (
+                labels.join(nbr_min, labels.doc_id == nbr_min.u, "left")
+                .select(
+                    "doc_id",
+                    F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+                )
+            )
+            # Pointer jumping: label := label(label) where the label node
+            # has its own (possibly lower) label.
+            lmap = stepped.select(
+                F.col("doc_id").alias("l_id"), F.col("label").alias("l_label")
+            )
+            labels = (
+                stepped.join(lmap, stepped.label == lmap.l_id, "left")
+                .select(
+                    "doc_id",
+                    F.least("label", F.coalesce("l_label", "label")).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            new_sum = labels.agg(F.sum("label")).collect()[0][0]
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        else:
+            edges.unpersist()
+            raise RuntimeError(
+                f"connected components did not converge in {max_iters} rounds"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+    edges.unpersist()
+    return labels

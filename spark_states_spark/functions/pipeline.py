@@ -1,0 +1,259 @@
+"""Training-data pipeline operators: packing, sharding, splits, decontam.
+
+The ops a large-scale LLM pre-training pipeline runs AFTER cleaning/dedup
+(functions/text.py, functions/dedup.py): pack documents into fixed token
+budgets, assign a deterministic global shuffle order, stratify train/val
+splits, and check benchmark contamination. All pure built-in expressions
+(JVM codegen, no Python on the hot path) over the ``documents`` fixture,
+each with a bit-identical DuckDB oracle.
+
+Scale stance shared by every op here: nothing uses a GLOBAL ordering or a
+single-partition window. Packing and shuffle order are partitioned by a
+deterministic bucket/shard key first, so each partition's window runs
+independently — the standard way training pipelines shard work (a global
+sort of 100 TB for packing order would be the bottleneck; per-shard order
+is what data loaders actually consume).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..sources import load_table
+from .hashes import (
+    DUCK_TOKS,
+    SPARK_TOKS,
+    duck_h32,
+    duck_h60,
+    duck_shingles,
+    spark_h32,
+    spark_h60,
+)
+
+# Packing: greedy in-order fill against a fixed token budget, within each
+# of _PACK_BUCKETS independent buckets. A doc lands in the bin its
+# PRECEDING cumulative token count falls into (docs may straddle a
+# boundary — the streaming-pack approximation every sequence packer uses
+# when it refuses to reorder documents).
+_PACK_BUDGET = 512
+_PACK_BUCKETS = 8
+
+_SHUFFLE_SHARDS = 16
+_VAL_PCT = 10  # deterministic hash-split percentage
+
+# Contamination: word 5-grams, benchmark = every 97th doc_id (a stand-in
+# for a fixed held-out eval suite).
+_CONTAM_K = 5
+_BENCH_MOD = 97
+
+
+@register(
+    "pack_token_budget_bins",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, doc_id % {_PACK_BUCKETS} AS bucket,
+             len({DUCK_TOKS.format(col='text')}) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT bucket, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tok
+    )
+    SELECT bucket,
+           CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(sum(n_tokens) AS DOUBLE) / {_PACK_BUDGET} AS fill_frac
+    FROM packed
+    GROUP BY bucket, CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT)
+    """,
+)
+def pack_token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedy in-order fill of {budget}-token bins.
+
+    Scale shape: the running-sum window partitions by a deterministic
+    bucket key (doc_id mod B; a production pipeline uses a hash of the
+    shard path), so packing parallelizes across buckets instead of
+    serializing on one global cumulative sum — each task packs its bucket
+    independently, which is exactly how multi-worker data loaders shard
+    anyway. One shuffle on the bucket key, then the per-bin GROUP BY
+    reuses the same partitioning (no second exchange).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = SPARK_TOKS.format(col="text")
+    per_doc = d.selectExpr(
+        "doc_id",
+        f"doc_id % {_PACK_BUCKETS} AS bucket",
+        f"size({toks}) AS n_tokens",
+    )
+    w = W.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    packed = per_doc.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin_id", F.expr(f"(cum - n_tokens) div {_PACK_BUDGET}")
+    )
+    return packed.groupBy("bucket", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        (F.sum("n_tokens").cast("double") / _PACK_BUDGET).alias("fill_frac"),
+    )
+
+
+@register(
+    "shuffle_shard_order",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             {duck_h60("('shuffle:' || CAST(doc_id AS VARCHAR))")} AS hv
+      FROM documents
+    )
+    SELECT doc_id, hv % {_SHUFFLE_SHARDS} AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % {_SHUFFLE_SHARDS}
+                                   ORDER BY hv, doc_id) AS BIGINT)
+             AS pos_in_shard
+    FROM h
+    """,
+)
+def shuffle_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training order: hash-assign each
+    doc to a shard, order within the shard by the same hash.
+
+    This is the distributed form of "shuffle the corpus once before
+    training": a seeded content-independent hash gives a reproducible
+    pseudo-random permutation, expressed as (shard, pos_in_shard) so no
+    global single-partition ordering ever exists — each shard's
+    row_number window runs in parallel after one shuffle on the shard
+    key, and a data loader consumes shards round-robin.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hv = spark_h60("concat('shuffle:', cast(doc_id as string))")
+    hd = d.selectExpr("doc_id", f"{hv} AS hv")
+    w = W.partitionBy(F.expr(f"hv % {_SHUFFLE_SHARDS}")).orderBy("hv", "doc_id")
+    return hd.select(
+        "doc_id",
+        F.expr(f"hv % {_SHUFFLE_SHARDS}").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+    )
+
+
+@register(
+    "sample_stratified_split",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT lang,
+             CASE WHEN {duck_h32("('split:' || CAST(doc_id AS VARCHAR))")}
+                       % 100 < {_VAL_PCT}
+                  THEN 'val' ELSE 'train' END AS split
+      FROM documents
+    ),
+    counts AS (
+      SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
+      FROM tagged GROUP BY lang, split
+    )
+    SELECT lang, split, n_docs,
+           CAST(n_docs AS DOUBLE)
+             / sum(n_docs) OVER (PARTITION BY lang) AS frac_of_lang
+    FROM counts
+    """,
+)
+def sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val split: a seeded hash of doc_id
+    sends ~10% of each language stratum to 'val', the rest to 'train'.
+
+    Hash-based splits are the scale-correct recipe: reproducible across
+    runs and engines, no sampling state, no shuffling — the split is a
+    pure projection, and the per-stratum report is one aggregation. The
+    window runs over (lang) groups of the AGGREGATED frame (≤ strata
+    rows), never the raw corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hv = spark_h32("concat('split:', cast(doc_id as string))")
+    tagged = d.selectExpr(
+        "lang",
+        f"CASE WHEN {hv} % 100 < {_VAL_PCT} THEN 'val' ELSE 'train' END AS split",
+    )
+    counts = tagged.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = W.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "split",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias(
+            "frac_of_lang"
+        ),
+    )
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {DUCK_TOKS.format(col='text')} AS toks FROM documents
+    ),
+    shingled AS (
+      SELECT doc_id, {duck_shingles('toks', _CONTAM_K)} AS sh FROM tok
+    ),
+    grams AS (
+      SELECT doc_id, unnest([{duck_h60('s')} for s in sh]) AS s
+      FROM shingled WHERE len(sh) > 0
+    ),
+    bench AS (SELECT DISTINCT s FROM grams WHERE doc_id % {_BENCH_MOD} = 0),
+    train AS (SELECT doc_id, s FROM grams WHERE doc_id % {_BENCH_MOD} <> 0),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+              FROM train GROUP BY doc_id),
+    hits AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+      FROM train t JOIN bench b ON t.s = b.s
+      GROUP BY t.doc_id
+    )
+    SELECT s.doc_id, s.n_grams, h.n_contaminated,
+           CAST(h.n_contaminated AS DOUBLE) / s.n_grams AS contamination_frac
+    FROM sizes s JOIN hits h ON s.doc_id = h.doc_id
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination check: fraction of each training doc's
+    distinct word 5-grams that appear in the held-out benchmark set
+    (stand-in: every 97th doc). Emits only contaminated docs.
+
+    Scale shape: grams travel as 60-bit hashes; the benchmark side is a
+    fixed eval suite in production (MBs) — small enough that AQE picks a
+    broadcast join, so the corpus never shuffles on the gram key. No hint
+    is pinned here because THIS fixture's bench slice grows with sf
+    (broadcast hints on sf-scaling sides were removed in r01 — see
+    tests/test_plans.py policy); at 100 TB you would `broadcast()` the
+    real, size-bounded benchmark gram set explicitly.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = SPARK_TOKS.format(col="text")
+    idx = (
+        f"explode(CASE WHEN size(toks) >= {_CONTAM_K} "
+        f"THEN sequence(0, size(toks) - {_CONTAM_K}) ELSE array() END)"
+    )
+    h = spark_h60(f"concat_ws(' ', slice(toks, i + 1, {_CONTAM_K}))")
+    grams = (
+        d.selectExpr("doc_id", f"{toks} AS toks")
+        .selectExpr("doc_id", "toks", f"{idx} AS i")
+        .selectExpr("doc_id", f"{h} AS s")
+        .distinct()
+    )
+    bench = grams.filter(F.expr(f"doc_id % {_BENCH_MOD} = 0")).select("s").distinct()
+    train = grams.filter(F.expr(f"doc_id % {_BENCH_MOD} <> 0"))
+    sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = train.join(bench, "s").groupBy("doc_id").agg(
+        F.count("*").alias("n_contaminated")
+    )
+    return sizes.join(hits, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_contaminated",
+        (F.col("n_contaminated").cast("double") / F.col("n_grams")).alias(
+            "contamination_frac"
+        ),
+    )

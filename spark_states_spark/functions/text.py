@@ -524,3 +524,250 @@ def sample_balanced_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("t"))
         .select("doc_id", "lang")
     )
+
+
+# --- rule-based quality filtering (Gopher/C4-style) -----------------------
+
+# Bounds tuned to the fixture's 10-99-word synthetic docs so the filter
+# actually partitions the corpus; a production run swaps the constants for
+# the published Gopher values (50 ≤ words ≤ 100k etc.) — the shape is
+# identical: one linear projection pass, no shuffle.
+_QF_MIN_WORDS = 20
+_QF_MAX_WORDS = 100_000
+_QF_MIN_MEAN_LEN = 3.0
+_QF_MAX_MEAN_LEN = 10.0
+_QF_MIN_ALPHA_FRAC = 0.8
+_QF_MIN_STOPWORDS = 1
+
+_STOP_SQL_DUCK = "[" + ",".join(f"'{s}'" for s in _STOPWORDS_EN) + "]"
+_STOP_SQL_SPARK = "array(" + ",".join(f"'{s}'" for s in _STOPWORDS_EN) + ")"
+
+
+@register(
+    "text_gopher_quality_filter",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {TOKENS_SQL.format(col='text')} AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_sum([length(t) for t in toks]) AS DOUBLE)
+                       / len(toks)
+                  ELSE 0.0 END AS mean_word_len,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks,
+                           t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+                       / len(toks)
+                  ELSE 0.0 END AS alpha_word_frac,
+             CAST(len(list_intersect(list_distinct(toks), {_STOP_SQL_DUCK}))
+                  AS BIGINT) AS n_stopwords
+      FROM tok
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_word_frac, n_stopwords,
+           (n_words >= {_QF_MIN_WORDS} AND n_words <= {_QF_MAX_WORDS}
+            AND mean_word_len >= {_QF_MIN_MEAN_LEN}
+            AND mean_word_len <= {_QF_MAX_MEAN_LEN}
+            AND alpha_word_frac >= {_QF_MIN_ALPHA_FRAC}
+            AND n_stopwords >= {_QF_MIN_STOPWORDS}) AS passes
+    FROM m
+    """,
+)
+def text_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter: word-count bounds, mean word
+    length, alphabetic-word fraction, stopword presence → pass/fail per
+    doc, with every metric reported for threshold tuning.
+
+    All four signals are single-pass JVM expressions over the token array
+    — the filter is a projection, costs one corpus scan, and composes
+    with any downstream op without a shuffle (the standard first stage of
+    a training-data curation pipeline, before the expensive dedup).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    m = d.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_words"),
+        F.when(
+            F.size("toks") > 0,
+            F.expr("aggregate(toks, 0L, (a, t) -> a + length(t))").cast("double")
+            / F.size("toks"),
+        )
+        .otherwise(0.0)
+        .alias("mean_word_len"),
+        F.when(
+            F.size("toks") > 0,
+            F.expr("size(filter(toks, t -> t rlike '[a-z]'))").cast("double")
+            / F.size("toks"),
+        )
+        .otherwise(0.0)
+        .alias("alpha_word_frac"),
+        F.expr(
+            f"size(array_intersect(array_distinct(toks), {_STOP_SQL_SPARK}))"
+        )
+        .cast("bigint")
+        .alias("n_stopwords"),
+    )
+    return m.withColumn(
+        "passes",
+        (F.col("n_words") >= _QF_MIN_WORDS)
+        & (F.col("n_words") <= _QF_MAX_WORDS)
+        & (F.col("mean_word_len") >= _QF_MIN_MEAN_LEN)
+        & (F.col("mean_word_len") <= _QF_MAX_MEAN_LEN)
+        & (F.col("alpha_word_frac") >= _QF_MIN_ALPHA_FRAC)
+        & (F.col("n_stopwords") >= _QF_MIN_STOPWORDS),
+    )
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, text, {TOKENS_SQL.format(col='text')} AS toks
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, toks,
+             list_filter([trim(l) for l in string_split(text, chr(10))],
+                         l -> l <> '') AS ls
+      FROM tok
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest([array_to_string(toks[i + 1 : i + 2], ' ')
+                     for i in range(greatest(len(toks) - 1, 0))]) AS g
+      FROM tok
+    ),
+    gcnt AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+    gtop AS (
+      SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_frac
+      FROM gcnt GROUP BY doc_id
+    )
+    SELECT l.doc_id,
+           CAST(len(l.ls) AS BIGINT) AS n_lines,
+           CASE WHEN len(l.ls) > 0
+                THEN 1.0 - CAST(len(list_distinct(l.ls)) AS DOUBLE) / len(l.ls)
+                ELSE 0.0 END AS dup_line_frac,
+           CASE WHEN len(l.toks) > 0
+                THEN 1.0 - CAST(len(list_distinct(l.toks)) AS DOUBLE)
+                           / len(l.toks)
+                ELSE 0.0 END AS dup_word_frac,
+           coalesce(g.top_frac, 0.0) AS top_2gram_frac
+    FROM lines l LEFT JOIN gtop g ON l.doc_id = g.doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection (C4/Gopher signals): duplicate-line fraction,
+    duplicate-word fraction, and the most-frequent-bigram share per doc —
+    the signals that catch boilerplate, SEO spam, and template text.
+
+    Scale shape: line and word dup fractions are pure array expressions
+    (no shuffle). The top-bigram share uses the explode→count→max shape
+    rather than an O(n²) per-row array lambda: the groupBy keys are
+    (doc_id, gram) then doc_id, so the data shuffles once on doc_id — and
+    AQE coalesces the tiny post-agg partitions.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "text", tokens_col(F.col("text")).alias("toks"))
+    lines = base.withColumn(
+        "ls",
+        F.expr("filter(transform(split(text, '\\n'), l -> trim(l)), l -> l != '')"),
+    )
+    grams = (
+        base.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.expr("explode(sequence(0, size(toks) - 2))").alias("i"),
+            F.col("toks"),
+        )
+        .select("doc_id", F.expr("concat_ws(' ', slice(toks, i + 1, 2))").alias("g"))
+    )
+    gtop = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c").cast("double") / F.sum("c")).alias("top_frac"))
+    )
+    return (
+        lines.join(gtop, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("ls").cast("bigint").alias("n_lines"),
+            F.when(
+                F.size("ls") > 0,
+                F.lit(1.0)
+                - F.size(F.array_distinct("ls")).cast("double") / F.size("ls"),
+            )
+            .otherwise(0.0)
+            .alias("dup_line_frac"),
+            F.when(
+                F.size("toks") > 0,
+                F.lit(1.0)
+                - F.size(F.array_distinct("toks")).cast("double")
+                / F.size("toks"),
+            )
+            .otherwise(0.0)
+            .alias("dup_word_frac"),
+            F.coalesce("top_frac", F.lit(0.0)).alias("top_2gram_frac"),
+        )
+    )
+
+
+_VOCAB_TOPK = 20
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT {TOKENS_SQL.format(col='text')} AS toks FROM documents
+    ),
+    words AS (SELECT unnest(toks) AS token FROM tok),
+    cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM words GROUP BY token),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM cnt),
+    top AS (
+      SELECT token, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+               AS rank
+      FROM cnt QUALIFY rank <= {_VOCAB_TOPK}
+    )
+    SELECT rank, token, cnt,
+           CAST(sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+                AS DOUBLE) / (SELECT total FROM tot) AS coverage_cum
+    FROM top
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-k tokens by frequency with cumulative
+    corpus-coverage fraction — the Zipf diagnostic behind tokenizer-vocab
+    sizing ("how much of the corpus do the k most common words cover?").
+
+    Scale shape: the frequency count is a map-side-combinable groupBy on
+    the token; the top-k is ``orderBy().limit(k)`` — Spark's distributed
+    TakeOrdered, NOT a global sort — and only then does the k-row result
+    use a single-partition cumulative window (k = {_VOCAB_TOPK} rows,
+    driver-scale by construction). The corpus-total scalar joins in as a
+    broadcast 1-row aggregate.
+    """
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = cnt.agg(F.sum("cnt").cast("double").alias("total"))
+    top = cnt.orderBy(F.desc("cnt"), F.asc("token")).limit(_VOCAB_TOPK)
+    w = W.orderBy(F.desc("cnt"), F.asc("token"))
+    wsum = w.rowsBetween(W.unboundedPreceding, 0)
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "coverage_cum", F.sum("cnt").over(wsum).cast("double") / F.col("total")
+        )
+        .select("rank", "token", "cnt", "coverage_cum")
+    )

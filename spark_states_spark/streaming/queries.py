@@ -592,6 +592,44 @@ def streaming_interval_join_full_outer(spark: SparkSession, sf_dir: str) -> Data
 
 
 @register(
+    "streaming_interval_join_right_outer",
+    oracle=_IJ_ORACLE_PREFIX
+    + """
+    SELECT p.event_id AS purchase_id, x.event_id AS error_id, x.user_id
+    FROM p JOIN x
+      ON p.user_id = x.user_id
+     AND x.ts_us >= p.ts_us AND x.ts_us <= p.ts_us + 1800000000
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), x.event_id, x.user_id
+    FROM x
+    WHERE NOT EXISTS (SELECT 1 FROM p
+                      WHERE p.user_id = x.user_id
+                        AND x.ts_us >= p.ts_us
+                        AND x.ts_us <= p.ts_us + 1800000000)
+      AND x.ts_us < (SELECT w FROM wm)
+    """,
+)
+def streaming_interval_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-outer stream-stream interval join — completes the join-shape
+    matrix (inner/leftOuter/rightOuter/fullOuter/leftSemi, everything
+    Spark supports for stream-stream joins). An unmatched error
+    null-extends once the global watermark passes its own ``x_ts``
+    strictly: any matching purchase must satisfy ``p_ts <= x_ts``, so the
+    error's join window closes with its own event time — the same
+    right-side frontier the full-outer oracle pins, isolated here so the
+    driver verifies the right buffer's eviction independently of the left.
+    """
+    def run() -> DataFrame:
+        p, x, cond = _interval_join_sides(spark, sf_dir)
+        joined = p.join(x, cond, "rightOuter").select(
+            "purchase_id", "error_id", F.col("x_user").alias("user_id")
+        )
+        return run_stream_to_table(joined, output_mode="append")
+
+    return _with_state_parts(spark, 8, run)
+
+
+@register(
     "streaming_interval_join_left_semi",
     oracle="""
     SELECT p.event_id AS purchase_id, p.user_id

@@ -1,0 +1,123 @@
+"""Engineering checks for the round-5 training-data pipeline operators
+beyond oracle equality: algorithmic invariants the DuckDB differential
+can't see (convergence on adversarial graph shapes, packing conservation,
+permutation density, benchmark exclusion)."""
+
+from pyspark.sql import functions as F
+
+from spark_states_spark.functions.dedup import (
+    connected_components,
+    dedup_cluster_connected_components,
+)
+from spark_states_spark.functions.pipeline import (
+    _PACK_BUCKETS,
+    _PACK_BUDGET,
+    _SHUFFLE_SHARDS,
+    contamination_ngram_overlap,
+    pack_token_budget_bins,
+    shuffle_shard_order,
+)
+from spark_states_spark.functions.text import text_gopher_quality_filter
+from spark_states_spark.sources import load_table
+
+
+def test_connected_components_on_path_graph(spark):
+    """A 64-node path is the worst case for plain min-label propagation
+    (diameter 63 > the 20-round cap); pointer jumping must still converge
+    and label every node with the path's minimum id."""
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels = {r.doc_id: r.label for r in connected_components(pairs).collect()}
+    assert len(labels) == n
+    assert set(labels.values()) == {0}
+
+
+def test_connected_components_disjoint_cliques(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    labels = {r.doc_id: r.label for r in connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_cluster_sizes_cover_pair_graph(spark, sf_dir):
+    """Every clustered doc gets a component of size >= 2 (singletons never
+    enter the pair graph), and component_id is the component's min id."""
+    comp = dedup_cluster_connected_components(spark, sf_dir)
+    rows = comp.collect()
+    assert rows, "fixture contains near-dup pairs; clustering returned none"
+    assert all(r.component_size >= 2 for r in rows)
+    by_comp: dict[int, list[int]] = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, []).append(r.doc_id)
+    assert all(cid == min(ids) for cid, ids in by_comp.items())
+
+
+def test_pack_bins_conserve_tokens_and_are_contiguous(spark, sf_dir):
+    """Packing must neither drop nor double-count tokens, and bin ids in a
+    bucket must be dense from 0 (a gap would mean a bin the loader skips)."""
+    bins = pack_token_budget_bins(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    from spark_states_spark.functions.hashes import SPARK_TOKS
+
+    total = d.selectExpr(
+        f"sum(size({SPARK_TOKS.format(col='text')})) AS t"
+    ).collect()[0].t
+    assert sum(r.bin_tokens for r in bins) == total
+    by_bucket: dict[int, list[int]] = {}
+    for r in bins:
+        by_bucket.setdefault(r.bucket, []).append(r.bin_id)
+    assert set(by_bucket) == set(range(_PACK_BUCKETS))
+    for ids in by_bucket.values():
+        assert sorted(ids) == list(range(len(ids)))
+    # Every bin except possibly a bucket's last must have crossed the
+    # budget once its straddling doc landed (greedy fill never leaves a
+    # bin short unless input ran out).
+    for bucket, ids in by_bucket.items():
+        last = max(ids)
+        for r in bins:
+            if r.bucket == bucket and r.bin_id != last:
+                assert r.bin_tokens > 0
+
+
+def test_shuffle_order_is_dense_permutation(spark, sf_dir):
+    rows = shuffle_shard_order(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard < _SHUFFLE_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.pos_in_shard)
+    for pos in by_shard.values():
+        assert sorted(pos) == list(range(1, len(pos) + 1))
+
+
+def test_contamination_excludes_benchmark_docs(spark, sf_dir):
+    rows = contamination_ngram_overlap(spark, sf_dir).collect()
+    assert rows, "fixture duplicates guarantee some contamination"
+    for r in rows:
+        assert r.doc_id % 97 != 0, "benchmark docs must not appear as training"
+        assert 0 < r.n_contaminated <= r.n_grams
+        assert 0.0 < r.contamination_frac <= 1.0
+
+
+def test_gopher_filter_pass_flag_matches_metrics(spark, sf_dir):
+    """The boolean must be derivable from the reported metric columns, so
+    threshold tuning downstream can recompute it."""
+    rows = text_gopher_quality_filter(spark, sf_dir).collect()
+    n_pass = 0
+    for r in rows:
+        expect = (
+            20 <= r.n_words <= 100_000
+            and 3.0 <= r.mean_word_len <= 10.0
+            and r.alpha_word_frac >= 0.8
+            and r.n_stopwords >= 1
+        )
+        assert r.passes == expect
+        n_pass += int(expect)
+    # Thresholds are tuned to actually partition the fixture corpus.
+    assert 0 < n_pass < len(rows)

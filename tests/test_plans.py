@@ -184,6 +184,7 @@ _NON_EQUI_BY_DESIGN = {
     "q15_top_supplier",  # 1-row max-revenue threshold broadcast
     "q11_important_stock",  # 1-row grand-total threshold broadcast
     "sample_balanced_by_lang",  # 1-row min-stratum-size threshold broadcast
+    "text_vocab_coverage",  # 1-row corpus-total broadcast over a k-row top-k
 }
 
 
