@@ -83,6 +83,8 @@ HEADLINE = [
     "text_gopher_quality_filter",
     "text_repetition_stats",
     "streaming_interval_join_right_outer",
+    "streaming_curation_pipeline",
+    "dedup_embedding_keep_first",
 ]
 
 

@@ -77,6 +77,8 @@ _VERIFY_FIRST = [
     "text_repetition_stats",
     "text_vocab_coverage",
     "streaming_interval_join_right_outer",
+    "streaming_curation_pipeline",
+    "dedup_embedding_keep_first",
     # --- new in round 4 (the r04 driver pass never ran, so these still
     # await their first external verdict): the finite-TTL oracle family
     # (VERDICT r03 #1-2) plus the wall-clock binding's first driver row
@@ -128,8 +130,6 @@ _VERIFY_FIRST = [
     "window_running_revenue",
     "window_order_gaps",
     "window_rank_family",
-    "window_first_last",
-    "window_range_frame",
     # Entries deliberately left outside the 50-entry sample window
     # (never-verified or code-touched entries outrank a second pass of
     # stable ones): `keyed_state_ttl` — rows-only by design, all three
@@ -140,7 +140,9 @@ _VERIFY_FIRST = [
     # all seven scalar pure-function round-trips (r02-green; rotated out
     # this round to make room for the 9 round-5 entries);
     # `dedup_exact_groups`/`dedup_exact_keep_first` — r02-green trivial
-    # md5-group oracles; and the complete-mode streaming oracle harnesses
+    # md5-group oracles; `window_first_last`/`window_range_frame` —
+    # r02-green, the window family keeps four other entries in-window;
+    # and the complete-mode streaming oracle harnesses
     # (`streaming_hourly_agg/_dedup/_doc_dedup/_session_window/
     # _sliding_window`) — r02-green AND their state-evicting production
     # twins sit inside the window. All remain covered by the local

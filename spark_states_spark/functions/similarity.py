@@ -330,6 +330,51 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_embedding_keep_first",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, unnest({_duck_buckets('embedding')}) AS bucket
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT vec_a, vec_b,
+             {_DUCK_DOT.format(a='ea.embedding', b='eb.embedding')}
+               / ({_duck_norm('ea.embedding')} * {_duck_norm('eb.embedding')})
+               AS cosine
+      FROM cand JOIN embeddings ea ON cand.vec_a = ea.vec_id
+                JOIN embeddings eb ON cand.vec_b = eb.vec_id
+    ),
+    dropped AS (SELECT DISTINCT vec_b FROM scored WHERE cosine >= {_NEARDUP_COS})
+    SELECT e.vec_id, e.label
+    FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.vec_b
+    WHERE d.vec_b IS NULL
+    """,
+)
+def dedup_embedding_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup curated corpus (SemDeDup-style): drop every vector
+    that is the HIGHER id of an embedding near-dup pair, keep the rest.
+
+    The greedy lowest-id-wins rule composes directly on the pair stream
+    from dedup_embedding_cosine — no clustering pass needed — and is the
+    standard first-order semantic dedup: each near-dup pair loses its
+    later member, so at least one representative of every duplicate
+    neighborhood survives. Scale shape: the pair generation dominates
+    (see dedup_embedding_cosine); the keep step is one left-anti join of
+    the corpus against the (far smaller) dropped-id set.
+    """
+    dropped = dedup_embedding_cosine(spark, sf_dir).select("vec_b").distinct()
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.join(
+        dropped, e.vec_id == dropped.vec_b, "left_anti"
+    ).select("vec_id", "label")
+
+
 # IVF-flavored ANN: a coarse quantizer partitions the corpus into cells;
 # queries probe only the nearest nprobe cells. Centroids are the first
 # _IVF_K corpus vectors (deterministic k-means-style init — at scale these

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import register
+from ..functions.hashes import DUCK_TOKS, SPARK_TOKS
 from ..sources import load_table, read_stream
 from .runner import run_stream_to_table
 from .windows import streaming_hourly_agg
@@ -395,6 +396,52 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     # 8 state partitions: see streaming_hourly_agg_update.
     out = _with_state_parts(spark, 8, run)
     return out.groupBy("event_type").agg(F.count("*").alias("n_user_days"))
+
+
+# Quality gate matching functions/text.py::text_gopher_quality_filter's
+# word-count floor — the first stage of the curation pipeline.
+_CURATION_MIN_WORDS = 20
+
+
+@register(
+    "streaming_curation_pipeline",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, text,
+             len({DUCK_TOKS.format(col='text')}) AS n_words
+      FROM documents
+    ),
+    dd AS (
+      SELECT DISTINCT lang, md5(text) AS fp
+      FROM toks WHERE n_words >= {_CURATION_MIN_WORDS}
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_unique_quality_docs
+    FROM dd GROUP BY lang
+    """,
+)
+def streaming_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming curation composition: quality filter (word-count
+    gate, matching text_gopher_quality_filter's floor) → exact content
+    dedup (seen-digest state in RocksDB) → per-language corpus counts.
+
+    The point is the COMPOSITION: the quality gate is a stateless
+    projection that runs ahead of the stateful dedup, so the seen-set
+    state only ever holds digests of documents worth keeping — at 100 TB
+    the filter-before-state ordering is the difference between a seen-set
+    sized to the curated corpus and one sized to the raw crawl. Dedup key
+    is (lang, fingerprint) so the drained result is deterministic under
+    any file-arrival order.
+    """
+    docs = read_stream(spark, sf_dir, "documents")
+    toks = SPARK_TOKS.format(col="text")
+    quality = docs.selectExpr("lang", "text", f"size({toks}) AS n_words").filter(
+        F.col("n_words") >= _CURATION_MIN_WORDS
+    )
+    dd = quality.select("lang", F.md5("text").alias("fp")).dropDuplicates(
+        ["lang", "fp"]
+    )
+    out = run_stream_to_table(dd, output_mode="append")
+    return out.groupBy("lang").agg(F.count("*").alias("n_unique_quality_docs"))
 
 
 @register(
