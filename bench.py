@@ -85,6 +85,15 @@ HEADLINE = [
     "streaming_interval_join_right_outer",
     "streaming_curation_pipeline",
     "dedup_embedding_keep_first",
+    # round-4 late additions: CDC/time-series shapes, span-level dedup,
+    # the bucketed co-located join (the no-shuffle fact-fact join), and
+    # the streaming materialized-view pair.
+    "cdc_upsert_latest",
+    "timeseries_gap_fill_locf",
+    "dedup_span_fraction",
+    "bucketed_join_no_shuffle",
+    "streaming_cdc_upsert",
+    "streaming_topk_per_day",
 ]
 
 

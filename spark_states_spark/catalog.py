@@ -55,6 +55,8 @@ from .operators import scalars  # noqa: E402,F401
 from .operators import asof  # noqa: E402,F401
 from .operators import windows  # noqa: E402,F401
 from .operators import setops  # noqa: E402,F401
+from .operators import timeseries  # noqa: E402,F401
+from .sources import bucketing  # noqa: E402,F401
 
 # Verification-priority reorder: entries whose code changed this round, or
 # which have never had an external (driver) verdict, float to the front so a
@@ -64,6 +66,17 @@ from .operators import setops  # noqa: E402,F401
 # must sit inside the verified window). The local DuckDB gate stays
 # order-independent and covers ALL entries every test run.
 _VERIFY_FIRST = [
+    # --- newest (this session): time-series/CDC family, span-level dedup,
+    # source reputation, the bucketed co-located join, and the streaming
+    # materialized-view pair (CDC upsert + windowed top-k) ---
+    "cdc_upsert_latest",
+    "scd2_event_type_intervals",
+    "timeseries_gap_fill_locf",
+    "dedup_span_fraction",
+    "source_reputation_filter",
+    "bucketed_join_no_shuffle",
+    "streaming_cdc_upsert",
+    "streaming_topk_per_day",
     # --- new in round 5: the post-dedup curation pipeline (clustering,
     # packing, shuffle sharding, stratified split, decontamination,
     # Gopher-style quality + repetition filters, vocab coverage) and the
@@ -122,6 +135,11 @@ _VERIFY_FIRST = [
     "text_lang_id",
     "text_fingerprint",
     "hourly_event_stats",
+    # (sessionize_events, user_funnel_counts, user_gap_median,
+    # asof_join_latest_order and the four window_* entries were displaced
+    # below the 50-entry sample line by this session's 8 new entries —
+    # never-verified entries outrank a second pass of r01/r02-green ones;
+    # rotate them back in next round. They stay in the local DuckDB gate.)
     "sessionize_events",
     "user_funnel_counts",
     "user_gap_median",

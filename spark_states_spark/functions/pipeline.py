@@ -257,3 +257,161 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contamination_frac"
         ),
     )
+
+
+# Span-level dedup signal: word 8-gram instances (stride 1). A span is
+# "duplicated" when it appears in ≥ 2 distinct documents.
+_SPAN_K = 8
+
+
+@register(
+    "dedup_span_fraction",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {DUCK_TOKS.format(col='text')} AS toks FROM documents
+    ),
+    spans AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(toks) - {_SPAN_K - 1}, 0)),
+               i -> {duck_h60(f"array_to_string(list_slice(toks, i, i + {_SPAN_K - 1}), ' ')")}
+             )) AS s
+      FROM tok
+    ),
+    span_docs AS (SELECT DISTINCT s, doc_id FROM spans),
+    hot AS (
+      SELECT s FROM span_docs GROUP BY s HAVING count(*) >= 2
+    )
+    SELECT sp.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(h.s) AS BIGINT) AS n_dup_spans,
+           CAST(count(h.s) AS DOUBLE) / count(*) AS dup_span_frac
+    FROM spans sp LEFT JOIN hot h ON sp.s = h.s
+    GROUP BY sp.doc_id
+    """,
+)
+def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span fraction: the share of a doc's word
+    8-gram instances that also occur in at least one OTHER document — the
+    span-level (sub-document) dedup signal pipelines use to drop
+    boilerplate-heavy docs that exact/minhash whole-doc dedup misses.
+
+    Scale shape: spans travel as 60-bit hashes (16 bytes/row, never the
+    text); the hot-span set is built from DISTINCT (span, doc) pairs so a
+    span repeated inside one doc cannot promote itself to "duplicated";
+    both the hot-set GROUP BY and the final per-doc rollup reuse the one
+    exploded-span shuffle. Docs shorter than {_SPAN_K} tokens contribute no
+    spans and drop out in both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = SPARK_TOKS.format(col="text")
+    idx = (
+        f"explode(CASE WHEN size(toks) >= {_SPAN_K} "
+        f"THEN sequence(0, size(toks) - {_SPAN_K}) ELSE array() END)"
+    )
+    h = spark_h60(f"concat_ws(' ', slice(toks, i + 1, {_SPAN_K}))")
+    spans = (
+        d.selectExpr("doc_id", f"{toks} AS toks")
+        .selectExpr("doc_id", "toks", f"{idx} AS i")
+        .selectExpr("doc_id", f"{h} AS s")
+    )
+    hot = (
+        spans.select("s", "doc_id")
+        .distinct()
+        .groupBy("s")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("s", F.lit(1).alias("is_hot"))
+    )
+    return (
+        spans.join(hot, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count("is_hot").alias("n_dup_spans"),
+            (F.count("is_hot").cast("double") / F.count("*")).alias(
+                "dup_span_frac"
+            ),
+        )
+    )
+
+
+# Source reputation: thresholds picked to split the fixture's sources both
+# ways; the shape (per-source rollup + corpus-wide dup detection) is what
+# matters, not the cutoffs.
+_SRC_MAX_DUP_RATE = 0.10
+_SRC_MIN_AVG_CHARS = 150.0
+
+
+@register(
+    "source_reputation_filter",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, source, n_chars, md5(text) AS fp FROM documents
+    ),
+    dup AS (
+      SELECT fp FROM fp GROUP BY fp HAVING count(*) >= 2
+    ),
+    flagged AS (
+      SELECT f.source, f.n_chars,
+             CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+      FROM fp f LEFT JOIN dup d ON f.fp = d.fp
+    ),
+    stats AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM flagged GROUP BY source
+    )
+    SELECT source, n_docs, n_dup_docs,
+           CAST(n_dup_docs AS DOUBLE) / n_docs AS dup_rate,
+           CAST(sum_chars AS DOUBLE) / n_docs AS avg_chars,
+           CAST(n_dup_docs AS DOUBLE) / n_docs <= {_SRC_MAX_DUP_RATE}
+             AND CAST(sum_chars AS DOUBLE) / n_docs >= {_SRC_MIN_AVG_CHARS}
+             AS kept
+    FROM stats
+    """,
+)
+def source_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level curation: per-source doc count, exact-duplicate rate
+    (md5 text fingerprints repeated corpus-wide), and average length, with
+    a keep/drop verdict — the "domain reputation" pass pipelines run
+    before per-document filters, because a bad source is cheaper to drop
+    wholesale than doc-by-doc.
+
+    Scale shape: duplicate detection groups 16-byte digests (never text);
+    the per-source rollup is a second small aggregation. Every derived
+    metric is a single division of exact BIGINT sums, so the doubles are
+    bit-identical across engines (driver hash-compare is exact on floats).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", "source", "n_chars", F.md5("text").alias("fp"))
+    dup = (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("fp", F.lit(1).alias("dup_marker"))
+    )
+    flagged = fp.join(dup, "fp", "left").select(
+        "source",
+        "n_chars",
+        F.when(F.col("dup_marker").isNotNull(), 1).otherwise(0).alias("is_dup"),
+    )
+    stats = flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+    dup_rate = F.col("n_dup_docs").cast("double") / F.col("n_docs")
+    avg_chars = F.col("sum_chars").cast("double") / F.col("n_docs")
+    return stats.select(
+        "source",
+        "n_docs",
+        "n_dup_docs",
+        dup_rate.alias("dup_rate"),
+        avg_chars.alias("avg_chars"),
+        ((dup_rate <= _SRC_MAX_DUP_RATE) & (avg_chars >= _SRC_MIN_AVG_CHARS)).alias(
+            "kept"
+        ),
+    )

@@ -1,0 +1,217 @@
+"""Time-series / CDC-style operators over the ``events`` stream history.
+
+Three patterns every large event pipeline needs downstream of ingestion:
+
+- **Latest-wins compaction** (``cdc_upsert_latest``): collapse an append-only
+  change feed to one current row per key — the batch equivalent of a
+  streaming upsert materialized view (SCD type 1).
+- **Run-collapse intervals** (``scd2_event_type_intervals``): turn the same
+  feed into validity intervals per key (SCD type 2) — consecutive runs of an
+  attribute value become [valid_from, valid_to) rows.
+- **Grid gap-fill with LOCF** (``timeseries_gap_fill_locf``): regularize an
+  irregular per-key series onto a daily grid, zero-filling counts and
+  carrying the last observation forward for values.
+
+All three are single-shuffle shapes (one hash partition by key, window or
+aggregate within the partition) built from JVM expressions only — the same
+plans survive a 1000-executor scale-up because the only exchange is the
+per-key repartition the semantics require.
+
+Float discipline (driver hash-compare is exact): value sums go through
+DECIMAL(12,2) so summation order cannot perturb bits; timestamps are
+emitted as epoch-microsecond BIGINTs (matching the interval-join oracles'
+``epoch_ns(ts) // 1000`` convention in streaming/queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..sources import load_table
+
+
+@register(
+    "cdc_upsert_latest",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             max(struct_pack(ts := epoch_ns(ts) // 1000,
+                             event_id := event_id,
+                             event_type := event_type,
+                             value := value)) AS m
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           m.ts AS last_ts_us,
+           m.event_id AS last_event_id,
+           m.event_type AS last_event_type,
+           m.value AS last_value
+    FROM m
+    """,
+)
+def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins CDC compaction: one current row per user_id.
+
+    Implemented as ``max(struct(ts, event_id, ...))`` rather than a
+    row_number window: struct comparison is lexicographic, so with the
+    ordering columns leading the struct this is an argmax BY (ts, event_id)
+    — and as an aggregate it gets map-side partial combine, which a window
+    function cannot. At 100 TB that means each mapper pre-collapses its
+    shard to ≤ |keys| rows before the single shuffle. Ties on ts are broken
+    by event_id (unique), so the result is deterministic in both engines.
+    """
+    events = load_table(spark, sf_dir, "events")
+    m = events.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                F.unix_micros("ts").alias("ts"),
+                "event_id",
+                "event_type",
+                "value",
+            )
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.col("m.ts").alias("last_ts_us"),
+        F.col("m.event_id").alias("last_event_id"),
+        F.col("m.event_type").alias("last_event_type"),
+        F.col("m.value").alias("last_value"),
+    )
+
+
+@register(
+    "scd2_event_type_intervals",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT user_id, event_type, ts_us,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM o
+    ),
+    runs AS (
+      SELECT user_id, grp, event_type,
+             min(ts_us) AS valid_from_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM g GROUP BY user_id, grp, event_type
+    )
+    SELECT user_id, event_type, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY grp)
+             AS valid_to_us,
+           n_events
+    FROM runs
+    """,
+)
+def scd2_event_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 run-collapse: per user, consecutive runs of the same event_type
+    become validity intervals [valid_from_us, valid_to_us), NULL valid_to
+    marking the current run.
+
+    Classic gaps-and-islands: mark run starts with lag(), integrate the
+    marks into run ids with a running sum, aggregate each run, then lead()
+    for the closing bound. One shuffle (by user_id) serves every window and
+    the aggregate — the island id is built inside the same partition order.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    wg = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = o.withColumn("grp", F.sum("is_start").over(wg))
+    runs = g.groupBy("user_id", "grp", "event_type").agg(
+        F.min("ts_us").alias("valid_from_us"),
+        F.count("*").alias("n_events"),
+    )
+    wl = Window.partitionBy("user_id").orderBy("grp")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(wl).alias("valid_to_us"),
+        "n_events",
+    )
+
+
+@register(
+    "timeseries_gap_fill_locf",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+             FROM daily GROUP BY user_id),
+    grid AS (SELECT user_id,
+                    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                      AS day
+             FROM span)
+    SELECT g.user_id, g.day,
+           coalesce(d.n, 0) AS n_events,
+           last_value(d.s IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_daily_value
+    FROM grid g LEFT JOIN daily d USING (user_id, day)
+    """,
+)
+def timeseries_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize each user's event series onto a daily grid between their
+    first and last active day: counts zero-filled, the daily value sum
+    carried forward over inactive days (LOCF).
+
+    The grid is generated per key with ``sequence()`` + ``explode`` — grid
+    size is bounded by the key's own active span, never a global cross
+    join. Daily sums go through DECIMAL(12,2) so the filled values are
+    bit-exact across engines. The left join and both windows share the
+    user_id hash partitioning; the grid side is tiny (keys × days) relative
+    to the event scan at any scale.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("s"),
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.last("s", ignorenulls=True).over(w).alias("locf_daily_value"),
+    )

@@ -1139,3 +1139,124 @@ def streaming_minhash_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dd = bands.dropDuplicates(["band_hash"])
     return run_stream_to_table(dd, output_mode="append")
+
+
+# --- streaming materialized views: CDC upsert + windowed top-k --------------
+
+
+@register(
+    "streaming_cdc_upsert",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             max(struct_pack(ts := epoch_ns(ts) // 1000,
+                             event_id := event_id,
+                             event_type := event_type,
+                             value := value)) AS m
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           m.ts AS last_ts_us,
+           m.event_id AS last_event_id,
+           m.event_type AS last_event_type,
+           m.value AS last_value
+    FROM m
+    """,
+)
+def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming latest-wins upsert view: one current row per user_id,
+    maintained incrementally across micro-batches in UPDATE mode — the
+    streaming twin of the batch ``cdc_upsert_latest`` compaction and the
+    canonical "materialized view over a change feed" use of keyed state
+    (each user's state row is exactly the reference's key→value entry,
+    overwritten per batch — StateStore.put, Provider.scala:152-162).
+
+    No watermark on purpose: upsert state must never expire, so state size
+    = key cardinality (bounded by the user population, not the stream
+    length) — the acceptable-state-growth case. For unbounded key spaces
+    the TTL kernels (streaming/ttl.py) bound it instead. The running
+    ``max(struct(ts, event_id, ...))`` is nondecreasing per key, so the
+    memory sink's final row per user = max over all its emitted updates.
+
+    State partitions pinned to 8 — the per-query deployment knob
+    (see streaming_interval_join's sizing rationale).
+    """
+    from ..sources import chunked_stream
+
+    def run() -> DataFrame:
+        ev = chunked_stream(spark, sf_dir, "events")
+        agg = ev.groupBy("user_id").agg(
+            F.max(
+                F.struct(
+                    F.unix_micros("ts").alias("ts"),
+                    "event_id",
+                    "event_type",
+                    "value",
+                )
+            ).alias("m")
+        )
+        return run_stream_to_table(agg, output_mode="update")
+
+    out = _with_state_parts(spark, 8, run)
+    fin = out.groupBy("user_id").agg(F.max("m").alias("m"))
+    return fin.select(
+        "user_id",
+        F.col("m.ts").alias("last_ts_us"),
+        F.col("m.event_id").alias("last_event_id"),
+        F.col("m.event_type").alias("last_event_type"),
+        F.col("m.value").alias("last_value"),
+    )
+
+
+@register(
+    "streaming_topk_per_day",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT day, event_type, n_events,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY n_events DESC, event_type) AS rnk
+      FROM daily
+    )
+    SELECT day, event_type, n_events, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def streaming_topk_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: the 3 most frequent event types per day, over
+    daily tumbling windows maintained in UPDATE mode with watermark
+    eviction (closed days leave the RocksDB store), then ranked.
+
+    Ranking is NOT a streaming operation (Spark disallows windows over
+    update streams — rank flaps as counts grow); the production recipe is
+    exactly this split: incremental windowed counts in state, top-k as a
+    trivial post-pass over the drained per-day aggregate (≤ types×days
+    rows), here a rank window partitioned by day. Counts are integers and
+    ties break on event_type, so the ranking is deterministic across
+    engines.
+    """
+    from ..sources import chunked_stream
+    from .windows import windowed_counts
+
+    def run() -> DataFrame:
+        agg = windowed_counts(chunked_stream(spark, sf_dir, "events"), "1 day")
+        return run_stream_to_table(agg, output_mode="update")
+
+    out = _with_state_parts(spark, 8, run)
+    fin = out.groupBy("window_start", "event_type").agg(
+        F.max("n_events").alias("n_events")
+    )
+    from pyspark.sql import Window as W
+
+    day = fin.select(
+        F.substring("window_start", 1, 10).alias("day"), "event_type", "n_events"
+    )
+    w = W.partitionBy("day").orderBy(F.desc("n_events"), F.asc("event_type"))
+    return (
+        day.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+    )

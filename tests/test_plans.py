@@ -208,3 +208,18 @@ def test_rollup_cascade_reaggregates_not_rescans(spark, sf_dir):
     assert n_scans == 1, f"cascade rescans raw events ({n_scans} scans):\n{p}"
     n_aggs = len(re.findall(r"\(\d+\) HashAggregate", p))
     assert n_aggs >= 4, f"missing a partial/final pair ({n_aggs} aggs):\n{p}"
+
+
+def test_bucketed_join_has_no_join_side_shuffle(spark, sf_dir):
+    """The bucketed orders ⋈ lineitem must read both sides' buckets
+    co-located: zero Exchange anywhere under the sort-merge join, both
+    scans flagged bucketed. The shuffle this layout removes is THE
+    dominant cost of a fact-fact join at 100 TB; if an Exchange creeps
+    back in (bucket-count mismatch, bucketing read disabled, hint lost)
+    this fails at fixture scale."""
+    from spark_states_spark.sources.bucketing import bucketed_join_frame
+
+    p = bucketed_join_frame(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in p, f"bucketed join not sort-merge:\n{p}"
+    assert "Exchange" not in p, f"shuffle under the bucketed join:\n{p}"
+    assert p.count("Bucketed: true") == 2, f"scans not bucketed:\n{p}"
