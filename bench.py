@@ -94,6 +94,11 @@ HEADLINE = [
     "bucketed_join_no_shuffle",
     "streaming_cdc_upsert",
     "streaming_topk_per_day",
+    "partitioned_scan_prune",
+    "merge_incremental_snapshot",
+    "anomaly_zscore_events",
+    "profile_lineitem_columns",
+    "audit_referential_integrity",
 ]
 
 

@@ -57,6 +57,8 @@ from .operators import windows  # noqa: E402,F401
 from .operators import setops  # noqa: E402,F401
 from .operators import timeseries  # noqa: E402,F401
 from .sources import bucketing  # noqa: E402,F401
+from .sources import partitioned  # noqa: E402,F401
+from .operators import quality  # noqa: E402,F401
 
 # Verification-priority reorder: entries whose code changed this round, or
 # which have never had an external (driver) verdict, float to the front so a
@@ -77,6 +79,12 @@ _VERIFY_FIRST = [
     "bucketed_join_no_shuffle",
     "streaming_cdc_upsert",
     "streaming_topk_per_day",
+    "partitioned_scan_prune",
+    "merge_incremental_snapshot",
+    "anomaly_zscore_events",
+    "profile_lineitem_columns",
+    "audit_referential_integrity",
+    "audit_value_ranges",
     # --- new in round 5: the post-dedup curation pipeline (clustering,
     # packing, shuffle sharding, stratified split, decontamination,
     # Gopher-style quality + repetition filters, vocab coverage) and the
@@ -132,14 +140,14 @@ _VERIFY_FIRST = [
     "similarity_ivf_ann",
     "text_token_stats",
     "text_quality_scores",
+    # (the later part of this tail falls below the 50-entry sample line —
+    # this session added 14 new entries up top, and never-verified entries
+    # outrank a second pass of r01/r02-green ones; rotate the displaced
+    # similarity/text/window/sessionize/asof tail back in next round. All
+    # stay in the local order-independent DuckDB gate every test run.)
     "text_lang_id",
     "text_fingerprint",
     "hourly_event_stats",
-    # (sessionize_events, user_funnel_counts, user_gap_median,
-    # asof_join_latest_order and the four window_* entries were displaced
-    # below the 50-entry sample line by this session's 8 new entries —
-    # never-verified entries outrank a second pass of r01/r02-green ones;
-    # rotate them back in next round. They stay in the local DuckDB gate.)
     "sessionize_events",
     "user_funnel_counts",
     "user_gap_median",

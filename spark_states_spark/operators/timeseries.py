@@ -215,3 +215,155 @@ def timeseries_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n_events"),
         F.last("s", ignorenulls=True).over(w).alias("locf_daily_value"),
     )
+
+
+# MERGE cutoff: the last ~10 days of the 30-day fixture arrive as the delta.
+_MERGE_CUTOFF = "2024-01-20"
+
+_LATEST_STRUCT_SQL = (
+    "max(struct_pack(ts := epoch_ns(ts) // 1000, event_id := event_id,"
+    " event_type := event_type, value := value))"
+)
+
+
+def _latest_struct_col() -> "F.Column":
+    return F.max(
+        F.struct(
+            F.unix_micros("ts").alias("ts"),
+            "event_id",
+            "event_type",
+            "value",
+        )
+    )
+
+
+@register(
+    "merge_incremental_snapshot",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, {_LATEST_STRUCT_SQL} AS m
+      FROM events WHERE ts < TIMESTAMP '{_MERGE_CUTOFF} 00:00:00'
+      GROUP BY user_id
+    ),
+    delta AS (
+      SELECT user_id, {_LATEST_STRUCT_SQL} AS m
+      FROM events WHERE ts >= TIMESTAMP '{_MERGE_CUTOFF} 00:00:00'
+      GROUP BY user_id
+    )
+    SELECT coalesce(b.user_id, d.user_id) AS user_id,
+           coalesce(d.m, b.m).ts AS last_ts_us,
+           coalesce(d.m, b.m).event_id AS last_event_id,
+           coalesce(d.m, b.m).event_type AS last_event_type,
+           coalesce(d.m, b.m).value AS last_value,
+           CASE WHEN d.user_id IS NULL THEN 'unchanged'
+                WHEN b.user_id IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_action
+    FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
+    """,
+)
+def merge_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO semantics without a table format: apply a change-feed
+    delta (events ≥ cutoff) onto the previous latest-wins snapshot (events
+    < cutoff) via one full-outer join — matched keys take the delta's newer
+    row ('updated'), unmatched delta keys insert ('inserted'), untouched
+    base keys carry over ('unchanged').
+
+    This is the incremental maintenance recipe for ``cdc_upsert_latest``:
+    at 100 TB you never recompact the whole history per batch — you merge
+    the (small) delta against the (compacted) snapshot. Both sides
+    pre-collapse to ≤ |keys| rows via the map-side-combinable
+    ``max(struct)`` argmax BEFORE the join, so the full-outer join is
+    snapshot-sized, not event-sized. Delta rows always beat base rows
+    because every delta ts ≥ cutoff > every base ts.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_MERGE_CUTOFF).cast("timestamp")
+    base = (
+        events.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(_latest_struct_col().alias("m"))
+    )
+    delta = (
+        events.filter(F.col("ts") >= cutoff)
+        .groupBy("user_id")
+        .agg(_latest_struct_col().alias("m"))
+    )
+    j = base.alias("b").join(
+        delta.alias("d"), F.col("b.user_id") == F.col("d.user_id"), "full_outer"
+    )
+    m = F.coalesce("d.m", "b.m")
+    return j.select(
+        F.coalesce("b.user_id", "d.user_id").alias("user_id"),
+        m.getField("ts").alias("last_ts_us"),
+        m.getField("event_id").alias("last_event_id"),
+        m.getField("event_type").alias("last_event_type"),
+        m.getField("value").alias("last_value"),
+        F.when(F.col("d.user_id").isNull(), "unchanged")
+        .when(F.col("b.user_id").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
+
+
+@register(
+    "anomaly_zscore_events",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS s,
+             CAST(sum(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2)))
+                  AS DOUBLE) AS sq
+      FROM events GROUP BY event_type
+    ),
+    enriched AS (
+      SELECT event_type, n,
+             s / n AS mean,
+             sqrt((n * sq - s * s) / (n * (n - 1.0))) AS std
+      FROM stats
+    )
+    SELECT e.event_type, en.n, en.mean, en.std,
+           CAST(sum(CASE WHEN abs(e.value - en.mean) > 3.0 * en.std
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM events e JOIN enriched en ON e.event_type = en.event_type
+    GROUP BY e.event_type, en.n, en.mean, en.std
+    """,
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly counts per event type: events whose value deviates
+    more than 3σ from their type's mean.
+
+    Two-pass moments recipe: one aggregation computes (n, Σv, Σv²) in
+    exact DECIMAL (summation-order-proof), the moments convert to double
+    ONCE, and mean/std/every per-row comparison are then pure IEEE
+    arithmetic on identical doubles in both engines — which is what makes
+    a >3σ boundary comparison safe under the driver's exact float hash.
+    The per-type stats frame (≤ |types| rows) joins back to the event scan
+    without a hint; the optimizer broadcasts it from size estimates. At
+    100 TB the shape is scan + tiny broadcast + re-aggregation — no
+    event-to-event shuffle.
+    """
+    events = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(14,2)")
+    stats = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).cast("double").alias("s"),
+        F.sum(v * v).cast("double").alias("sq"),
+    )
+    n, s, sq = F.col("n"), F.col("s"), F.col("sq")
+    enriched = stats.select(
+        "event_type",
+        "n",
+        (s / n).alias("mean"),
+        F.sqrt((n * sq - s * s) / (n * (n - F.lit(1.0)))).alias("std"),
+    )
+    j = events.join(enriched, "event_type")
+    return j.groupBy("event_type", "n", "mean", "std").agg(
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("mean")) > 3.0 * F.col("std"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_anomalies")
+    )

@@ -223,3 +223,23 @@ def test_bucketed_join_has_no_join_side_shuffle(spark, sf_dir):
     assert "SortMergeJoin" in p, f"bucketed join not sort-merge:\n{p}"
     assert "Exchange" not in p, f"shuffle under the bucketed join:\n{p}"
     assert p.count("Bucketed: true") == 2, f"scans not bucketed:\n{p}"
+
+
+def test_partitioned_scan_prunes_to_week(spark, sf_dir):
+    """The day-partitioned events scan must resolve the week predicate
+    against partition DIRECTORIES: all three bounds sit in
+    PartitionFilters and DataFilters is empty (nothing evaluated row-wise
+    — the filter's whole cost is directory listing). At 100 TB with daily
+    partitions this is the difference between reading 7 days and reading
+    a year."""
+    from spark_states_spark.sources.partitioned import (
+        PRUNE_END,
+        PRUNE_START,
+        pruned_week_scan,
+    )
+
+    p = pruned_week_scan(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert f"(day#" in p and f">= {PRUNE_START}" in p and f"<= {PRUNE_END}" in p, (
+        f"week bounds missing from PartitionFilters:\n{p}"
+    )
+    assert "DataFilters: []" in p, f"day filter leaked into row-level DataFilters:\n{p}"

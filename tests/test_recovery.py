@@ -290,3 +290,50 @@ def test_old_state_versions_cleaned_up(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_foreachbatch_sink_not_replayed_after_restart(spark, tmp_path):
+    """Exactly-once sink contract across restarts: after a drained run,
+    restarting the same query from the same checkpoint must fire ZERO new
+    foreachBatch invocations — committed batch versions are never
+    re-executed (the recovery face of Provider.scala:44-47's one-version-
+    per-commit contract). The ledger records (batchId, rowCount) per
+    invocation; an idempotent production sink would additionally key its
+    writes by batchId, which this test's ledger makes observable."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from spark_states_spark.sources import chunked_stream
+
+    ledger = tmp_path / "ledger.jsonl"
+    ckpt = str(tmp_path / "ckpt")
+
+    def sink(df, batch_id):
+        with open(ledger, "a") as f:
+            f.write(json.dumps({"batch": batch_id, "rows": df.count()}) + "\n")
+
+    def run_once():
+        ev = chunked_stream(spark, "/root/testdata/sf0.001", "events")
+        agg = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = ledger.read_text().splitlines()
+    assert len(first) > 1, "expected a multi-batch drain"
+    batch_ids = [json.loads(l)["batch"] for l in first]
+    assert batch_ids == sorted(set(batch_ids)), "batch ids must be unique+ordered"
+
+    run_once()  # same checkpoint, same (fully-consumed) source
+    second = ledger.read_text().splitlines()
+    assert second == first, (
+        "restart re-invoked foreachBatch on committed batches: "
+        f"{second[len(first):]}"
+    )

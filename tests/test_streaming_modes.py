@@ -109,3 +109,81 @@ def test_stream_static_enrich_keeps_no_state(spark, sf_dir):
         assert not p["stateOperators"], (
             f"stream-static join created state: {p['stateOperators']}"
         )
+
+
+def test_late_rows_reopen_windows_update_mode(spark, sf_dir_small, tmp_path):
+    """Late-data contract, pinned EMPIRICALLY for this Spark build: an
+    update-mode aggregation does NOT drop input rows behind the watermark
+    — the watermark only drives state EVICTION, and late rows silently
+    re-create their (already-evicted) windows with partial counts
+    (verified on a vanilla session too: numRowsDroppedByWatermark stays 0
+    while the late windows appear in the sink).
+
+    This is exactly why the engine's chunked_stream delivers micro-batches
+    in event-time order: with in-order arrival no row is ever late, so no
+    evicted window can be re-opened with a partial count and the drained
+    update stream equals the batch GROUP BY the oracles check. A pipeline
+    with genuinely late sources must reconcile re-emitted windows
+    downstream (the merge_incremental_snapshot pattern) rather than assume
+    the aggregation filters them.
+
+    Staged arrival order is deliberately inverted to force the worst case:
+    batch 1 delivers the NEWER half of events (advancing the watermark
+    deep into the timeline), batch 2 the OLDER half — days late."""
+    import time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from spark_states_spark.sources import with_event_time
+    from spark_states_spark.sources.tables import table_path
+
+    t = pq.read_table(table_path(sf_dir_small, "events"))
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+    half = t.num_rows // 2
+    d = tmp_path / "late_stream"
+    d.mkdir()
+    now = time.time()
+    # Older mtime => delivered first: the NEW half arrives in batch 1.
+    pq.write_table(t.slice(half), str(d / "new-half.parquet"))
+    pq.write_table(t.slice(0, half), str(d / "old-half.parquet"))
+    import os
+
+    os.utime(d / "new-half.parquet", (now, now))
+    os.utime(d / "old-half.parquet", (now + 1, now + 1))
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = with_event_time(
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(d))
+    )
+    agg = windowed_counts(stream, "1 hour")
+    out, progress = run_stream_to_table(
+        agg, output_mode="update", with_progress=True
+    )
+    # The watermark DID advance deep into the timeline before batch 2...
+    wm_for_late_batch = [
+        p["eventTime"].get("watermark")
+        for p in progress
+        if p["numInputRows"] > 0
+    ][-1]
+    assert wm_for_late_batch and wm_for_late_batch.startswith("2024-01-30"), (
+        f"watermark did not advance before the late batch: {wm_for_late_batch}"
+    )
+    # ...yet nothing was dropped, and the late (old-half) windows were
+    # re-created and emitted: watermark == eviction, not admission control.
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in progress
+        if p["stateOperators"]
+    )
+    assert dropped == 0, f"this Spark build unexpectedly dropped {dropped} late rows"
+    cutoff = (
+        with_event_time(spark.read.parquet(str(d / "new-half.parquet")))
+        .agg(F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss"))
+        .collect()[0][0]
+    )
+    late_windows = out.filter(F.col("window_start") < cutoff).count()
+    assert late_windows > 0, "late rows should have re-opened their windows"
