@@ -99,6 +99,9 @@ HEADLINE = [
     "anomaly_zscore_events",
     "profile_lineitem_columns",
     "audit_referential_integrity",
+    "fuzzy_join_part_names",
+    "segment_customers_rfm",
+    "streaming_quality_audit",
 ]
 
 

@@ -85,7 +85,10 @@ _VERIFY_FIRST = [
     "profile_lineitem_columns",
     "audit_referential_integrity",
     "audit_value_ranges",
-    # --- new in round 5: the post-dedup curation pipeline (clustering,
+    "fuzzy_join_part_names",
+    "segment_customers_rfm",
+    "streaming_quality_audit",
+    # --- also new this round: the post-dedup curation pipeline (clustering,
     # packing, shuffle sharding, stratified split, decontamination,
     # Gopher-style quality + repetition filters, vocab coverage) and the
     # right-outer interval join completing the stream-join matrix ---
@@ -100,8 +103,8 @@ _VERIFY_FIRST = [
     "streaming_interval_join_right_outer",
     "streaming_curation_pipeline",
     "dedup_embedding_keep_first",
-    # --- new in round 4 (the r04 driver pass never ran, so these still
-    # await their first external verdict): the finite-TTL oracle family
+    # --- new earlier this round (no driver pass has run since, so these
+    # still await their first external verdict): the finite-TTL oracle family
     # (VERDICT r03 #1-2) plus the wall-clock binding's first driver row
     # and three new operator shapes (full-outer interval join,
     # stream-static enrich, hourly→daily rollup cascade) ---

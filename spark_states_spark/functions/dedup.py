@@ -555,3 +555,56 @@ def connected_components(pairs: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     edges.unpersist()
     return labels
+
+
+@register(
+    "fuzzy_join_part_names",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, split_part(p_name, ' ', 2) AS blk,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM names a JOIN names b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy self-join: near-identical part names
+    (edit distance ≤ 3) found via blocking + within-block verify — the
+    canonical string-matching shape (never an all-pairs cross join).
+
+    Scale shape: (1) collapse the corpus to DISTINCT names with counts —
+    an entity-resolution join is over the vocabulary, not the rows;
+    (2) block on a cheap deterministic key (here the name's noun token —
+    production uses q-gram or phonetic keys) so candidate pairs are
+    per-block quadratic, not global; (3) verify candidates with the exact
+    ``levenshtein`` only inside blocks. Both engines implement classic
+    Levenshtein identically, so distances are integer-equal.
+    """
+    p = load_table(spark, sf_dir, "part")
+    names = (
+        p.groupBy("p_name")
+        .agg(F.count("*").alias("n_parts"))
+        .withColumn("blk", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)))
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.p_name") < F.col("b.p_name")),
+    ).filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
+    return j.select(
+        F.col("a.p_name").alias("name_a"),
+        F.col("b.p_name").alias("name_b"),
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+        .cast("bigint")
+        .alias("edit_dist"),
+        F.col("a.n_parts").alias("n_parts_a"),
+        F.col("b.n_parts").alias("n_parts_b"),
+    )

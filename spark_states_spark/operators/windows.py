@@ -189,3 +189,63 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.sum(dec2("o_totalprice")).over(w).cast("double").alias("spend_90d"),
     )
+
+
+@register(
+    "segment_customers_rfm",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             sum(CAST(o_totalprice AS DECIMAL(14,2))) AS spend_dec
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, n_orders,
+             CAST(spend_dec AS DOUBLE) AS spend,
+             ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+             ntile(4) OVER (ORDER BY n_orders DESC, o_custkey) AS f,
+             ntile(4) OVER (ORDER BY spend_dec DESC, o_custkey) AS m
+      FROM per_cust
+    )
+    SELECT concat('R', r, 'F', f, 'M', m) AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(spend AS DECIMAL(16,2))) AS DOUBLE) AS segment_spend
+    FROM scored
+    GROUP BY 1
+    """,
+)
+def segment_customers_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile scores for Recency (last order
+    date), Frequency (order count) and Monetary (total spend), composed
+    into a segment label with per-segment size and spend.
+
+    Determinism: each ntile orders by (metric, o_custkey) — a total order,
+    so quartile boundaries are identical cross-engine; spend aggregates go
+    through exact DECIMAL. Scale note: the three global ntiles sort the
+    PER-CUSTOMER aggregate (|customers| rows, not |orders|); a 100 TB
+    deployment replaces global ntile with approx quantile cutpoints
+    broadcast back, trading exact quartiles for a sort-free plan — the
+    exact version stays as the oracle-checkable reference.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("spend_dec"),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "n_orders",
+        F.col("spend_dec").cast("double").alias("spend"),
+        F.ntile(4).over(W.orderBy(F.desc("last_order"), F.asc("o_custkey"))).alias("r"),
+        F.ntile(4).over(W.orderBy(F.desc("n_orders"), F.asc("o_custkey"))).alias("f"),
+        F.ntile(4).over(W.orderBy(F.desc("spend_dec"), F.asc("o_custkey"))).alias("m"),
+    )
+    return scored.groupBy(
+        F.concat(F.lit("R"), "r", F.lit("F"), "f", F.lit("M"), "m").alias("segment")
+    ).agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("spend").cast("decimal(16,2)")).cast("double").alias("segment_spend"),
+    )

@@ -219,12 +219,13 @@ def streaming_hourly_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch GROUP BY oracle checks. In-order chunk arrival means no event
     is ever late, so no update is lost to eviction.
 
-    State partitions are pinned to 8 (the per-query deployment knob, same
-    rationale as streaming_interval_join): every micro-batch pays one
-    state-store open+commit PER PARTITION, and an 8-batch chunked replay
-    at 32 partitions spends ~2× the query's wall time on that fixed cost
-    alone at fixture scale. A 100 TB deployment raises the count with
-    volume — state stays per-key partitioned; nothing assumes 8.
+    State partitions are pinned to STATE_PARTS (the per-query deployment
+    knob, same rationale as streaming_interval_join): every micro-batch
+    pays one state-store open+commit PER PARTITION, and an 8-batch chunked
+    replay at 32 partitions spends ~2× the query's wall time on that fixed
+    cost alone at fixture scale (sizing measurements at the STATE_PARTS
+    definition). A 100 TB deployment raises the count with volume — state
+    stays per-key partitioned; nothing assumes the constant.
     """
     from ..sources import chunked_stream
     from .windows import windowed_counts
@@ -233,7 +234,7 @@ def streaming_hourly_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = windowed_counts(chunked_stream(spark, sf_dir, "events"), "1 hour")
         return run_stream_to_table(agg, output_mode="update")
 
-    out = _with_state_parts(spark, 8, run)
+    out = _with_state_parts(spark, STATE_PARTS, run)
     return (
         out.groupBy("window_start", "event_type")
         .agg(F.max(F.struct("n_events", "sum_value")).alias("fin"))
@@ -277,7 +278,7 @@ def streaming_sliding_window_update(spark: SparkSession, sf_dir: str) -> DataFra
         )
         return run_stream_to_table(agg, output_mode="update")
 
-    out = _with_state_parts(spark, 8, run)
+    out = _with_state_parts(spark, STATE_PARTS, run)
     return (
         out.groupBy("window_start", "event_type")
         .agg(F.max("n_events").alias("n_events"))
@@ -356,7 +357,7 @@ def streaming_session_window_append(spark: SparkSession, sf_dir: str) -> DataFra
 
     # 8 state partitions: see streaming_hourly_agg_update (per-batch
     # per-partition store commits dominate chunked replays otherwise).
-    return _with_state_parts(spark, 8, run)
+    return _with_state_parts(spark, STATE_PARTS, run)
 
 
 @register(
@@ -394,7 +395,7 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         return run_stream_to_table(dd, output_mode="append")
 
     # 8 state partitions: see streaming_hourly_agg_update.
-    out = _with_state_parts(spark, 8, run)
+    out = _with_state_parts(spark, STATE_PARTS, run)
     return out.groupBy("event_type").agg(F.count("*").alias("n_user_days"))
 
 
@@ -519,6 +520,17 @@ def _interval_join_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(joined, output_mode="append")
 
 
+# Pinned state-partition count for every chunked-replay entry — the
+# per-query deployment knob (see streaming_interval_join's sizing note).
+# Each micro-batch pays a fixed state-store open+commit PER PARTITION, so an
+# 8-batch replay at fixture scale is dominated by partitions x batches:
+# measured on the update-mode hourly aggregation at sf0.1, 8 partitions =
+# ~8.6 s, 4 = ~5.6 s, 2 = ~4.3 s steady-state. 4 balances that fixed cost
+# against exercising real multi-partition state; a 100 TB deployment raises
+# it with volume - state stays per-key partitioned, nothing assumes 4.
+STATE_PARTS = 4
+
+
 def _with_state_parts(spark: SparkSession, n: int, fn):
     """Run ``fn()`` with the state-partition count pinned to ``n`` (the
     per-query deployment knob documented on streaming_interval_join)."""
@@ -584,7 +596,7 @@ def streaming_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> Data
         )
         return run_stream_to_table(joined, output_mode="append")
 
-    return _with_state_parts(spark, 8, run)
+    return _with_state_parts(spark, STATE_PARTS, run)
 
 
 @register(
@@ -635,7 +647,7 @@ def streaming_interval_join_full_outer(spark: SparkSession, sf_dir: str) -> Data
         )
         return run_stream_to_table(joined, output_mode="append")
 
-    return _with_state_parts(spark, 8, run)
+    return _with_state_parts(spark, STATE_PARTS, run)
 
 
 @register(
@@ -673,7 +685,7 @@ def streaming_interval_join_right_outer(spark: SparkSession, sf_dir: str) -> Dat
         )
         return run_stream_to_table(joined, output_mode="append")
 
-    return _with_state_parts(spark, 8, run)
+    return _with_state_parts(spark, STATE_PARTS, run)
 
 
 @register(
@@ -703,7 +715,7 @@ def streaming_interval_join_left_semi(spark: SparkSession, sf_dir: str) -> DataF
         )
         return run_stream_to_table(joined, output_mode="append")
 
-    return _with_state_parts(spark, 8, run)
+    return _with_state_parts(spark, STATE_PARTS, run)
 
 
 def _event_kv_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1178,8 +1190,8 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``max(struct(ts, event_id, ...))`` is nondecreasing per key, so the
     memory sink's final row per user = max over all its emitted updates.
 
-    State partitions pinned to 8 — the per-query deployment knob
-    (see streaming_interval_join's sizing rationale).
+    State partitions pinned to STATE_PARTS — the per-query deployment
+    knob (see streaming_interval_join's sizing rationale).
     """
     from ..sources import chunked_stream
 
@@ -1197,7 +1209,7 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return run_stream_to_table(agg, output_mode="update")
 
-    out = _with_state_parts(spark, 8, run)
+    out = _with_state_parts(spark, STATE_PARTS, run)
     fin = out.groupBy("user_id").agg(F.max("m").alias("m"))
     return fin.select(
         "user_id",
@@ -1246,7 +1258,7 @@ def streaming_topk_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = windowed_counts(chunked_stream(spark, sf_dir, "events"), "1 day")
         return run_stream_to_table(agg, output_mode="update")
 
-    out = _with_state_parts(spark, 8, run)
+    out = _with_state_parts(spark, STATE_PARTS, run)
     fin = out.groupBy("window_start", "event_type").agg(
         F.max("n_events").alias("n_events")
     )
@@ -1260,3 +1272,66 @@ def streaming_topk_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         day.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "streaming_quality_audit",
+    oracle="""
+    WITH one AS (
+      SELECT
+        CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        CAST(sum(CASE WHEN event_type NOT IN
+          ('click', 'view', 'purchase', 'login', 'error') THEN 1 ELSE 0 END)
+          AS BIGINT) AS c2,
+        CAST(count(*) AS BIGINT) AS c3
+      FROM events
+    )
+    SELECT 'value_negative' AS check_name, c0 AS n FROM one
+    UNION ALL SELECT 'user_id_null', c1 FROM one
+    UNION ALL SELECT 'event_type_invalid', c2 FROM one
+    UNION ALL SELECT 'rows_seen', c3 FROM one
+    """,
+)
+def streaming_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous data-quality audit over the event stream: per-check
+    violation counters maintained incrementally in UPDATE mode — the
+    streaming face of the batch audit family (operators/quality.py),
+    gating an ingest pipeline while it runs instead of after it lands.
+
+    State is exactly |checks| rows (a keyed counter per check name — the
+    minimal possible keyed-state use), updated per micro-batch via
+    map-side partial sums. Counters grow monotonically, so the drained
+    final value per check = max over its emitted updates.
+    """
+    from ..sources import chunked_stream
+
+    def run() -> DataFrame:
+        ev = chunked_stream(spark, sf_dir, "events")
+        checks = ev.select(
+            F.when(F.col("value") < 0, 1).otherwise(0).alias("value_negative"),
+            F.when(F.col("user_id").isNull(), 1).otherwise(0).alias("user_id_null"),
+            F.when(
+                ~F.col("event_type").isin(
+                    "click", "view", "purchase", "login", "error"
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("event_type_invalid"),
+            F.lit(1).alias("rows_seen"),
+        )
+        counts = checks.agg(
+            F.sum("value_negative").cast("bigint").alias("c0"),
+            F.sum("user_id_null").cast("bigint").alias("c1"),
+            F.sum("event_type_invalid").cast("bigint").alias("c2"),
+            F.count("*").alias("c3"),
+        )
+        long = counts.selectExpr(
+            "stack(4, 'value_negative', c0, 'user_id_null', c1, "
+            "'event_type_invalid', c2, 'rows_seen', c3) AS (check_name, n)"
+        )
+        return run_stream_to_table(long, output_mode="update")
+
+    out = _with_state_parts(spark, STATE_PARTS, run)
+    return out.groupBy("check_name").agg(F.max("n").alias("n"))
