@@ -243,3 +243,15 @@ def test_partitioned_scan_prunes_to_week(spark, sf_dir):
         f"week bounds missing from PartitionFilters:\n{p}"
     )
     assert "DataFilters: []" in p, f"day filter leaked into row-level DataFilters:\n{p}"
+
+
+def test_profile_has_no_expand(spark, sf_dir):
+    """The column profiler must stay a union of per-column two-phase
+    aggregates: an Expand node means Catalyst fell back to the
+    multi-distinct single-aggregate plan, which replicates every input
+    row per profiled column and regressed 29× at sf0.1 (see the
+    profile_lineitem_columns docstring for the measurement)."""
+    p = plan(QUERIES["profile_lineitem_columns"](spark, sf_dir))
+    assert "Expand" not in p, f"profiler fell back to the Expand plan:\n{p}"
+    n_partial = len(re.findall(r"partial_count\(distinct", p))
+    assert n_partial >= 11, f"distinct counts lost partial aggregation:\n{p}"
