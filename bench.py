@@ -102,6 +102,7 @@ HEADLINE = [
     "fuzzy_join_part_names",
     "segment_customers_rfm",
     "streaming_quality_audit",
+    "similar_users_timeseries",
 ]
 
 

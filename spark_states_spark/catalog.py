@@ -88,6 +88,8 @@ _VERIFY_FIRST = [
     "fuzzy_join_part_names",
     "segment_customers_rfm",
     "streaming_quality_audit",
+    "window_distribution_family",
+    "similar_users_timeseries",
     # --- also new this round: the post-dedup curation pipeline (clustering,
     # packing, shuffle sharding, stratified split, decontamination,
     # Gopher-style quality + repetition filters, vocab coverage) and the

@@ -305,6 +305,102 @@ def merge_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Probe set for time-series similarity: every 83rd user id — a fixed,
+# deterministic "query workload" standing in for interactive lookups.
+_SIM_PROBE_MOD = 83
+_SIM_TOPK = 3
+
+
+@register(
+    "similar_users_timeseries",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    norms AS (
+      SELECT user_id, CAST(sum(n * n) AS BIGINT) AS s2 FROM daily GROUP BY user_id
+    ),
+    probes AS (SELECT user_id AS p, s2 AS sp FROM norms
+               WHERE user_id % {_SIM_PROBE_MOD} = 0),
+    cross_term AS (
+      SELECT pd.user_id AS p, ud.user_id AS u,
+             CAST(sum(pd.n * ud.n) AS BIGINT) AS dot
+      FROM daily pd JOIN daily ud ON pd.day = ud.day
+      WHERE pd.user_id % {_SIM_PROBE_MOD} = 0
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT pr.p AS probe_user, nm.user_id AS candidate_user,
+             pr.sp + nm.s2 - 2 * coalesce(ct.dot, 0) AS dist2
+      FROM probes pr
+      CROSS JOIN norms nm
+      LEFT JOIN cross_term ct ON ct.p = pr.p AND ct.u = nm.user_id
+      WHERE nm.user_id <> pr.p
+    )
+    SELECT probe_user, candidate_user, dist2,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY probe_user
+                                       ORDER BY dist2, candidate_user) AS rnk
+          FROM pairs)
+    WHERE rnk <= {_SIM_TOPK}
+    """,
+)
+def similar_users_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search: for each probe user, the top-{k}
+    users with the most similar 30-day activity profile (smallest squared
+    Euclidean distance between daily event-count vectors).
+
+    Sparse-exact shape (the streaming-similarity-search papers' recipe):
+    vectors never materialize — dist²(p,u) = ‖p‖² + ‖u‖² − 2·(p·u), where
+    the norms are one per-user aggregate and the dot products come from an
+    inverted index on day (daily counts self-joined on day, probe side
+    filtered first). Zero-overlap candidates are kept via the norms cross
+    join, so the top-k is exact, not candidates-only. Everything is BIGINT
+    arithmetic — bit-exact cross-engine. The probe set is a fixed bounded
+    "query workload": probes×corpus pairs, never corpus², and the probe
+    side broadcasts — at 100 TB the corpus side streams through one scan
+    per query batch while probes ride along broadcast.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").alias("n"))
+    norms = daily.groupBy("user_id").agg(
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2")
+    )
+    is_probe = F.col("user_id") % _SIM_PROBE_MOD == 0
+    probes = norms.filter(is_probe).select(
+        F.col("user_id").alias("p"), F.col("s2").alias("sp")
+    )
+    pd_ = daily.filter(is_probe).select(
+        F.col("user_id").alias("p"), "day", F.col("n").alias("np")
+    )
+    cross = (
+        pd_.join(daily, "day")
+        .groupBy("p", "user_id")
+        .agg(F.sum(F.col("np") * F.col("n")).cast("bigint").alias("dot"))
+    )
+    pairs = (
+        probes.crossJoin(norms)
+        .filter(F.col("user_id") != F.col("p"))
+        .join(cross, ["p", "user_id"], "left")
+        .select(
+            F.col("p").alias("probe_user"),
+            F.col("user_id").alias("candidate_user"),
+            (
+                F.col("sp") + F.col("s2") - 2 * F.coalesce("dot", F.lit(0))
+            ).alias("dist2"),
+        )
+    )
+    w = Window.partitionBy("probe_user").orderBy("dist2", "candidate_user")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= _SIM_TOPK)
+    )
+
+
 @register(
     "anomaly_zscore_events",
     oracle="""

@@ -249,3 +249,41 @@ def segment_customers_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.sum(F.col("spend").cast("decimal(16,2)")).cast("double").alias("segment_spend"),
     )
+
+
+@register(
+    "window_distribution_family",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice AS totalprice,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey)
+    ) WHERE pr >= 0.99
+    """,
+)
+def window_distribution_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist: the distribution window functions, kept
+    to the top percentile per order priority.
+
+    Determinism: the window orders by (o_totalprice, o_orderkey) — a
+    total order, so every row's rank is unique cross-engine; percent_rank
+    = (rank-1)/(n-1) and cume_dist = rows≤current/n are then single
+    integer divisions, bit-identical in both engines, and the pr >= 0.99
+    boundary filter compares identical doubles. One shuffle on the
+    partition key serves both functions.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .filter(F.col("pr") >= 0.99)
+    )

@@ -185,6 +185,11 @@ _NON_EQUI_BY_DESIGN = {
     "q11_important_stock",  # 1-row grand-total threshold broadcast
     "sample_balanced_by_lang",  # 1-row min-stratum-size threshold broadcast
     "text_vocab_coverage",  # 1-row corpus-total broadcast over a k-row top-k
+    # bounded probe-set × per-user-norms cross join (probes are a fixed
+    # query workload, never corpus²; the corpus side is one aggregate row
+    # per user) — the exactness requires zero-overlap candidates, which
+    # only the cross join provides
+    "similar_users_timeseries",
 }
 
 
