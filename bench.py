@@ -103,6 +103,7 @@ HEADLINE = [
     "segment_customers_rfm",
     "streaming_quality_audit",
     "similar_users_timeseries",
+    "histogram_event_values",
 ]
 
 

@@ -90,6 +90,7 @@ _VERIFY_FIRST = [
     "streaming_quality_audit",
     "window_distribution_family",
     "similar_users_timeseries",
+    "histogram_event_values",
     # --- also new this round: the post-dedup curation pipeline (clustering,
     # packing, shuffle sharding, stratified split, decontamination,
     # Gopher-style quality + repetition filters, vocab coverage) and the

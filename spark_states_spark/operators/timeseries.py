@@ -463,3 +463,53 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_anomalies")
     )
+
+
+_HIST_BINS = 20
+
+
+@register(
+    "histogram_event_values",
+    oracle=f"""
+    WITH ext AS (
+      SELECT CAST(min(value) AS DOUBLE) AS lo, CAST(max(value) AS DOUBLE) AS hi
+      FROM events
+    )
+    SELECT least(CAST(floor((value - lo) / ((hi - lo) / {_HIST_BINS})) AS BIGINT),
+                 {_HIST_BINS - 1}) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(value) AS DOUBLE) AS bin_min,
+           CAST(max(value) AS DOUBLE) AS bin_max
+    FROM events, ext
+    GROUP BY 1
+    """,
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values: {bins} equal bins between the
+    observed min and max, with per-bin counts and actual bounds.
+
+    Two-pass shape: the 1-row (min, max) extent broadcasts back onto the
+    scan (crossJoin of a singleton — the sanctioned bounded-broadcast
+    case), then binning is a projection and the GROUP BY has ≤ {bins}
+    groups with full map-side combine. Determinism: lo/hi/width are
+    IEEE-identical doubles in both engines, so floor() lands every value
+    in the same bin; the max value is clamped into the last bin.
+    """
+    events = load_table(spark, sf_dir, "events")
+    ext = events.agg(
+        F.min("value").cast("double").alias("lo"),
+        F.max("value").cast("double").alias("hi"),
+    )
+    width = (F.col("hi") - F.col("lo")) / _HIST_BINS
+    binned = events.crossJoin(ext).select(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width).cast("bigint"),
+            F.lit(_HIST_BINS - 1),
+        ).alias("bin"),
+        "value",
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.min("value").cast("double").alias("bin_min"),
+        F.max("value").cast("double").alias("bin_max"),
+    )

@@ -190,6 +190,7 @@ _NON_EQUI_BY_DESIGN = {
     # per user) — the exactness requires zero-overlap candidates, which
     # only the cross join provides
     "similar_users_timeseries",
+    "histogram_event_values",  # 1-row (min,max) extent broadcast onto the scan
 }
 
 
