@@ -121,3 +121,47 @@ def test_gopher_filter_pass_flag_matches_metrics(spark, sf_dir):
         n_pass += int(expect)
     # Thresholds are tuned to actually partition the fixture corpus.
     assert 0 < n_pass < len(rows)
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Property check: on random graphs, the distributed min-label
+    propagation must produce exactly the components a sequential
+    union-find does — same partition of nodes, same min-id labels.
+    Random topologies catch shapes the fixed path/clique tests miss
+    (stars joined by bridges, odd cycles, self-loops, duplicate edges).
+    Seeded PRNG: deterministic across runs, no flaky CI."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(5):
+        n = rng.randint(2, 40)
+        m = rng.randint(1, 60)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        # Sequential reference: union-find with path compression.
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = sorted({x for e in edges for x in e})
+        expected = {}
+        roots = {}
+        for x in touched:
+            r = find(x)
+            roots.setdefault(r, min(y for y in touched if find(y) == r))
+            expected[x] = roots[r]
+
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r.doc_id: r.label for r in connected_components(pairs).collect()
+        }
+        assert got == expected, f"trial {trial} (n={n}, m={m}): {got} != {expected}"
