@@ -104,6 +104,12 @@ HEADLINE = [
     "streaming_quality_audit",
     "similar_users_timeseries",
     "histogram_event_values",
+    # sketch + behavioral family: bounded-memory heavy hitters, the
+    # Bloom-pruned semi join, and the single-shuffle funnel.
+    "heavy_hitter_tokens",
+    "bloom_semi_join_orders",
+    "funnel_view_signup_purchase",
+    "hll_distinct_user_days",
 ]
 
 

@@ -59,6 +59,8 @@ from .operators import timeseries  # noqa: E402,F401
 from .sources import bucketing  # noqa: E402,F401
 from .sources import partitioned  # noqa: E402,F401
 from .operators import quality  # noqa: E402,F401
+from .functions import sketches  # noqa: E402,F401
+from .operators import behavior  # noqa: E402,F401
 
 # Verification-priority reorder: entries whose code changed this round, or
 # which have never had an external (driver) verdict, float to the front so a
@@ -68,7 +70,15 @@ from .operators import quality  # noqa: E402,F401
 # must sit inside the verified window). The local DuckDB gate stays
 # order-independent and covers ALL entries every test run.
 _VERIFY_FIRST = [
-    # --- newest (this session): time-series/CDC family, span-level dedup,
+    # --- newest: the sketch family (Misra-Gries heavy hitters, Bloom-pruned
+    # semi join) and behavioral analytics (ordered funnel, cohort
+    # retention) — first external verdict pending ---
+    "heavy_hitter_tokens",
+    "bloom_semi_join_orders",
+    "hll_distinct_user_days",
+    "funnel_view_signup_purchase",
+    "cohort_retention_daily",
+    # --- earlier this session: time-series/CDC family, span-level dedup,
     # source reputation, the bucketed co-located join, and the streaming
     # materialized-view pair (CDC upsert + windowed top-k) ---
     "cdc_upsert_latest",

@@ -1,0 +1,395 @@
+"""Bounded-memory sketch operators: heavy hitters, Bloom-pruned joins, and
+HyperLogLog cardinality (see the HLL section at the bottom).
+
+Two classic 100 TB patterns where the exact naive plan is the bottleneck:
+
+- **Heavy hitters** (frequent vocabulary / hot keys): the naive
+  ``GROUP BY key`` materializes one row per DISTINCT key — at 100 TB of
+  text that is the full vocabulary (billions of rows shuffled) to answer a
+  question about the few thousand frequent ones. Misra-Gries summaries are
+  *mergeable* (Agarwal et al., "Mergeable Summaries", PODS'12): a k-counter
+  sketch per partition, merged, yields a candidate superset of every key
+  with frequency > N/(k+1); an exact recount of only the candidates then
+  makes the output EXACT, so the DuckDB oracle is the plain HAVING query.
+  Sketch memory is O(k) per partition regardless of key cardinality.
+
+- **Bloom-pruned semi join**: Spark's row-level runtime filtering
+  (SPARK-32268) made explicit. The build side's keys are folded into an
+  m-bit Bloom bitmap AS DATA (a ≤ m/64-row words table — never collected);
+  the probe side tests h bit positions against the broadcast bitmap and
+  only survivors reach the exact (broadcast) semi join that removes false
+  positives. Output equals the plain semi join — bit-exact oracle — while
+  the expensive join sees only the pre-filtered fraction. At 100 TB the
+  bitmap (a few MB for millions of build keys) broadcasts where the build
+  side's key set itself may not.
+
+Both stay on the JVM hot path except the per-partition Misra-Gries fold,
+which is an Arrow-batched ``mapInPandas`` with O(k) state — the same
+"imperative per-partition logic" escape hatch the multimodal ops use.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..sources import load_table
+from .hashes import DUCK_TOKS, SPARK_TOKS, duck_h32
+
+# Heavy-hitter threshold: a token is frequent iff count * T > N (share >
+# 1/T). The Misra-Gries superset guarantee needs k + 1 > T: merged sketch
+# undercount is at most N/(k+1) < N/T, so every true heavy hitter survives
+# with a positive merged count. k = 256 counters per partition bounds
+# sketch memory independent of vocabulary size.
+_HH_T = 100
+_MG_K = 256
+
+
+def misra_gries_candidates(keys: DataFrame, key_col: str, k: int = _MG_K) -> DataFrame:
+    """Per-partition Misra-Gries sketch → merged candidate keys.
+
+    Each partition folds its rows into at most ``k`` counters; when a batch
+    merge overflows, the (k+1)-th largest count is subtracted from all
+    counters and non-positive ones dropped — the mergeable-summaries
+    reduction, which keeps total undercount ≤ n_partition/(k+1). The union
+    of surviving keys across partitions is a superset of every key with
+    global frequency > N/(k+1).
+
+    Returns a merged (key, mg_count) frame; the NULL-key row carries the
+    EXACT global row count N (each partition's sentinel row is its true
+    size, immune to sketch reductions), so callers get candidates AND the
+    total from one scan.
+    """
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        n_seen = 0
+        for pdf in batches:
+            n_seen += len(pdf)
+            for key, c in pdf[key_col].value_counts().items():
+                counters[key] = counters.get(key, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {u: c - cut for u, c in counters.items() if c > cut}
+        # Sentinel row (key NULL): the partition's EXACT row count, so the
+        # global total rides along in the sketch pass instead of costing a
+        # separate scan.
+        yield pd.DataFrame(
+            {key_col: list(counters) + [None],
+             "mg_count": list(counters.values()) + [n_seen]}
+        )
+
+    sketch_schema = f"{key_col} string, mg_count bigint"
+    return keys.mapInPandas(mg, sketch_schema).groupBy(key_col).agg(
+        F.sum("mg_count").alias("mg_count")
+    )
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({DUCK_TOKS.format(col='text')}) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT token, count(*) AS n_occurrences FROM toks GROUP BY token),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT token, CAST(n_occurrences AS BIGINT) AS n_occurrences
+    FROM cnt, tot
+    WHERE n_occurrences * {_HH_T} > n AND token <> ''
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-vocabulary mining: every token with > 1/{T} share of all
+    token occurrences, with its EXACT count — via per-partition Misra-Gries
+    candidates + exact recount of candidates only.
+
+    Scale shape: the only full-width aggregation is over the candidate set
+    (≤ partitions × k rows, broadcast back onto one token scan); the full
+    vocabulary is never shuffled. The naive exact plan — GROUP BY token
+    over everything — is what this avoids: at 100 TB the group-by key
+    cardinality is the whole vocabulary. Fixture note: the synthetic corpus
+    has a ~31-token vocabulary, so every token clears the 1% bar and the
+    sketch never evicts here; eviction correctness on genuinely skewed data
+    is pinned by tests/test_sketches.py against an exact recount.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.expr(SPARK_TOKS.format(col="text"))).alias("token")
+    ).where(F.col("token") != "")
+    sketch = misra_gries_candidates(toks, "token")
+    # Attach the NULL-key sentinel total to every candidate row with a
+    # global window OVER THE SKETCH ONLY (≤ partitions × k rows — the one
+    # place a partition-less window is safe), so the sketch subtree is
+    # evaluated once and the recount scan is the query's second and last
+    # pass over the data.
+    cand = (
+        sketch.withColumn(
+            "n",
+            F.max(F.when(F.col("token").isNull(), F.col("mg_count"))).over(
+                Window.partitionBy()
+            ),
+        )
+        .where(F.col("token").isNotNull())
+        .select("token", "n")
+    )
+    # The candidate set is bounded by construction (≤ partitions × k rows,
+    # data-size-independent), so the broadcast hint is safe under the
+    # repo's broadcast policy (tests/test_plans.py: bounded relations only).
+    return (
+        toks.join(F.broadcast(cand), "token")
+        .groupBy("token", "n")
+        .agg(F.count("*").alias("n_occurrences"))
+        .where(F.col("n_occurrences") * _HH_T > F.col("n"))
+        .select("token", "n_occurrences")
+    )
+
+
+# Bloom parameters: m = 2^17 bits (2048 longs ≈ 16 KB) over h = 3 hash
+# functions. For the sf0.01 build side (~300 keys) the false-positive rate
+# is ~(1 - e^{-hn/m})^h ≈ 3e-7; sized so the words table stays a trivial
+# broadcast even at 10^6 build keys (fp ≈ 4%).
+_BLOOM_M = 1 << 17
+_BLOOM_H = 3
+_BLOOM_SEEDS = [101, 202, 303]
+
+
+def _bloom_positions(key: F.Column) -> list[F.Column]:
+    """h bit positions for a key — native xxhash64 (JVM intrinsic); the
+    Bloom stage needs no cross-engine parity because false positives are
+    removed by the exact join, so the fast hash is safe to use here."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BLOOM_M))
+        for seed in _BLOOM_SEEDS
+    ]
+
+
+def bloom_prefilter(
+    probe: DataFrame, probe_key: str, build_keys: DataFrame, build_key: str
+) -> DataFrame:
+    """Bloom-bitmap pre-filter: keep probe rows whose key MIGHT be in the
+    build set (members plus ~fp-rate false positives; never drops a member).
+
+    The build side folds into a ≤ m/64-row (word_idx, bits) bitmap via
+    bitwise-OR aggregation — all JVM expressions, never collected. The
+    probe tests its h positions with h broadcast equi-joins against the
+    bitmap; a probe word absent from the bitmap has no set bits, so the
+    inner join itself is the membership test for that hash.
+    """
+    build = build_keys.select(F.col(build_key).alias("__bk")).distinct()
+    # (word_idx, bit) per hash per key → OR-fold into the bitmap words.
+    pos = F.explode(F.array(*_bloom_positions(F.col("__bk")))).alias("pos")
+    words = (
+        build.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("int").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    filtered = probe
+    for i, p in enumerate(_bloom_positions(F.col(probe_key))):
+        # words is bounded by CONSTRUCTION at m/64 rows (2048 here) whatever
+        # the build side's cardinality — the one relation in this operator
+        # that may carry an explicit broadcast hint under the repo policy.
+        wi = words.select(
+            F.col("word_idx").alias(f"__wi{i}"), F.col("bits").alias(f"__bits{i}")
+        )
+        filtered = (
+            filtered.withColumn(f"__pos{i}", p)
+            .withColumn(f"__wi{i}", (F.col(f"__pos{i}") / 64).cast("int"))
+            .join(F.broadcast(wi), f"__wi{i}", "inner")
+            .where(
+                F.col(f"__bits{i}").bitwiseAND(
+                    F.expr(f"shiftleft(1L, cast(__pos{i} % 64 as int))")
+                )
+                != 0
+            )
+            .drop(f"__wi{i}", f"__bits{i}", f"__pos{i}")
+        )
+    return filtered
+
+
+def bloom_semi_join(
+    probe: DataFrame, probe_key: str, build_keys: DataFrame, build_key: str
+) -> DataFrame:
+    """Semi-join ``probe`` to ``build_keys`` with a Bloom pre-filter.
+
+    :func:`bloom_prefilter` prunes non-members, then an exact semi join
+    removes the false positives — the result is EXACTLY the plain semi
+    join, which is what the DuckDB oracle checks. The exact join carries
+    NO broadcast hint: the build-side key set scales with the data (the
+    whole reason the bitmap exists), so Catalyst/AQE must earn a broadcast
+    from measured sizes; the shuffle alternative only sees the pre-filtered
+    probe fraction.
+    """
+    filtered = bloom_prefilter(probe, probe_key, build_keys, build_key)
+    build = build_keys.select(F.col(build_key).alias("__bk")).distinct()
+    return filtered.join(
+        build, filtered[probe_key] == build["__bk"], "leftsemi"
+    )
+
+
+@register(
+    "bloom_semi_join_orders",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(trunc(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_mktsegment = 'BUILDING')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders of BUILDING-segment customers via the Bloom-pruned semi join —
+    output identical to the plain semi join (the oracle), with the Bloom
+    bitmap pruning non-matching orders before the exact join.
+
+    100 TB shape: at scale the segment's customer-key set may be too large
+    to broadcast as a join side, but its 16 KB–few-MB Bloom bitmap always
+    is; the exact semi join then runs over only the pre-filtered fraction.
+    (On this fixture Catalyst would happily broadcast the build side
+    directly — the entry exists to pin the pattern's correctness, and
+    tests/test_sketches.py pins that the bitmap actually prunes.)
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    build = customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    matched = bloom_semi_join(orders, "o_custkey", build, "c_custkey")
+    return matched.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum((F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+    )
+
+
+# --- HyperLogLog cardinality, cross-engine-exact ---------------------------
+#
+# p = 12 → m = 4096 registers; 32-bit md5-derived hash → bucket = low 12
+# bits, rho = leading-zero rank of the remaining 20 bits (1..21). Everything
+# the estimate needs is computed with INTEGER comparisons and EXACT decimal
+# literals, so Spark and DuckDB produce bit-identical doubles: no log2(), no
+# float pow(), no order-dependent float summation (the harmonic sum runs in
+# DECIMAL(38,21), where each 2^-rho term is exact).
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P
+_HLL_WBITS = 32 - _HLL_P  # 20
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # embedded as one double literal
+
+
+def _rho_case(w: str) -> str:
+    """rho = position of the highest set bit of the 20-bit ``w``, counted
+    from the MSB (1-based); 21 when w == 0. Pure integer comparisons —
+    identical SQL in both dialects."""
+    arms = " ".join(
+        f"WHEN {w} >= {1 << (_HLL_WBITS - r)} THEN {r}"
+        for r in range(1, _HLL_WBITS + 1)
+    )
+    return f"(CASE {arms} ELSE {_HLL_WBITS + 1} END)"
+
+
+def _pow2neg_case(rho: str) -> str:
+    """2^-rho as an EXACT decimal literal lookup (5^k / 10^k), 1..21. All
+    literals carry the SAME fixed 21-digit scale so both engines unify the
+    CASE arms without a widening multiplication (unpadded mixed scales
+    overflow DuckDB's DECIMAL(18) rescale path)."""
+    from decimal import Decimal
+
+    arms = " ".join(
+        f"WHEN {r} THEN {(Decimal(5) ** r / Decimal(10) ** r):.21f}"
+        for r in range(1, _HLL_WBITS + 2)
+    )
+    return f"(CASE {rho} {arms} END)"
+
+
+def _hll_sql(hash_expr: str, exact_expr: str, table: str) -> str:
+    """The whole HLL pipeline as one SQL string, shared shape for both
+    engines (caller supplies the dialect-specific 32-bit hash and the exact
+    distinct count expression)."""
+    return f"""
+    WITH h AS (SELECT {hash_expr} AS h32 FROM {table}),
+    reg AS (
+      SELECT h32 % {_HLL_M} AS bucket,
+             max({_rho_case(f"(h32 - (h32 % {_HLL_M})) / {_HLL_M}")}) AS rho
+      FROM h GROUP BY h32 % {_HLL_M}
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_occupied,
+             CAST(sum(CAST({_pow2neg_case('rho')} AS DECIMAL(38,21)))
+                  AS DECIMAL(38,21)) AS s_occ
+      FROM reg
+    ),
+    e AS (SELECT CAST({exact_expr} AS BIGINT) AS n_exact FROM {table})
+    SELECT n_exact, n_occupied,
+           CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M}
+             / (CAST(s_occ AS DOUBLE) + ({_HLL_M} - n_occupied))
+             AS hll_estimate
+    FROM s, e
+    """
+
+
+@register(
+    "hll_distinct_user_days",
+    oracle=_hll_sql(
+        hash_expr=duck_h32(
+            "(CAST(user_id AS VARCHAR) || ':' || "
+            "CAST(epoch_ns(ts) // 1000000000 // 86400 AS VARCHAR))"
+        ),
+        exact_expr=(
+            "count(DISTINCT CAST(user_id AS VARCHAR) || ':' || "
+            "CAST(epoch_ns(ts) // 1000000000 // 86400 AS VARCHAR))"
+        ),
+        table="events",
+    ),
+)
+def hll_distinct_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog estimate of distinct (user, day) active pairs, alongside
+    the exact count — registers, harmonic sum and estimate all computed with
+    integer/decimal-exact arithmetic so the sketch output is BIT-IDENTICAL
+    across engines (the usual HLL float path — log2, pow, unordered float
+    sums — is deliberately absent; see the module constants).
+
+    100 TB shape: the scan reduces to ≤ m = 4096 register rows via a
+    map-side-combined max aggregation — mergeable across partitions,
+    executors, even days (union of registers = register-wise max), which is
+    why HLL is THE distributed distinct-count structure. The exact
+    ``n_exact`` column is the verification baseline (a real deployment
+    drops it — that's the whole point); `mg`+HLL sketches together answer
+    "how many / which ones are hot" without ever shuffling the key space.
+    """
+    from .hashes import spark_h32
+
+    events = load_table(spark, sf_dir, "events")
+    pair = (
+        "concat(cast(user_id as string), ':', "
+        "cast(unix_timestamp(ts) div 86400 as string))"
+    )
+    h = events.selectExpr(f"{spark_h32(pair)} AS h32")
+    reg = h.groupBy((F.col("h32") % _HLL_M).alias("bucket")).agg(
+        F.expr(f"max({_rho_case(f'(h32 - (h32 % {_HLL_M})) / {_HLL_M}')})").alias(
+            "rho"
+        )
+    )
+    s = reg.agg(
+        F.count("*").alias("n_occupied"),
+        F.expr(
+            f"cast(sum(cast({_pow2neg_case('rho')} as decimal(38,21)))"
+            " as decimal(38,21))"
+        ).alias("s_occ"),
+    )
+    e = events.selectExpr(f"count(distinct {pair}) AS n_exact")
+    return s.crossJoin(e).selectExpr(
+        "n_exact",
+        "cast(n_occupied as bigint) AS n_occupied",
+        f"cast({_HLL_ALPHA!r} as double) * {_HLL_M} * {_HLL_M}"
+        f" / (cast(s_occ as double) + ({_HLL_M} - n_occupied)) AS hll_estimate",
+    )

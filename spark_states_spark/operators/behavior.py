@@ -1,0 +1,158 @@
+"""Behavioral / product-analytics operators: funnels and cohort retention.
+
+The two workhorse event-analytics queries every OLAP engine ships, over
+the ``events`` fixture. Both are single-shuffle shapes: one Exchange on
+``user_id``, then window/aggregate passes that reuse that partitioning —
+the pattern that survives a 100 TB event log (per-user state never leaves
+its partition; the final result is a few hundred grouped rows).
+
+Time arithmetic is integer epoch seconds/days in BOTH engines (Spark
+``unix_timestamp`` / DuckDB ``epoch_ns // 1e9``), sidestepping
+timestamp-comparison and week-origin dialect differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..sources import load_table
+
+_DAY_S = 86400
+
+# Shared epoch-seconds projection of the events table.
+_DUCK_OPS = """
+  SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS ts_s
+  FROM events
+"""
+
+
+def _events_ts_s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("ts_s")
+    )
+
+
+@register(
+    "funnel_view_signup_purchase",
+    oracle=f"""
+    WITH ops AS ({_DUCK_OPS}),
+    s1 AS (
+      SELECT *, min(CASE WHEN event_type = 'view' THEN ts_s END)
+                  OVER (PARTITION BY user_id) AS t1
+      FROM ops
+    ),
+    s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'signup' AND ts_s >= t1
+                         THEN ts_s END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_s >= t2
+                         THEN ts_s END)
+                  OVER (PARTITION BY user_id) AS t3
+      FROM s2
+    )
+    SELECT CAST(count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END)
+                AS BIGINT) AS n_view,
+           CAST(count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END)
+                AS BIGINT) AS n_signup_after_view,
+           CAST(count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END)
+                AS BIGINT) AS n_purchase_after_signup
+    FROM s3
+    """,
+)
+def funnel_view_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel: users who viewed, then signed up AT OR
+    AFTER their first view, then purchased at or after that signup — the
+    classic sequence-constrained conversion funnel (each stage's timestamp
+    is the earliest event satisfying the ORDER constraint, not just
+    presence).
+
+    Plan shape: one Exchange on ``user_id``, then three chained
+    min-over-partition Window passes (each stage's cutoff feeds the next —
+    unbounded frames, no sort needed), then a partial-aggregated global
+    count. Per-user work never leaves its partition; the 100 TB cost is
+    one shuffle of (user_id, type, ts_s).
+    """
+    ops = _events_ts_s(spark, sf_dir)
+    w = W.partitionBy("user_id")
+    staged = (
+        ops.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts_s"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "signup") & (F.col("ts_s") >= F.col("t1")),
+                    F.col("ts_s"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_s") >= F.col("t2")),
+                    F.col("ts_s"),
+                )
+            ).over(w),
+        )
+    )
+    # Collapse to one row per user FIRST: the rows are already partitioned
+    # by user_id from the Window Exchange, so this groupBy is exchange-free
+    # and the global count is then a sum of 0/1 flags — no Expand, no
+    # distinct-count shuffle (the naive countDistinct trio costs an Expand
+    # plus a second full-width Exchange).
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.sum(F.col("t1").isNotNull().cast("long")).alias("n_view"),
+        F.sum(F.col("t2").isNotNull().cast("long")).alias("n_signup_after_view"),
+        F.sum(F.col("t3").isNotNull().cast("long")).alias(
+            "n_purchase_after_signup"
+        ),
+    )
+
+
+@register(
+    "cohort_retention_daily",
+    oracle=f"""
+    WITH ops AS ({_DUCK_OPS}),
+    d AS (
+      SELECT user_id, ts_s // {_DAY_S} AS day,
+             min(ts_s // {_DAY_S}) OVER (PARTITION BY user_id) AS cohort_day
+      FROM ops
+    )
+    SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+           CAST(day - cohort_day AS BIGINT) AS day_delta,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM d
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day, with
+    the count of distinct users active ``day_delta`` days after their
+    cohort day — the standard retention triangle.
+
+    Same single-shuffle shape as the funnel: min-over-user Window for the
+    cohort day reuses the Exchange the distinct-count aggregation needs;
+    output is ≤ cohorts × horizon rows however large the event log.
+    """
+    ops = _events_ts_s(spark, sf_dir)
+    d = ops.select(
+        "user_id", (F.col("ts_s") / _DAY_S).cast("long").alias("day")
+    ).withColumn("cohort_day", F.min("day").over(W.partitionBy("user_id")))
+    return (
+        d.groupBy(
+            F.col("cohort_day"),
+            (F.col("day") - F.col("cohort_day")).alias("day_delta"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -965,6 +965,53 @@ def keyed_state_ttl_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _run_ttl_summary_tws(
+    spark: SparkSession, sf_dir: str, conf: dict, name: str
+) -> DataFrame:
+    """As ``_run_ttl_summary``, but through the transformWithStateInPandas
+    binding (streaming/ttl_tws.py)."""
+    from ..config import resolve_ttl
+    from .ttl_tws import ttl_kv_ops_tws
+
+    ttl = resolve_ttl(conf, name)
+    out = run_stream_to_table(
+        ttl_kv_ops_tws(_event_kv_ops(spark, sf_dir), ttl), output_mode="append"
+    )
+    return _get_outcome_summary(out)
+
+
+from .ttl_tws import TWS_AVAILABLE as _TWS_AVAILABLE  # noqa: E402
+
+if _TWS_AVAILABLE:
+    # Registered only where the transformWithState driver worker can run
+    # (needs google.protobuf — absent in this container, present on real
+    # clusters). Same kernels, same oracles as the applyInPandasWithState
+    # entries: the shared replay_virtual fold makes the bindings
+    # semantically identical by construction, and these entries prove it
+    # externally wherever the dependency exists.
+
+    @register(
+        "keyed_state_ttl_tws_infinite", oracle=_infinite_fold_oracle("ts_s, seq")
+    )
+    def keyed_state_ttl_tws_infinite(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """``keyed_state_ttl_infinite`` on Spark 4's native arbitrary-state
+        API (transformWithStateInPandas, timeMode=none)."""
+        return _run_ttl_summary_tws(spark, sf_dir, {}, "events_kv_tws_inf")
+
+    @register(
+        "keyed_state_ttl_tws_strict", oracle=_strict_ttl_oracle(_STRICT_TTL_SECS)
+    )
+    def keyed_state_ttl_tws_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """``keyed_state_ttl_strict`` on transformWithStateInPandas — the
+        reference's marquee expire-after-access contract on the modern
+        API."""
+        conf = {
+            "spark.sql.streaming.stateStore.stateExpirySecs": str(_STRICT_TTL_SECS),
+            "spark.sql.streaming.stateStore.strictExpire": "true",
+        }
+        return _run_ttl_summary_tws(spark, sf_dir, conf, "events_kv_tws_strict")
+
+
 @register(
     "streaming_static_enrich",
     oracle="""

@@ -79,6 +79,78 @@ STATE_SCHEMA = T.StructType(
 )
 
 
+def replay_virtual(
+    rows: pd.DataFrame,
+    ttl: TtlConfig,
+    value: int | None,
+    last_access: int | None,
+    have: bool,
+) -> tuple[list[tuple[str, int, bool, int | None]], tuple[int, int] | None]:
+    """Replay one batch of (key, op, value, ts_s, seq) rows through the
+    virtual-clock TTL contract; return (get outcomes, surviving state).
+
+    The single source of truth for the kernel semantics, shared by BOTH
+    arbitrary-state bindings (``applyInPandasWithState`` below and the
+    ``transformWithStateInPandas`` binding in ttl_tws.py) so they cannot
+    drift. Surviving state is None when the key should be dropped — the
+    batch-end sweep, the per-commit stand-in for RocksDB compaction-time
+    expiry (``RocksDbStateStoreProvider.scala:80-85``).
+    """
+    out: list[tuple[str, int, bool, int | None]] = []
+
+    def alive(now: int) -> bool:
+        if not have:
+            return False
+        if ttl.is_infinite:
+            return True
+        if ttl.is_stateless:
+            return False  # puts are immediately invisible (ttl=0)
+        return now - last_access < ttl.ttl_secs
+
+    # Deterministic replay order: virtual time, then sequence number.
+    rows = rows.sort_values(["ts_s", "seq"])
+    end_now = 0
+    for r in rows.itertuples(index=False):
+        now = int(r.ts_s)
+        end_now = max(end_now, now)
+        op = r.op
+        if op == "put":
+            value, last_access, have = int(r.value), now, True
+        elif op == "get":
+            if alive(now):
+                out.append((r.key, now, True, value))
+                if ttl.strict:
+                    # reset-on-access: the strict live-key cache is
+                    # expireAfterAccess, so a read extends the deadline
+                    # (reference test "ttl should reset on get, set and
+                    # update", strict mode).
+                    last_access = now
+            elif have and not ttl.strict and not ttl.is_stateless:
+                # non-strict lazy expiry: an expired-but-unswept key is
+                # still served (TtlDB keys live "≥ ttl"); the clock is
+                # update-based, so serving does NOT extend it.
+                out.append((r.key, now, True, value))
+            else:
+                out.append((r.key, now, False, None))
+                if have and ttl.strict:
+                    value, last_access, have = None, None, False
+        elif op == "remove":
+            value, last_access, have = None, None, False
+
+    if have and not ttl.is_stateless and alive(end_now):
+        return out, (value, last_access)
+    return out, None
+
+
+def outcomes_frame(out: list[tuple[str, int, bool, int | None]]) -> pd.DataFrame:
+    """Get-outcome rows → the OUTPUT_SCHEMA frame, with nullable int64
+    values (a miss yields value=null — plain int columns would silently
+    become float64 under NaN)."""
+    pdf = pd.DataFrame(out, columns=["key", "ts_s", "found", "value"])
+    pdf["value"] = pd.array(pdf["value"], dtype="Int64")
+    return pdf
+
+
 def _make_kernel(ttl: TtlConfig):
     """Build the per-key state function for applyInPandasWithState."""
 
@@ -91,63 +163,16 @@ def _make_kernel(ttl: TtlConfig):
             value, last_access = state.get
             have = True
         else:
-            value, last_access = None, None
-            have = False
-
-        out: list[tuple[str, int, bool, int | None]] = []
-
-        def alive(now: int) -> bool:
-            if not have:
-                return False
-            if ttl.is_infinite:
-                return True
-            if ttl.is_stateless:
-                return False  # puts are immediately invisible (ttl=0)
-            return now - last_access < ttl.ttl_secs
+            value, last_access, have = None, None, False
 
         rows = pd.concat(list(pdfs))
-        # Deterministic replay order: virtual time, then sequence number.
-        rows = rows.sort_values(["ts_s", "seq"])
-        end_now = 0
-        for r in rows.itertuples(index=False):
-            now = int(r.ts_s)
-            end_now = max(end_now, now)
-            op = r.op
-            if op == "put":
-                value, last_access, have = int(r.value), now, True
-            elif op == "get":
-                if alive(now):
-                    out.append((r.key, now, True, value))
-                    if ttl.strict:
-                        # reset-on-access: the strict live-key cache is
-                        # expireAfterAccess, so a read extends the deadline
-                        # (reference test "ttl should reset on get, set and
-                        # update", strict mode).
-                        last_access = now
-                elif have and not ttl.strict and not ttl.is_stateless:
-                    # non-strict lazy expiry: an expired-but-unswept key is
-                    # still served (TtlDB keys live "≥ ttl"); the clock is
-                    # update-based, so serving does NOT extend it.
-                    out.append((r.key, now, True, value))
-                else:
-                    out.append((r.key, now, False, None))
-                    if have and ttl.strict:
-                        value, last_access, have = None, None, False
-            elif op == "remove":
-                value, last_access, have = None, None, False
-
-        # Batch-end sweep = the per-commit stand-in for RocksDB compaction:
-        # expired keys are physically dropped here in both modes.
-        if have and not ttl.is_stateless and alive(end_now):
-            state.update((value, last_access))
+        out, survived = replay_virtual(rows, ttl, value, last_access, have)
+        if survived is not None:
+            state.update(survived)
         else:
             state.remove()
         if out:
-            pdf = pd.DataFrame(out, columns=["key", "ts_s", "found", "value"])
-            # Nullable int64 (a miss yields value=null) — plain int columns
-            # would silently become float64 under NaN.
-            pdf["value"] = pd.array(pdf["value"], dtype="Int64")
-            yield pdf
+            yield outcomes_frame(out)
 
     return kernel
 

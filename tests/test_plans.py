@@ -191,6 +191,7 @@ _NON_EQUI_BY_DESIGN = {
     # only the cross join provides
     "similar_users_timeseries",
     "histogram_event_values",  # 1-row (min,max) extent broadcast onto the scan
+    "hll_distinct_user_days",  # 1-row register-sum × 1-row exact-count join
 }
 
 
