@@ -110,6 +110,7 @@ HEADLINE = [
     "bloom_semi_join_orders",
     "funnel_view_signup_purchase",
     "hll_distinct_user_days",
+    "streaming_funnel_stages",
 ]
 
 

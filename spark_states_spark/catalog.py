@@ -78,6 +78,7 @@ _VERIFY_FIRST = [
     "hll_distinct_user_days",
     "funnel_view_signup_purchase",
     "cohort_retention_daily",
+    "streaming_funnel_stages",
     # --- earlier this session: time-series/CDC family, span-level dedup,
     # source reputation, the bucketed co-located join, and the streaming
     # materialized-view pair (CDC upsert + windowed top-k) ---

@@ -1382,3 +1382,141 @@ def streaming_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = _with_state_parts(spark, STATE_PARTS, run)
     return out.groupBy("check_name").agg(F.max("n").alias("n"))
+
+
+# --- streaming funnel: per-user stage progression as arbitrary state --------
+
+# Composite arrival key: strictly increasing, collision-free within the
+# fixture (event_id < 10^6 at every SF; a production pipeline widens this to
+# a struct or a 128-bit key). Arrival order of the chunked replay ==
+# (ts, event_id) order, so "first eligible event after the previous stage"
+# is deterministic and equals the batch min-over-k fold the oracle runs.
+_FUNNEL_K = "unix_timestamp(ts) * 1000000 + event_id"
+
+_FUNNEL_STAGES = {"view": 1, "signup": 2, "purchase": 3}
+
+
+@register(
+    "streaming_funnel_stages",
+    oracle=f"""
+    WITH ops AS (
+      SELECT user_id, event_type,
+             epoch_ns(ts) // 1000000000 * 1000000 + event_id AS k
+      FROM events
+    ),
+    s1 AS (
+      SELECT *, min(CASE WHEN event_type = 'view' THEN k END)
+                  OVER (PARTITION BY user_id) AS k1
+      FROM ops
+    ),
+    s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'signup' AND k > k1 THEN k END)
+                  OVER (PARTITION BY user_id) AS k2
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND k > k2 THEN k END)
+                  OVER (PARTITION BY user_id) AS k3
+      FROM s2
+    ),
+    per_user AS (
+      SELECT user_id, max(k1) AS k1, max(k2) AS k2, max(k3) AS k3
+      FROM s3 GROUP BY user_id
+    )
+    SELECT CAST(1 AS INT) AS stage,
+           CAST(count(k1) AS BIGINT) AS n_users FROM per_user
+    UNION ALL
+    SELECT CAST(2 AS INT), CAST(count(k2) AS BIGINT) FROM per_user
+    UNION ALL
+    SELECT CAST(3 AS INT), CAST(count(k3) AS BIGINT) FROM per_user
+    """,
+)
+def streaming_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming conversion funnel as ARBITRARY KEYED STATE: per user, a
+    3-slot stage record (first view → first signup after it → first
+    purchase after that) advances monotonically across micro-batches; each
+    stage transition is emitted exactly once (append-safe by construction —
+    a slot fills at most once per user, ever).
+
+    This is the stateful-materialized-view face of the batch
+    ``funnel_view_signup_purchase``: the reference's keyed state store is
+    exactly what holds the per-user (k1, k2, k3) record between batches
+    (state = 3 longs per ACTIVE user — bounded by population, not stream
+    length; a production variant adds the wall-clock TTL kernel's timeout
+    to retire abandoned funnels, which is the reference's TTL use case
+    verbatim, README.md:34-49).
+
+    The time-ordered chunked replay makes cross-batch determinism exact:
+    arrival order == (ts, event_id) order == the composite-key order the
+    DuckDB oracle folds over, so the drained stage counts value-match the
+    batch window SQL.
+    """
+    from collections.abc import Iterator as _Iter
+
+    import pandas as _pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..sources import chunked_stream
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("stage", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("k1", T.LongType()),
+            T.StructField("k2", T.LongType()),
+            T.StructField("k3", T.LongType()),
+        ]
+    )
+
+    def kernel(
+        key, pdfs: _Iter[_pd.DataFrame], state: GroupState
+    ) -> _Iter[_pd.DataFrame]:
+        k1, k2, k3 = state.get if state.exists else (None, None, None)
+        out = []
+        rows = _pd.concat(list(pdfs)).sort_values("k")
+        uid = int(key[0])
+        for r in rows.itertuples(index=False):
+            k = int(r.k)
+            if r.event_type == "view" and k1 is None:
+                k1 = k
+                out.append((uid, 1))
+            elif r.event_type == "signup" and k1 is not None and k2 is None:
+                k2 = k
+                out.append((uid, 2))
+            elif r.event_type == "purchase" and k2 is not None and k3 is None:
+                k3 = k
+                out.append((uid, 3))
+        state.update((k1, k2, k3))
+        if out:
+            yield _pd.DataFrame(out, columns=["user_id", "stage"])
+
+    def run() -> DataFrame:
+        events = chunked_stream(spark, sf_dir, "events").select(
+            "user_id", "event_type", F.expr(_FUNNEL_K).alias("k")
+        )
+        transitions = events.groupBy("user_id").applyInPandasWithState(
+            kernel,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        drained = run_stream_to_table(transitions, output_mode="append")
+        counts = drained.groupBy("stage").agg(F.count("*").alias("cnt"))
+        # The oracle emits a row per stage even when its count is 0; a bare
+        # groupBy would drop empty stages, so anchor on a literal 3-row
+        # stage frame.
+        stages = spark.createDataFrame(
+            [(s,) for s in sorted(_FUNNEL_STAGES.values())], "stage int"
+        )
+        return stages.join(counts, "stage", "left").select(
+            "stage", F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("n_users")
+        )
+
+    return _with_state_parts(spark, STATE_PARTS, run)

@@ -1,0 +1,102 @@
+"""Behavioral-analytics operators on ADVERSARIAL data the uniform fixture
+can't produce: users who stall mid-funnel, out-of-order stages, and
+same-second ordering resolved by the composite (ts, event_id) key. Runs
+the REAL catalog entries (batch funnel + streaming funnel) against a
+synthetic events table staged in the fixture layout, and the streaming
+entry against its own DuckDB oracle on that same table — a full
+differential on data where the stage gating actually discriminates."""
+
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from spark_states_spark.catalog import ORACLES, QUERIES
+
+_T0 = 1704067200  # 2024-01-01 00:00:00 UTC, matches the fixture epoch
+
+
+def _events_table(tmp_path):
+    """user 1: clean view→signup→purchase; user 2: signup BEFORE view
+    (never converts past stage 1); user 3: purchase before signup (stops
+    at stage 2); user 4: purchase only (stage 0); user 5: signup in the
+    SAME second as the view but a smaller event_id (arrival order puts it
+    first → not eligible), then a later signup that is."""
+    rows = [
+        # (event_id, ts_offset_s, user_id, event_type)
+        (1, 0, 1, "view"), (2, 10, 1, "signup"), (3, 20, 1, "purchase"),
+        (4, 0, 2, "signup"), (5, 10, 2, "view"), (6, 20, 2, "purchase"),
+        (7, 0, 3, "view"), (8, 10, 3, "purchase"), (9, 20, 3, "signup"),
+        (10, 0, 4, "purchase"),
+        (11, 100, 5, "signup"),   # same second as the view, SMALLER id →
+        (12, 100, 5, "view"),     # arrives first, not eligible
+        (13, 200, 5, "signup"),   # this one converts stage 2
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [(_T0 + r[1]) * 1_000_000 for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = str(tmp_path / "funnel_fixture")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    return d
+
+
+# Expected: stage 1 = users with a view = {1,2,3,5} = 4;
+# stage 2 = signup strictly after the first view = {1,5} ∪ {2? no} ∪
+#           {3: signup@20 > view@0 → yes} = {1,3,5} = 3;
+# stage 3 = purchase after that signup = {1} = 1.
+_EXPECTED = {1: 4, 2: 3, 3: 1}
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    return _events_table(tmp_path_factory.mktemp("behavior"))
+
+
+def test_streaming_funnel_stage_gating(spark, fixture_dir):
+    got = {
+        r.stage: r.n_users
+        for r in QUERIES["streaming_funnel_stages"](spark, fixture_dir).collect()
+    }
+    assert got == _EXPECTED
+
+
+def test_streaming_funnel_oracle_differential_on_adversarial_data(
+    spark, fixture_dir
+):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{fixture_dir}/events.parquet')"
+    )
+    try:
+        oracle = {
+            s: n
+            for s, n in con.execute(
+                ORACLES["streaming_funnel_stages"]
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert oracle == _EXPECTED  # the oracle itself encodes the gating
+
+
+def test_batch_funnel_on_adversarial_data(spark, fixture_dir):
+    """The batch funnel uses second-granularity >= gating (not the
+    composite key), so user 2 — signup at t+0, view at t+10 — still never
+    converts, and user 5's same-second signup DOES count there."""
+    row = QUERIES["funnel_view_signup_purchase"](spark, fixture_dir).collect()[0]
+    assert row.n_view == 4
+    assert row.n_signup_after_view == 3  # users 1, 3, 5 (same-second counts)
+    assert row.n_purchase_after_signup == 1
