@@ -111,6 +111,10 @@ HEADLINE = [
     "funnel_view_signup_purchase",
     "hll_distinct_user_days",
     "streaming_funnel_stages",
+    "exact_median_two_pass",
+    "ohlc_daily_bars",
+    "url_normalize_dedup",
+    "compact_small_files",
 ]
 
 

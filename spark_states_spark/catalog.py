@@ -58,9 +58,11 @@ from .operators import setops  # noqa: E402,F401
 from .operators import timeseries  # noqa: E402,F401
 from .sources import bucketing  # noqa: E402,F401
 from .sources import partitioned  # noqa: E402,F401
+from .sources import compaction  # noqa: E402,F401
 from .operators import quality  # noqa: E402,F401
 from .functions import sketches  # noqa: E402,F401
 from .operators import behavior  # noqa: E402,F401
+from .operators import orderstats  # noqa: E402,F401
 
 # Verification-priority reorder: entries whose code changed this round, or
 # which have never had an external (driver) verdict, float to the front so a
@@ -79,6 +81,10 @@ _VERIFY_FIRST = [
     "funnel_view_signup_purchase",
     "cohort_retention_daily",
     "streaming_funnel_stages",
+    "exact_median_two_pass",
+    "ohlc_daily_bars",
+    "url_normalize_dedup",
+    "compact_small_files",
     # --- earlier this session: time-series/CDC family, span-level dedup,
     # source reputation, the bucketed co-located join, and the streaming
     # materialized-view pair (CDC upsert + windowed top-k) ---

@@ -415,3 +415,138 @@ def source_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept"
         ),
     )
+
+
+# --- URL canonicalization dedup ---------------------------------------------
+#
+# Crawl pipelines dedupe by CANONICAL URL before ever touching content:
+# scheme/host case, tracking params (utm_*, ref), fragments, trailing
+# slashes and query-param order are all presentation noise. The fixture has
+# no URL column, so raw URLs are SYNTHESIZED deterministically from doc
+# fields (the same stance as the multimodal BMP/WAV payloads: the
+# normalization logic is the operator; the generator just feeds it known
+# noise): each doc emits a URL whose case, tracking params, param order,
+# fragment and trailing slash vary by doc_id — every variant of the same
+# (source, doc_id mod group) must collapse to ONE canonical URL.
+
+# Canonical identity of a doc's page: (source, doc_id % 50, lang). The
+# CLEAN variant is already canonical; the NOISY variant wraps the same
+# identity in case/tracking/order/fragment/slash noise — so every page
+# contributes 2 raw URLs that MUST collapse to 1 canonical.
+_URL_CLEAN_SPARK = (
+    "concat('https://', source, '.example.com/docs/',"
+    " CAST(doc_id % 50 AS STRING), '?id=', CAST(doc_id % 50 AS STRING),"
+    " '&lang=', lang)"
+)
+_URL_NOISY_SPARK = (
+    "concat("
+    "  CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END,"
+    "  CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END,"
+    "  '.example.com/docs/', CAST(doc_id % 50 AS STRING),"
+    "  CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,"
+    "  CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&lang=' ELSE '?lang=' END,"
+    "  lang,"
+    "  CASE WHEN doc_id % 2 = 0 THEN '&id=' ELSE '&ref=rss&id=' END,"
+    "  CAST(doc_id % 50 AS STRING),"
+    "  CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END"
+    ")"
+)
+_URL_CLEAN_DUCK = (
+    "('https://' || source || '.example.com/docs/' ||"
+    " CAST(doc_id % 50 AS VARCHAR) || '?id=' || CAST(doc_id % 50 AS VARCHAR) ||"
+    " '&lang=' || lang)"
+)
+_URL_NOISY_DUCK = (
+    "("
+    "  CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END ||"
+    "  CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END ||"
+    "  '.example.com/docs/' || CAST(doc_id % 50 AS VARCHAR) ||"
+    "  CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||"
+    "  CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&lang=' ELSE '?lang=' END ||"
+    "  lang ||"
+    "  CASE WHEN doc_id % 2 = 0 THEN '&id=' ELSE '&ref=rss&id=' END ||"
+    "  CAST(doc_id % 50 AS VARCHAR) ||"
+    "  CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END"
+    ")"
+)
+
+
+
+def _canon_spark(u: str) -> str:
+    """Canonicalize a URL column (Spark SQL): drop fragment, lowercase
+    scheme+host, strip trailing slash on the path, remove utm_*/ref
+    tracking params, sort surviving params. Regexes stay in the Java∩RE2
+    dialect (same rule as text_pii_scrub)."""
+    nofrag = f"regexp_replace({u}, '#.*$', '')"
+    lowered = (
+        f"concat(lower(regexp_extract({nofrag}, '(?i)^(https?://[^/?]+)', 1)),"
+        f" regexp_replace({nofrag}, '(?i)^https?://[^/?]+', ''))"
+    )
+    path = f"regexp_replace(regexp_extract({lowered}, '^([^?]*)', 1), '/+$', '')"
+    query = f"regexp_extract({lowered}, '\\\\?(.*)$', 1)"
+    kept = (
+        f"array_sort(filter(split({query}, '&'),"
+        f" p -> p != '' AND p NOT LIKE 'utm_%' AND p NOT LIKE 'ref=%'))"
+    )
+    return (
+        f"CASE WHEN {query} = '' THEN {path} "
+        f"WHEN size({kept}) = 0 THEN {path} "
+        f"ELSE concat({path}, '?', concat_ws('&', {kept})) END"
+    )
+
+
+def _canon_duck(u: str) -> str:
+    """The same canonicalization in DuckDB SQL."""
+    nofrag = f"regexp_replace({u}, '#.*$', '')"
+    lowered = (
+        f"(lower(regexp_extract({nofrag}, '(?i)^(https?://[^/?]+)', 1)) ||"
+        f" regexp_replace({nofrag}, '(?i)^https?://[^/?]+', ''))"
+    )
+    path = f"regexp_replace(regexp_extract({lowered}, '^([^?]*)', 1), '/+$', '')"
+    query = f"regexp_extract({lowered}, '\\?(.*)$', 1)"
+    kept = (
+        f"list_sort(list_filter(string_split({query}, '&'),"
+        f" p -> p != '' AND p NOT LIKE 'utm_%' AND p NOT LIKE 'ref=%'))"
+    )
+    return (
+        f"CASE WHEN {query} = '' THEN {path} "
+        f"WHEN len({kept}) = 0 THEN {path} "
+        f"ELSE {path} || '?' || array_to_string({kept}, '&') END"
+    )
+
+
+@register(
+    "url_normalize_dedup",
+    oracle=f"""
+    WITH u AS (
+      SELECT source, unnest([{_URL_CLEAN_DUCK}, {_URL_NOISY_DUCK}]) AS raw_url
+      FROM documents
+    ),
+    c AS (SELECT source, raw_url, {_canon_duck('raw_url')} AS canon FROM u)
+    SELECT source,
+           CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw,
+           CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical
+    FROM c GROUP BY source
+    """,
+)
+def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup: per source, how many raw URL variants
+    collapse to how many canonical URLs once fragments, tracking params,
+    host case, param order and trailing slashes are normalized away — the
+    first dedup pass of every crawl pipeline, before any content hashing.
+
+    All JVM regex/array expressions in one projection; the only shuffle is
+    the per-source distinct-count aggregation. The canonicalizer itself is
+    the tested artifact (the raw URLs are a deterministic synthetic feed —
+    see module comment).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    u = d.selectExpr(
+        "source",
+        f"explode(array({_URL_CLEAN_SPARK}, {_URL_NOISY_SPARK})) AS raw_url",
+    )
+    c = u.selectExpr("source", "raw_url", f"{_canon_spark('raw_url')} AS canon")
+    return c.groupBy("source").agg(
+        F.countDistinct("raw_url").alias("n_raw"),
+        F.countDistinct("canon").alias("n_canonical"),
+    )

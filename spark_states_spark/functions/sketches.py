@@ -63,7 +63,9 @@ def misra_gries_candidates(keys: DataFrame, key_col: str, k: int = _MG_K) -> Dat
     Returns a merged (key, mg_count) frame; the NULL-key row carries the
     EXACT global row count N (each partition's sentinel row is its true
     size, immune to sketch reductions), so callers get candidates AND the
-    total from one scan.
+    total from one scan. Input keys must be NON-NULL (filter upstream —
+    NULL is the sentinel; pandas value_counts also drops NaN, so a null
+    key would silently vanish from the counts).
     """
 
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1,0 +1,112 @@
+"""Distributed exact order statistics: median without a global sort.
+
+The naive exact median is a total sort (or a single-partition
+``percentile``) — the one operation that cannot scale: a global sort of
+100 TB exists only to discard all but one row. The classic distributed
+answer is iterative range narrowing: histogram the value range (a
+map-side-combined ≤B-row aggregate), locate which bin holds each target
+rank, then resolve the exact order statistic INSIDE that bin only — a
+partition-bounded sort of ~N/B rows. One narrowing round suffices at
+fixture scale; at 100 TB the same two stages repeat (narrow the bin,
+re-histogram) or B grows — the shape is unchanged.
+
+Correctness does not depend on float bin arithmetic: binning by
+``floor((v - lo)/w)`` is monotone in ``v``, so bin boundaries partition
+the order exactly wherever the doubles land; only the FINAL median value
+is oracle-compared (DuckDB ``median`` = quantile_cont(0.5), which for
+even N is the average of the two middle values — the same two order
+statistics this computes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..sources import load_table
+
+_BINS = 1024
+
+
+@register(
+    "exact_median_two_pass",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           median(l_extendedprice) AS median_price
+    FROM lineitem
+    """,
+)
+def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median of ``l_extendedprice`` via histogram narrowing + in-bin
+    order statistics — no global sort, no single-partition percentile.
+
+    Plan shape: scan 1 → 1-row (lo, hi, N) extent; scan 2 → ≤1024-row bin
+    histogram (map-side combined); the cumulative walk and rank location
+    run over the HISTOGRAM (bounded, the sanctioned single-partition
+    window); scan 3 touches only the 1–2 target bins (~N/B rows), ranks
+    them per-bin, and picks the two middle order statistics. Even-N
+    median = avg of the two — one IEEE division, oracle-identical.
+    """
+    items = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v")
+    )
+    return exact_median(items).select(
+        "n", F.col("median").alias("median_price")
+    )
+
+
+def exact_median(items: DataFrame) -> DataFrame:
+    """Histogram-narrowed exact median of column ``v``; returns a 1-row
+    (n, median) frame. Odd/even/duplicate/random cases differentially
+    pinned against a true sort in tests/test_orderstats.py."""
+    ext = items.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("*").alias("n")
+    )
+    # Degenerate guard: hi == lo (all values equal) makes the bin width 0
+    # and the division NaN — pin the width to 1 so everything lands in
+    # bin 0 and the order statistics fall out trivially.
+    width = F.when(
+        F.col("hi") == F.col("lo"), F.lit(1.0)
+    ).otherwise((F.col("hi") - F.col("lo")) / _BINS)
+    binned = items.crossJoin(F.broadcast(ext)).select(
+        "v",
+        "n",
+        F.least(
+            F.floor((F.col("v") - F.col("lo")) / width), F.lit(_BINS - 1)
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    hist = binned.groupBy("bin", "n").agg(F.count("*").alias("cnt"))
+    # Bounded single-partition window: the histogram is ≤ _BINS rows by
+    # construction, whatever N is.
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0))
+    ).withColumn("cum_before", F.col("cum") - F.col("cnt"))
+    # The two middle ranks (equal when N is odd).
+    ranks = ext.select(
+        F.explode(F.array((F.col("n") + 1) / 2, (F.col("n") + 2) / 2)).alias("kd")
+    ).select(F.col("kd").cast("long").alias("k"))
+    # 2-row × ≤1024-row bounded range join: which bin holds each rank.
+    target = (
+        F.broadcast(ranks)
+        .join(
+            cum,
+            (F.col("k") > F.col("cum_before")) & (F.col("k") <= F.col("cum")),
+        )
+        .select("k", "bin", (F.col("k") - F.col("cum_before")).alias("offset"))
+    )
+    # Resolve order statistics inside the target bins only. DISTINCT
+    # matters: for odd N the two middle ranks coincide, and a duplicated
+    # (bin, offset) row would double every in-bin row and corrupt the
+    # rank numbering (avg over the single deduped pick is still the
+    # median — DuckDB's odd-N median is that middle value).
+    in_bin = binned.join(
+        F.broadcast(target.select("bin", "offset").distinct()), "bin"
+    ).withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("bin", "offset").orderBy("v")),
+    )
+    picked = in_bin.where(F.col("rn") == F.col("offset")).select("n", "v")
+    return picked.groupBy("n").agg(F.avg("v").alias("median"))

@@ -513,3 +513,62 @@ def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").cast("double").alias("bin_min"),
         F.max("value").cast("double").alias("bin_max"),
     )
+
+
+@register(
+    "ohlc_daily_bars",
+    oracle="""
+    WITH k AS (
+      SELECT epoch_ns(ts) // 1000000000 // 86400 AS day,
+             (epoch_ns(ts) // 1000 % 86400000000) * 10000000 + event_id AS seq,
+             value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           arg_min(value, seq) AS open,
+           CAST(max(value) AS DOUBLE) AS high,
+           CAST(min(value) AS DOUBLE) AS low,
+           arg_max(value, seq) AS close,
+           CAST(count(*) AS BIGINT) AS n_trades,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+             AS avg_value
+    FROM k GROUP BY day
+    """,
+)
+def ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars over purchase values — the canonical time-series
+    compaction (open/high/low/close + mean), one map-side-combinable
+    aggregate pass: open/close are ``min_by``/``max_by`` over a composite
+    (ts_us, event_id) sequence key (deterministic under same-timestamp
+    ties, same tie-break both engines), the mean is the DECIMAL-exact-sum
+    average (operators/exact.py discipline). 100 TB shape: pure partial
+    aggregation — rows collapse to ≤ |days| groups before the single
+    shuffle, and every function here combines associatively (min_by/max_by
+    merge by comparing keys), which is what makes OHLC viable as a
+    streaming/update-mode rollup too.
+    """
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    # seq = microseconds WITHIN the day * 1e7 + event_id: unique and
+    # order-preserving inside each day group (the only scope argmin/argmax
+    # compare in), and bounded at ~8.6e17 + 1e7 — no int64 overflow at any
+    # SF, unlike a global micros*K composite.
+    k = e.select(
+        (F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        (
+            F.expr("(unix_micros(ts) % 86400000000) * 10000000") + F.col("event_id")
+        ).alias("seq"),
+        "value",
+    )
+    return k.groupBy("day").agg(
+        F.min_by("value", "seq").alias("open"),
+        F.max("value").cast("double").alias("high"),
+        F.min("value").cast("double").alias("low"),
+        F.max_by("value", "seq").alias("close"),
+        F.count("*").alias("n_trades"),
+        (
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_value"),
+    )

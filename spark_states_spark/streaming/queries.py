@@ -1497,8 +1497,20 @@ def streaming_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield _pd.DataFrame(out, columns=["user_id", "stage"])
 
     def run() -> DataFrame:
-        events = chunked_stream(spark, sf_dir, "events").select(
-            "user_id", "event_type", F.expr(_FUNNEL_K).alias("k")
+        # 2 time-ordered chunks + 16 state partitions: this query's cost is
+        # per-(batch x partition) Python worker round-trips, NOT data
+        # (sf0.1 sweep: 8 chunks/4 parts = 12.1 s, 4/4 = 6.1, 4/8 = 5.1,
+        # 2/8 = 3.1, 2/16 = 2.9 — more partitions parallelize the per-key
+        # kernel calls, fewer batches cut the fixed replay cost). Two
+        # batches still exercise real cross-batch state handoff; the
+        # adversarial handoff cases live in tests/test_behavior.py.
+        # Funnel-irrelevant event types are dropped BEFORE the stateful
+        # operator, so the state op sees 60% of the stream and the filter
+        # runs JVM-side at the scan.
+        events = (
+            chunked_stream(spark, sf_dir, "events", n_chunks=2)
+            .where(F.col("event_type").isin(*_FUNNEL_STAGES))
+            .select("user_id", "event_type", F.expr(_FUNNEL_K).alias("k"))
         )
         transitions = events.groupBy("user_id").applyInPandasWithState(
             kernel,
@@ -1519,4 +1531,4 @@ def streaming_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stage", F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("n_users")
         )
 
-    return _with_state_parts(spark, STATE_PARTS, run)
+    return _with_state_parts(spark, 16, run)

@@ -125,3 +125,38 @@ def test_stub_decoder_deterministic():
     a = decode_image_stub(b"hello world payload")
     b = decode_image_stub(b"hello world payload")
     assert a == b
+
+
+_URL_CANON_CASES = [
+    # (raw, canonical)
+    (
+        "HTTPS://SRC1.example.com/docs/3/?utm_source=feed&id=3&lang=en#section-2",
+        "https://src1.example.com/docs/3?id=3&lang=en",
+    ),
+    ("https://h.com/a?id=3&ref=rss&lang=en", "https://h.com/a?id=3&lang=en"),
+    ("https://h.com/a/?utm_source=x", "https://h.com/a"),  # all params stripped
+    ("https://h.com/a?b=2&a=1", "https://h.com/a?a=1&b=2"),  # param order
+    ("https://h.com/a", "https://h.com/a"),  # already canonical
+    ("https://h.com/a#frag", "https://h.com/a"),
+]
+
+
+def test_url_canonicalizer_cases_both_dialects(spark):
+    """The URL canonicalizer must make identical decisions in the Spark and
+    DuckDB dialects on every edge case: host-case, tracking params, param
+    sort, fragments, trailing slash, no-query passthrough."""
+    import duckdb
+
+    from spark_states_spark.functions.pipeline import _canon_duck, _canon_spark
+
+    con = duckdb.connect()
+    try:
+        for raw, want in _URL_CANON_CASES:
+            got_duck = con.execute(f"SELECT {_canon_duck(repr(raw))}").fetchone()[0]
+            got_spark = (
+                spark.range(1).selectExpr(f"{_canon_spark(repr(raw))} AS c").collect()[0].c
+            )
+            assert got_duck == want, f"duckdb: {raw!r} -> {got_duck!r}"
+            assert got_spark == want, f"spark: {raw!r} -> {got_spark!r}"
+    finally:
+        con.close()

@@ -192,6 +192,9 @@ _NON_EQUI_BY_DESIGN = {
     "similar_users_timeseries",
     "histogram_event_values",  # 1-row (min,max) extent broadcast onto the scan
     "hll_distinct_user_days",  # 1-row register-sum × 1-row exact-count join
+    # 2-row rank frame × ≤1024-row histogram bounded range join (which bin
+    # holds each middle rank) + the 1-row extent broadcast onto the scan
+    "exact_median_two_pass",
 }
 
 
