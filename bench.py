@@ -109,12 +109,15 @@ HEADLINE = [
     "heavy_hitter_tokens",
     "bloom_semi_join_orders",
     "funnel_view_signup_purchase",
+    "cohort_retention_daily",
     "hll_distinct_user_days",
     "streaming_funnel_stages",
     "exact_median_two_pass",
     "ohlc_daily_bars",
     "url_normalize_dedup",
     "compact_small_files",
+    "exact_quantiles_multi",
+    "streaming_ohlc_update",
 ]
 
 

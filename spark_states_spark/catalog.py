@@ -85,6 +85,8 @@ _VERIFY_FIRST = [
     "ohlc_daily_bars",
     "url_normalize_dedup",
     "compact_small_files",
+    "exact_quantiles_multi",
+    "streaming_ohlc_update",
     # --- earlier this session: time-series/CDC family, span-level dedup,
     # source reputation, the bucketed co-located join, and the streaming
     # materialized-view pair (CDC upsert + windowed top-k) ---

@@ -110,3 +110,86 @@ def exact_median(items: DataFrame) -> DataFrame:
     )
     picked = in_bin.where(F.col("rn") == F.col("offset")).select("n", "v")
     return picked.groupBy("n").agg(F.avg("v").alias("median"))
+
+
+# --- arbitrary exact quantiles (same narrowing machinery) -------------------
+
+_QUANTILE_PCTS = (25, 50, 75, 90, 99)
+
+
+@register(
+    "exact_quantiles_multi",
+    # The oracle names the SAME order statistic explicitly (k = ceil(p/100
+    # * n), the lower/disc convention) via row_number — deliberately NOT an
+    # engine quantile function, whose rank/interpolation conventions differ
+    # across engines and versions.
+    oracle=f"""
+    WITH r AS (
+      SELECT l_extendedprice AS v,
+             row_number() OVER (ORDER BY l_extendedprice) AS rn,
+             count(*) OVER () AS n
+      FROM lineitem
+    )
+    SELECT p.pct, r.v AS value
+    FROM (VALUES {", ".join(f"({p})" for p in _QUANTILE_PCTS)}) p(pct)
+    JOIN r ON r.rn = CAST(ceil(p.pct * r.n / 100.0) AS BIGINT)
+    """,
+)
+def exact_quantiles_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p25/p50/p75/p90/p99 of ``l_extendedprice`` in ONE run of the
+    histogram-narrowing machinery: all five ranks locate their bins against
+    the same ≤1024-row histogram, and the in-bin resolution ranks each
+    needed bin once — the marginal cost of an extra quantile is one more
+    2-row join row, not another pass. (The oracle, by contrast, sorts the
+    world — that contrast IS the point of the operator.)
+
+    Rank convention: k = ceil(p/100 · n), the discontinuous (lower) order
+    statistic — stated explicitly in both engines rather than delegated to
+    quantile functions with divergent interpolation rules.
+    """
+    items = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v")
+    )
+    ext = items.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("*").alias("n")
+    )
+    pcts = F.array(*[F.lit(p) for p in _QUANTILE_PCTS])
+    ranks = (
+        ext.select("n", F.explode(pcts).alias("pct"))
+        .select("pct", F.ceil(F.col("pct") * F.col("n") / 100.0).alias("k"))
+    )
+    width = F.when(F.col("hi") == F.col("lo"), F.lit(1.0)).otherwise(
+        (F.col("hi") - F.col("lo")) / _BINS
+    )
+    binned = items.crossJoin(F.broadcast(ext)).select(
+        "v",
+        F.least(
+            F.floor((F.col("v") - F.col("lo")) / width), F.lit(_BINS - 1)
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    hist = binned.groupBy("bin").agg(F.count("*").alias("cnt"))
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0))
+    ).withColumn("cum_before", F.col("cum") - F.col("cnt"))
+    target = (
+        F.broadcast(ranks)
+        .join(
+            cum,
+            (F.col("k") > F.col("cum_before")) & (F.col("k") <= F.col("cum")),
+        )
+        .select("pct", "bin", (F.col("k") - F.col("cum_before")).alias("offset"))
+    )
+    in_bin = binned.join(
+        F.broadcast(target.select("bin", "offset").distinct()), "bin"
+    ).withColumn(
+        "rn", F.row_number().over(W.partitionBy("bin", "offset").orderBy("v"))
+    )
+    picked = in_bin.where(F.col("rn") == F.col("offset")).select(
+        "bin", "offset", F.col("v").alias("value")
+    )
+    return (
+        target.join(picked, ["bin", "offset"])
+        .select(F.col("pct").cast("int"), "value")
+    )

@@ -1532,3 +1532,72 @@ def streaming_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _with_state_parts(spark, 16, run)
+
+
+@register(
+    "streaming_ohlc_update",
+    oracle="""
+    WITH k AS (
+      SELECT epoch_ns(ts) // 1000000000 // 86400 AS day,
+             (epoch_ns(ts) // 1000 % 86400000000) * 10000000 + event_id AS seq,
+             value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           arg_min(value, seq) AS open,
+           CAST(max(value) AS DOUBLE) AS high,
+           CAST(min(value) AS DOUBLE) AS low,
+           arg_max(value, seq) AS close,
+           CAST(count(*) AS BIGINT) AS n_trades
+    FROM k GROUP BY day
+    """,
+)
+def streaming_ohlc_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OHLC rollup (``ohlc_daily_bars``) as a LIVE update-mode streaming
+    materialized view: daily bars maintained incrementally in keyed state —
+    min_by/max_by/min/max/count all merge associatively, so each
+    micro-batch folds into the bar without reprocessing the day — with the
+    watermark evicting closed days from the RocksDB store. Same
+    canonicalization as ``streaming_hourly_agg_update``: a day's trade
+    count grows strictly across its updates, so max-by-n_trades picks each
+    bar's final state, which the batch OHLC oracle then value-checks.
+    """
+    from ..sources import chunked_stream
+
+    def run() -> DataFrame:
+        ev = (
+            chunked_stream(spark, sf_dir, "events")
+            .where(F.col("event_type") == "purchase")
+            .withWatermark("ts", "10 minutes")
+        )
+        seq = (
+            F.expr("(unix_micros(ts) % 86400000000) * 10000000")
+            + F.col("event_id")
+        ).alias("seq")
+        ev = ev.select("ts", seq, "value")
+        agg = ev.groupBy(F.window("ts", "1 day").alias("w")).agg(
+            F.min_by("value", "seq").alias("open"),
+            F.max("value").cast("double").alias("high"),
+            F.min("value").cast("double").alias("low"),
+            F.max_by("value", "seq").alias("close"),
+            F.count("*").alias("n_trades"),
+        )
+        day = (F.unix_timestamp(F.col("w.start")) / 86400).cast("long")
+        return run_stream_to_table(
+            agg.select(day.alias("day"), "open", "high", "low", "close", "n_trades"),
+            output_mode="update",
+        )
+
+    out = _with_state_parts(spark, STATE_PARTS, run)
+    return (
+        out.groupBy("day")
+        .agg(F.max(F.struct("n_trades", "open", "high", "low", "close")).alias("fin"))
+        .select(
+            "day",
+            F.col("fin.open").alias("open"),
+            F.col("fin.high").alias("high"),
+            F.col("fin.low").alias("low"),
+            F.col("fin.close").alias("close"),
+            F.col("fin.n_trades").alias("n_trades"),
+        )
+    )

@@ -195,6 +195,7 @@ _NON_EQUI_BY_DESIGN = {
     # 2-row rank frame × ≤1024-row histogram bounded range join (which bin
     # holds each middle rank) + the 1-row extent broadcast onto the scan
     "exact_median_two_pass",
+    "exact_quantiles_multi",  # same shape, 5-row rank frame
 }
 
 
