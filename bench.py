@@ -118,6 +118,10 @@ HEADLINE = [
     "compact_small_files",
     "exact_quantiles_multi",
     "streaming_ohlc_update",
+    "graph_triangle_count",
+    "range_band_join",
+    "skyline_parts_2d",
+    "hll_distinct_users_by_type",
 ]
 
 

@@ -63,6 +63,9 @@ from .operators import quality  # noqa: E402,F401
 from .functions import sketches  # noqa: E402,F401
 from .operators import behavior  # noqa: E402,F401
 from .operators import orderstats  # noqa: E402,F401
+from .operators import graph  # noqa: E402,F401
+from .operators import rangejoin  # noqa: E402,F401
+from .operators import skyline  # noqa: E402,F401
 
 # Verification-priority reorder: entries whose code changed this round, or
 # which have never had an external (driver) verdict, float to the front so a
@@ -87,6 +90,10 @@ _VERIFY_FIRST = [
     "compact_small_files",
     "exact_quantiles_multi",
     "streaming_ohlc_update",
+    "graph_triangle_count",
+    "range_band_join",
+    "skyline_parts_2d",
+    "hll_distinct_users_by_type",
     # --- earlier this session: time-series/CDC family, span-level dedup,
     # source reputation, the bucketed co-located join, and the streaming
     # materialized-view pair (CDC upsert + windowed top-k) ---

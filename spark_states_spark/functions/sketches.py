@@ -395,3 +395,77 @@ def hll_distinct_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"cast({_HLL_ALPHA!r} as double) * {_HLL_M} * {_HLL_M}"
         f" / (cast(s_occ as double) + ({_HLL_M} - n_occupied)) AS hll_estimate",
     )
+
+
+def _hll_grouped_sql(group_col: str, hash_expr: str, exact_expr: str, table: str) -> str:
+    """Per-group HLL: same arithmetic-portable pipeline, keyed by
+    ``group_col`` — registers become (group, bucket) rows, so sketches for
+    different groups build in ONE pass and stay independently mergeable."""
+    return f"""
+    WITH h AS (SELECT {group_col} AS grp, {hash_expr} AS h32 FROM {table}),
+    reg AS (
+      SELECT grp, h32 % {_HLL_M} AS bucket,
+             max({_rho_case(f"(h32 - (h32 % {_HLL_M})) / {_HLL_M}")}) AS rho
+      FROM h GROUP BY grp, h32 % {_HLL_M}
+    ),
+    s AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_occupied,
+             CAST(sum(CAST({_pow2neg_case('rho')} AS DECIMAL(38,21)))
+                  AS DECIMAL(38,21)) AS s_occ
+      FROM reg GROUP BY grp
+    ),
+    e AS (SELECT {group_col} AS grp, CAST({exact_expr} AS BIGINT) AS n_exact
+          FROM {table} GROUP BY {group_col})
+    SELECT s.grp AS event_type, e.n_exact, s.n_occupied,
+           CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M}
+             / (CAST(s.s_occ AS DOUBLE) + ({_HLL_M} - s.n_occupied))
+             AS hll_estimate
+    FROM s JOIN e ON e.grp = s.grp
+    """
+
+
+@register(
+    "hll_distinct_users_by_type",
+    oracle=_hll_grouped_sql(
+        group_col="event_type",
+        hash_expr=duck_h32("CAST(user_id AS VARCHAR)"),
+        exact_expr="count(DISTINCT CAST(user_id AS VARCHAR))",
+        table="events",
+    ),
+)
+def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HyperLogLog: distinct users PER EVENT TYPE, one pass —
+    register rows are (group, bucket) keyed, so all groups' sketches build
+    in a single map-side-combined aggregation and remain independently
+    mergeable (the union of two days' sketches per group = register-wise
+    max). Same bit-identical arithmetic as ``hll_distinct_user_days``;
+    the exact column is the verification baseline.
+    """
+    from .hashes import spark_h32
+
+    events = load_table(spark, sf_dir, "events")
+    h = events.selectExpr(
+        "event_type AS grp", f"{spark_h32('cast(user_id as string)')} AS h32"
+    )
+    reg = h.groupBy("grp", (F.col("h32") % _HLL_M).alias("bucket")).agg(
+        F.expr(f"max({_rho_case(f'(h32 - (h32 % {_HLL_M})) / {_HLL_M}')})").alias(
+            "rho"
+        )
+    )
+    s = reg.groupBy("grp").agg(
+        F.count("*").alias("n_occupied"),
+        F.expr(
+            f"cast(sum(cast({_pow2neg_case('rho')} as decimal(38,21)))"
+            " as decimal(38,21))"
+        ).alias("s_occ"),
+    )
+    e = events.groupBy(F.col("event_type").alias("grp")).agg(
+        F.countDistinct(F.col("user_id").cast("string")).alias("n_exact")
+    )
+    return s.join(e, "grp").selectExpr(
+        "grp AS event_type",
+        "n_exact",
+        "cast(n_occupied as bigint) AS n_occupied",
+        f"cast({_HLL_ALPHA!r} as double) * {_HLL_M} * {_HLL_M}"
+        f" / (cast(s_occ as double) + ({_HLL_M} - n_occupied)) AS hll_estimate",
+    )

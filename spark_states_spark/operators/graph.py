@@ -1,0 +1,146 @@
+"""Distributed graph analytics as join discipline: triangle counting.
+
+Triangle counting is THE canonical example of a graph computation whose
+naive formulation (3-way self-join of the edge list) explodes on skew: a
+hub with degree d contributes O(d²) join rows. The standard fix —
+node-iterator++ / degree orientation (Schank & Wagner 2005; the shape
+MapReduce/Spark graph libraries use) — directs every edge from its
+lower-degree endpoint to the higher (ties by id), making every vertex's
+out-degree O(√m); each triangle is then counted EXACTLY once by joining
+out-edge pairs against the oriented edge set, and the worst-case join
+fan-out drops from O(d_max²) to O(m^1.5) total.
+
+Edge source: the fixture has no edge table, so a deterministic
+Erdős–Rényi-style graph is synthesized over the user population
+(md5-hash-selected pairs within 100-user blocks — block-locality keeps
+generation LINEAR in users at any SF; a real deployment reads its edge
+table and starts at the degree computation). The generator is shared
+verbatim between the Spark query and the DuckDB oracle, so the counting
+machinery is what the oracle verifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import register
+from ..functions.hashes import duck_h32, spark_h32
+from ..sources import load_table
+
+_BLOCK = 100  # users per block: bounds pair generation to O(users × BLOCK)
+_EDGE_MOD = 6  # keep ~1/6 of candidate pairs
+
+
+def _edges_sql(h32, cat: str) -> str:
+    """Shared edge generator (dialect via the hash helper + concat style):
+    undirected edges (a < b) within each 100-user block, selected by a
+    deterministic hash — identical membership in both engines."""
+    pair = cat.format(a="a.user_id", b="b.user_id")
+    return f"""
+      SELECT a.user_id AS a, b.user_id AS b
+      FROM (SELECT DISTINCT user_id FROM events) a
+      JOIN (SELECT DISTINCT user_id FROM events) b
+        ON a.user_id < b.user_id
+       AND a.user_id // {_BLOCK} = b.user_id // {_BLOCK}
+      WHERE {h32(pair)} % {_EDGE_MOD} = 0
+    """
+
+
+_SPARK_CAT = "concat(cast({a} as string), ':', cast({b} as string))"
+_DUCK_CAT = "(CAST({a} AS VARCHAR) || ':' || CAST({b} AS VARCHAR))"
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH e AS ({_edges_sql(duck_h32, _DUCK_CAT)}),
+    deg AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+      ) GROUP BY v
+    ),
+    o AS (
+      -- orient low-degree -> high-degree, ties by id
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS src,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS dst
+      FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+    ),
+    tri AS (
+      -- wedges keep v1 < v2, and e stores every edge as (a < b), so the
+      -- closing test is ONE equi-join against the canonical edge set —
+      -- no OR-condition (which would force a nested-loop join).
+      SELECT count(*) AS n_triangles
+      FROM o o1
+      JOIN o o2 ON o2.src = o1.src AND o2.dst > o1.dst
+      JOIN e ON e.a = o1.dst AND e.b = o2.dst
+    )
+    SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM tri
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count with degree orientation: edges are directed
+    low-degree → high-degree, wedge pairs (two out-edges of one vertex)
+    probe the oriented edge set, and each triangle closes exactly once.
+
+    Scale shape: out-degree after orientation is O(√m) even on hub-heavy
+    graphs, so the wedge join's fan-out is bounded; all three joins are
+    equi-joins on vertex keys (shuffle-partitioned, AQE-skew-handled) —
+    no cartesian anywhere. Wedges keep v1 < v2 and the edge set is
+    canonical (a < b), so the closing test is one equi-join on (v1, v2).
+    """
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    a = users.select(F.col("user_id").alias("a"))
+    b = users.select(F.col("user_id").alias("b"))
+    pair = _SPARK_CAT.format(a="a", b="b")
+    e = (
+        a.join(
+            b,
+            (F.col("a") < F.col("b"))
+            & (F.expr(f"a div {_BLOCK}") == F.expr(f"b div {_BLOCK}")),
+        )
+        .where(F.expr(f"{spark_h32(pair)} % {_EDGE_MOD} = 0")
+        )
+    )
+    return triangle_count(e)
+
+
+def triangle_count(e: DataFrame) -> DataFrame:
+    """Degree-oriented exact triangle count over a canonical (a < b)
+    undirected edge list; returns 1 row (n_edges, n_triangles). Known
+    graphs (cliques, paths, stars, bowties) pinned in tests/test_graph.py.
+    """
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    o1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v1"))
+    o2 = o.select(F.col("src").alias("u"), F.col("dst").alias("v2"))
+    wedges = o1.join(o2, "u").where(F.col("v2") > F.col("v1"))
+    # Closing join: wedges keep v1 < v2 and e is canonical (a < b), so one
+    # equi-join on (v1, v2) closes every triangle — an OR-of-orientations
+    # condition here would degrade to a nested-loop join.
+    closing = e.select(F.col("a").alias("v1"), F.col("b").alias("v2"))
+    tri = wedges.join(closing, ["v1", "v2"])
+    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    return F.broadcast(n_edges).crossJoin(n_tri)

@@ -1,0 +1,57 @@
+"""Triangle counting on graphs with KNOWN answers — the synthetic fixture
+graph verifies cross-engine agreement; these verify the math."""
+
+import pandas as pd
+import pytest
+
+from spark_states_spark.operators.graph import triangle_count
+
+
+def _count(spark, edges):
+    e = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["a", "b"]).astype("int64")
+    ).repartition(4)
+    row = triangle_count(e).collect()[0]
+    return row.n_edges, row.n_triangles
+
+
+@pytest.mark.parametrize(
+    "edges,n_tri",
+    [
+        ([(1, 2), (2, 3), (1, 3)], 1),                       # one triangle
+        ([(1, 2), (2, 3), (3, 4)], 0),                       # path
+        ([(1, 2), (1, 3), (1, 4), (1, 5)], 0),               # star (hub)
+        # K4: 4 triangles
+        ([(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)], 4),
+        # bowtie: two triangles sharing vertex 3
+        ([(1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 5)], 2),
+    ],
+)
+def test_triangle_count_known_graphs(spark, edges, n_tri):
+    n_e, n_t = _count(spark, edges)
+    assert n_e == len(edges)
+    assert n_t == n_tri
+
+
+def test_triangle_count_hub_graph_matches_brute_force(spark):
+    """Hub-heavy random graph (the shape orientation exists for) vs an
+    O(n^3) brute force."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(40))
+    edges = {(0, v) for v in nodes[1:]}  # hub at 0
+    for _ in range(150):
+        a, b = sorted(rng.sample(nodes, 2))
+        if a != b:
+            edges.add((a, b))
+    eset = set(edges)
+    brute = sum(
+        1
+        for x, y, z in itertools.combinations(nodes, 3)
+        if (x, y) in eset and (y, z) in eset and (x, z) in eset
+    )
+    n_e, n_t = _count(spark, sorted(edges))
+    assert n_e == len(eset)
+    assert n_t == brute

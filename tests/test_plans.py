@@ -196,6 +196,8 @@ _NON_EQUI_BY_DESIGN = {
     # holds each middle rank) + the 1-row extent broadcast onto the scan
     "exact_median_two_pass",
     "exact_quantiles_multi",  # same shape, 5-row rank frame
+    "graph_triangle_count",  # 1-row edge-count × 1-row triangle-count join
+    "skyline_parts_2d",  # 1-row (lo,hi) extent broadcast onto the scan
 }
 
 
@@ -266,3 +268,13 @@ def test_profile_has_no_expand(spark, sf_dir):
     assert "Expand" not in p, f"profiler fell back to the Expand plan:\n{p}"
     n_partial = len(re.findall(r"partial_count\(distinct", p))
     assert n_partial >= 11, f"distinct counts lost partial aggregation:\n{p}"
+
+
+def test_range_band_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The bucketed band join exists to avoid the nested-loop plan a raw
+    BETWEEN join produces; if the bucket equi-key is ever lost (e.g. the
+    condition collapses into the residual), this fails at fixture scale."""
+    p = plan(QUERIES["range_band_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p, f"no hash/merge join:\n{p}"
