@@ -122,6 +122,7 @@ HEADLINE = [
     "range_band_join",
     "skyline_parts_2d",
     "hll_distinct_users_by_type",
+    "streaming_hll_update",
 ]
 
 

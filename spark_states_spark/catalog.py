@@ -75,9 +75,20 @@ from .operators import skyline  # noqa: E402,F401
 # must sit inside the verified window). The local DuckDB gate stays
 # order-independent and covers ALL entries every test run.
 _VERIFY_FIRST = [
+    # --- VERDICT r03 items #1-2 first: the finite-TTL oracle family and
+    # the wall-clock binding's first driver rows — the judge's top asks,
+    # pinned at the head of the window ahead of everything else ---
+    "keyed_state_ttl_strict",
+    "keyed_state_ttl_stateless",
+    "keyed_state_ttl_per_query",
+    "keyed_state_wallclock_infinite",
+    "streaming_interval_join_full_outer",
+    "streaming_static_enrich",
+    "rollup_hourly_to_daily",
     # --- newest: the sketch family (Misra-Gries heavy hitters, Bloom-pruned
-    # semi join) and behavioral analytics (ordered funnel, cohort
-    # retention) — first external verdict pending ---
+    # semi join, HLL), behavioral analytics (funnels incl. streaming,
+    # cohort retention), order statistics, OHLC, URL canonicalization,
+    # compaction, graph/range/skyline — first external verdict pending ---
     "heavy_hitter_tokens",
     "bloom_semi_join_orders",
     "hll_distinct_user_days",
@@ -94,6 +105,7 @@ _VERIFY_FIRST = [
     "range_band_join",
     "skyline_parts_2d",
     "hll_distinct_users_by_type",
+    "streaming_hll_update",
     # --- earlier this session: time-series/CDC family, span-level dedup,
     # source reputation, the bucketed co-located join, and the streaming
     # materialized-view pair (CDC upsert + windowed top-k) ---
@@ -132,18 +144,6 @@ _VERIFY_FIRST = [
     "streaming_interval_join_right_outer",
     "streaming_curation_pipeline",
     "dedup_embedding_keep_first",
-    # --- new earlier this round (no driver pass has run since, so these
-    # still await their first external verdict): the finite-TTL oracle family
-    # (VERDICT r03 #1-2) plus the wall-clock binding's first driver row
-    # and three new operator shapes (full-outer interval join,
-    # stream-static enrich, hourly→daily rollup cascade) ---
-    "keyed_state_ttl_strict",
-    "keyed_state_ttl_stateless",
-    "keyed_state_ttl_per_query",
-    "keyed_state_wallclock_infinite",
-    "streaming_interval_join_full_outer",
-    "streaming_static_enrich",
-    "rollup_hourly_to_daily",
     "similarity_quantized_topk",
     "text_chunk_documents",
     "sample_balanced_by_lang",
@@ -173,10 +173,14 @@ _VERIFY_FIRST = [
     "text_token_stats",
     "text_quality_scores",
     # (the later part of this tail falls below the 50-entry sample line —
-    # this session added 14 new entries up top, and never-verified entries
-    # outrank a second pass of r01/r02-green ones; rotate the displaced
-    # similarity/text/window/sessionize/asof tail back in next round. All
-    # stay in the local order-independent DuckDB gate every test run.)
+    # the judge-mandated TTL family + 16 session-new entries fill the top,
+    # and never-verified entries outrank a second pass of r01/r02-green
+    # ones. Still awaiting a first external verdict BELOW the line:
+    # text_vocab_coverage, streaming_interval_join_right_outer,
+    # streaming_curation_pipeline, dedup_embedding_keep_first — rotate
+    # them to the head next round along with the displaced
+    # similarity/text/window/sessionize/asof tail. All stay in the local
+    # order-independent DuckDB gate every test run.)
     "text_lang_id",
     "text_fingerprint",
     "hourly_event_stats",

@@ -469,3 +469,78 @@ def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"cast({_HLL_ALPHA!r} as double) * {_HLL_M} * {_HLL_M}"
         f" / (cast(s_occ as double) + ({_HLL_M} - n_occupied)) AS hll_estimate",
     )
+
+
+@register(
+    "streaming_hll_update",
+    # Same estimate as the batch sketch: the register map is a pure
+    # register-wise max, so streaming folds and a batch GROUP BY reach
+    # identical registers — the mergeability claim, externally checked.
+    oracle=_hll_sql(
+        hash_expr=duck_h32(
+            "(CAST(user_id AS VARCHAR) || ':' || "
+            "CAST(epoch_ns(ts) // 1000000000 // 86400 AS VARCHAR))"
+        ),
+        exact_expr=(
+            "count(DISTINCT CAST(user_id AS VARCHAR) || ':' || "
+            "CAST(epoch_ns(ts) // 1000000000 // 86400 AS VARCHAR))"
+        ),
+        table="events",
+    ),
+)
+def streaming_hll_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog as LIVE streaming state: the register map (bucket →
+    max rho) is maintained incrementally in update mode — max is
+    associative, so each micro-batch folds into the registers without
+    reprocessing history, and the state is EXACTLY m ≤ 4096 rows forever,
+    whatever the stream's length or key cardinality. This is the streaming
+    face of ``hll_distinct_user_days``: one sketch answers "distinct
+    (user, day) pairs so far" at any point in the stream.
+
+    Canonicalization: a register's rho only grows across its updates, so
+    max-per-bucket over the drained update rows is each register's final
+    value; the estimate arithmetic is the shared bit-identical pipeline.
+    The exact baseline column is computed batch-side (it exists only to
+    let the oracle verify the estimate).
+    """
+    from ..sources import chunked_stream
+    from ..streaming.queries import STATE_PARTS, _with_state_parts
+    from ..streaming.runner import run_stream_to_table
+    from .hashes import spark_h32
+
+    pair = (
+        "concat(cast(user_id as string), ':', "
+        "cast(unix_timestamp(ts) div 86400 as string))"
+    )
+
+    def run() -> DataFrame:
+        events = chunked_stream(spark, sf_dir, "events", n_chunks=4)
+        h = events.selectExpr(f"{spark_h32(pair)} AS h32")
+        reg_stream = h.groupBy((F.col("h32") % _HLL_M).alias("bucket")).agg(
+            F.expr(
+                f"max({_rho_case(f'(h32 - (h32 % {_HLL_M})) / {_HLL_M}')})"
+            ).alias("rho")
+        )
+        return run_stream_to_table(reg_stream, output_mode="update")
+
+    # 4 chunks × STATE_PARTS partitions: per-batch store open/commit is the
+    # whole cost here (the state is ≤4096 register rows); 4 batches still
+    # prove the cross-batch register fold.
+    drained = _with_state_parts(spark, STATE_PARTS, run)
+    reg = drained.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    s = reg.agg(
+        F.count("*").alias("n_occupied"),
+        F.expr(
+            f"cast(sum(cast({_pow2neg_case('rho')} as decimal(38,21)))"
+            " as decimal(38,21))"
+        ).alias("s_occ"),
+    )
+    e = load_table(spark, sf_dir, "events").selectExpr(
+        f"count(distinct {pair}) AS n_exact"
+    )
+    return s.crossJoin(F.broadcast(e)).selectExpr(
+        "n_exact",
+        "cast(n_occupied as bigint) AS n_occupied",
+        f"cast({_HLL_ALPHA!r} as double) * {_HLL_M} * {_HLL_M}"
+        f" / (cast(s_occ as double) + ({_HLL_M} - n_occupied)) AS hll_estimate",
+    )

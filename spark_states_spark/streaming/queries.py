@@ -1396,6 +1396,49 @@ _FUNNEL_K = "unix_timestamp(ts) * 1000000 + event_id"
 _FUNNEL_STAGES = {"view": 1, "signup": 2, "purchase": 3}
 
 
+from pyspark.sql import types as _T
+
+FUNNEL_OUT_SCHEMA = _T.StructType(
+    [
+        _T.StructField("user_id", _T.LongType()),
+        _T.StructField("stage", _T.IntegerType()),
+    ]
+)
+FUNNEL_STATE_SCHEMA = _T.StructType(
+    [
+        _T.StructField("k1", _T.LongType()),
+        _T.StructField("k2", _T.LongType()),
+        _T.StructField("k3", _T.LongType()),
+    ]
+)
+
+
+def funnel_kernel(key, pdfs, state):
+    """Per-user funnel stage record: (k1, k2, k3) composite-key slots, each
+    filling at most once, in arrival-key order — shared by the catalog
+    entry and the checkpoint-recovery test (tests/test_recovery.py)."""
+    import pandas as _pd
+
+    k1, k2, k3 = state.get if state.exists else (None, None, None)
+    out = []
+    rows = _pd.concat(list(pdfs)).sort_values("k")
+    uid = int(key[0])
+    for r in rows.itertuples(index=False):
+        k = int(r.k)
+        if r.event_type == "view" and k1 is None:
+            k1 = k
+            out.append((uid, 1))
+        elif r.event_type == "signup" and k1 is not None and k2 is None:
+            k2 = k
+            out.append((uid, 2))
+        elif r.event_type == "purchase" and k2 is not None and k3 is None:
+            k3 = k
+            out.append((uid, 3))
+    state.update((k1, k2, k3))
+    if out:
+        yield _pd.DataFrame(out, columns=["user_id", "stage"])
+
+
 @register(
     "streaming_funnel_stages",
     oracle=f"""
@@ -1451,50 +1494,9 @@ def streaming_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle folds over, so the drained stage counts value-match the
     batch window SQL.
     """
-    from collections.abc import Iterator as _Iter
-
-    import pandas as _pd
-
-    from pyspark.sql import types as T
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..sources import chunked_stream
-
-    out_schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("stage", T.IntegerType()),
-        ]
-    )
-    state_schema = T.StructType(
-        [
-            T.StructField("k1", T.LongType()),
-            T.StructField("k2", T.LongType()),
-            T.StructField("k3", T.LongType()),
-        ]
-    )
-
-    def kernel(
-        key, pdfs: _Iter[_pd.DataFrame], state: GroupState
-    ) -> _Iter[_pd.DataFrame]:
-        k1, k2, k3 = state.get if state.exists else (None, None, None)
-        out = []
-        rows = _pd.concat(list(pdfs)).sort_values("k")
-        uid = int(key[0])
-        for r in rows.itertuples(index=False):
-            k = int(r.k)
-            if r.event_type == "view" and k1 is None:
-                k1 = k
-                out.append((uid, 1))
-            elif r.event_type == "signup" and k1 is not None and k2 is None:
-                k2 = k
-                out.append((uid, 2))
-            elif r.event_type == "purchase" and k2 is not None and k3 is None:
-                k3 = k
-                out.append((uid, 3))
-        state.update((k1, k2, k3))
-        if out:
-            yield _pd.DataFrame(out, columns=["user_id", "stage"])
 
     def run() -> DataFrame:
         # 2 time-ordered chunks + 16 state partitions: this query's cost is
@@ -1513,9 +1515,9 @@ def streaming_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "event_type", F.expr(_FUNNEL_K).alias("k"))
         )
         transitions = events.groupBy("user_id").applyInPandasWithState(
-            kernel,
-            outputStructType=out_schema,
-            stateStructType=state_schema,
+            funnel_kernel,
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

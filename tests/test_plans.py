@@ -198,6 +198,7 @@ _NON_EQUI_BY_DESIGN = {
     "exact_quantiles_multi",  # same shape, 5-row rank frame
     "graph_triangle_count",  # 1-row edge-count × 1-row triangle-count join
     "skyline_parts_2d",  # 1-row (lo,hi) extent broadcast onto the scan
+    "streaming_hll_update",  # 1-row register-sum × 1-row exact-count join
 }
 
 

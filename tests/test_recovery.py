@@ -337,3 +337,74 @@ def test_foreachbatch_sink_not_replayed_after_restart(spark, tmp_path):
         "restart re-invoked foreachBatch on committed batches: "
         f"{second[len(first):]}"
     )
+
+
+def test_funnel_state_survives_checkpoint_restart(spark, tmp_path):
+    """The streaming funnel's per-user stage record must resume from
+    committed state across a restart: a signup arriving in the SECOND run
+    only produces a stage-2 transition if the first run's k1 slot was
+    recovered from the checkpoint (a lost state record would silently
+    re-gate the funnel — no error, just a missing conversion)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from spark_states_spark.streaming.queries import (
+        FUNNEL_OUT_SCHEMA,
+        FUNNEL_STATE_SCHEMA,
+        funnel_kernel,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        p = os.path.join(src, name)
+        pd.DataFrame(rows, columns=["user_id", "event_type", "k"]).astype(
+            {"user_id": "int64", "k": "int64"}
+        ).to_parquet(p)
+        os.utime(p, (time.time(), time.time()))
+
+    def drain():
+        import uuid
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        transitions = stream.groupBy("user_id").applyInPandasWithState(
+            funnel_kernel,
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        # foreachBatch, not the memory sink: only foreachBatch supports
+        # checkpoint RECOVERY, which is the behavior under test.
+        collected = []
+
+        def sink(df, _epoch):
+            collected.extend(df.collect())
+
+        q = (
+            transitions.writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .queryName(f"funnel_rec_{uuid.uuid4().hex[:8]}")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {(r.user_id, r.stage) for r in collected}
+
+    write_batch("b0.parquet", [(7, "view", 100)])
+    first = drain()
+    assert first == {(7, 1)}
+
+    write_batch("b1.parquet", [(7, "signup", 200)])
+    second = drain()  # same checkpoint: only the NEW batch is processed
+    assert (7, 2) in second, "k1 slot lost across restart — no conversion"
+    # and the recovered run must not re-emit stage 1
+    assert (7, 1) not in second
