@@ -123,6 +123,9 @@ HEADLINE = [
     "skyline_parts_2d",
     "hll_distinct_users_by_type",
     "streaming_hll_update",
+    "curation_pipeline_report",
+    "source_divergence_chi2",
+    "kmeans_lloyd_step",
 ]
 
 

@@ -106,6 +106,9 @@ _VERIFY_FIRST = [
     "skyline_parts_2d",
     "hll_distinct_users_by_type",
     "streaming_hll_update",
+    "curation_pipeline_report",
+    "source_divergence_chi2",
+    "kmeans_lloyd_step",
     # --- earlier this session: time-series/CDC family, span-level dedup,
     # source reputation, the bucketed co-located join, and the streaming
     # materialized-view pair (CDC upsert + windowed top-k) ---

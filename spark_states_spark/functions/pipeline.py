@@ -550,3 +550,183 @@ def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("raw_url").alias("n_raw"),
         F.countDistinct("canon").alias("n_canonical"),
     )
+
+
+# --- end-to-end batch curation report ---------------------------------------
+
+_PIPE_MIN_WORDS = 20  # matches the streaming curation gate
+
+
+@register(
+    "curation_pipeline_report",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, text, lang, source,
+             {_URL_CLEAN_DUCK} AS canon,
+             len({DUCK_TOKS.format(col='text')}) AS n_words
+      FROM documents
+    ),
+    url_d AS (  -- one representative (lowest doc_id) per canonical URL
+      SELECT arg_min(doc_id, doc_id) AS doc_id,
+             arg_min(text, doc_id) AS text,
+             arg_min(n_words, doc_id) AS n_words
+      FROM raw GROUP BY canon
+    ),
+    exact_d AS (  -- then one per exact content digest
+      SELECT arg_min(doc_id, doc_id) AS doc_id,
+             arg_min(n_words, doc_id) AS n_words
+      FROM url_d GROUP BY md5(text)
+    ),
+    quality AS (SELECT * FROM exact_d WHERE n_words >= {_PIPE_MIN_WORDS})
+    SELECT 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_tokens FROM raw
+    UNION ALL
+    SELECT 'url_dedup', CAST(count(*) AS BIGINT),
+           CAST(sum(n_words) AS BIGINT) FROM url_d
+    UNION ALL
+    SELECT 'exact_dedup', CAST(count(*) AS BIGINT),
+           CAST(sum(n_words) AS BIGINT) FROM exact_d
+    UNION ALL
+    SELECT 'quality', CAST(count(*) AS BIGINT),
+           CAST(sum(n_words) AS BIGINT) FROM quality
+    """,
+)
+def curation_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end BATCH curation pipeline with a per-stage survivor report:
+    raw corpus → canonical-URL dedup (lowest doc_id represents each page)
+    → exact content dedup → quality gate, emitting (stage, n_docs,
+    n_tokens) for each stage — the attrition funnel every training-data
+    pipeline publishes.
+
+    Composition stance (mirrors the streaming twin): each stage is a
+    keep-first argmin aggregation or a stateless filter, so the whole
+    report is three shuffles on bounded keys (canonical URL, digest) and
+    one scan of the corpus — no joins back to the raw table (min_by
+    carries the representative's columns through each stage).
+    """
+    toks = SPARK_TOKS.format(col="text")
+    raw = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "text",
+        f"{_URL_CLEAN_SPARK} AS canon",
+        f"size({toks}) AS n_words",
+    )
+    url_d = raw.groupBy("canon").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("text", "doc_id").alias("text"),
+        F.min_by("n_words", "doc_id").alias("n_words"),
+    )
+    exact_d = url_d.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("n_words", "doc_id").alias("n_words"),
+    )
+    quality = exact_d.where(F.col("n_words") >= _PIPE_MIN_WORDS)
+
+    def stage(df, name):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_tokens"),
+        )
+
+    return (
+        stage(raw, "raw")
+        .unionByName(stage(url_d, "url_dedup"))
+        .unionByName(stage(exact_d, "exact_dedup"))
+        .unionByName(stage(quality, "quality"))
+    )
+
+
+# --- per-source distribution-shift monitor ----------------------------------
+
+_CHI2_VOCAB_K = 24
+
+
+@register(
+    "source_divergence_chi2",
+    # chi-square over the top-K corpus vocabulary: for each source, K cells
+    # o_i (source count, zeros included) vs e_i = cc_i * ns / Nv restricted
+    # to vocab mass. Every term is (o*Nv - cc*ns)^2 / (cc*ns*Nv): INTEGER
+    # numerator/denominator (bounded in int64 at fixture scale), ONE double
+    # division per term — the identical IEEE op in both engines — then an
+    # order-free DECIMAL(38,12) sum. Vocab ties break on token text, so
+    # the K-set is engine-identical.
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({DUCK_TOKS.format(col='text')}) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token, count(*) AS cc FROM toks GROUP BY token
+      ORDER BY count(*) DESC, token LIMIT {_CHI2_VOCAB_K}
+    ),
+    nv AS (SELECT sum(cc) AS Nv FROM vocab),
+    src_v AS (  -- per-source counts within vocab, zero cells included
+      SELECT s.source, v.token, v.cc,
+             coalesce(c.o, 0) AS o
+      FROM (SELECT DISTINCT source FROM toks) s
+      CROSS JOIN vocab v
+      LEFT JOIN (SELECT source, token, count(*) AS o FROM toks
+                 GROUP BY source, token) c
+        ON c.source = s.source AND c.token = v.token
+    ),
+    ns AS (SELECT source, sum(o) AS ns FROM src_v GROUP BY source)
+    SELECT sv.source,
+           CAST(ns.ns AS BIGINT) AS n_vocab_tokens,
+           CAST(sum(CAST(
+             CAST((sv.o * nv.Nv - sv.cc * ns.ns) *
+                  (sv.o * nv.Nv - sv.cc * ns.ns) AS DOUBLE)
+             / CAST(sv.cc * ns.ns * nv.Nv AS DOUBLE)
+           AS DECIMAL(38,12))) AS DOUBLE) AS chi2
+    FROM src_v sv JOIN ns ON ns.source = sv.source CROSS JOIN nv
+    GROUP BY sv.source, ns.ns
+    """,
+)
+def source_divergence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift monitor: per-source chi-square divergence of the
+    token distribution against the corpus, over the top-{K} vocabulary —
+    the standard drift alarm a crawl pipeline runs per ingest source.
+
+    Numeric discipline: integer numerators/denominators, one IEEE double
+    division per cell, DECIMAL-exact summation — bit-identical
+    cross-engine despite being a float statistic (a naive float sum is
+    partial-order-dependent and never hash-matches). Scale shape: the
+    grid is |sources| × K rows (linear), the vocab is a bounded top-K
+    (swap in the Misra-Gries candidates at 100 TB), and every join key is
+    bounded. At extreme counts the int64 numerator would overflow — the
+    production spelling casts to double before squaring, trading the last
+    ulp for range (documented, not needed at fixture scale).
+    """
+    toks = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.expr(SPARK_TOKS.format(col="text"))).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("cc"))
+        .orderBy(F.col("cc").desc(), "token")
+        .limit(_CHI2_VOCAB_K)
+    )
+    nv = vocab.agg(F.sum("cc").alias("Nv"))
+    per_src = toks.groupBy("source", "token").agg(F.count("*").alias("o"))
+    grid = (
+        toks.select("source")
+        .distinct()
+        .crossJoin(F.broadcast(vocab))
+        .join(per_src, ["source", "token"], "left")
+        .select(
+            "source", "token", "cc", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+        )
+    )
+    ns = grid.groupBy("source").agg(F.sum("o").alias("ns"))
+    cells = grid.join(ns, "source").crossJoin(F.broadcast(nv))
+    num = (F.col("o") * F.col("Nv") - F.col("cc") * F.col("ns"))
+    term = (num * num).cast("double") / (
+        F.col("cc") * F.col("ns") * F.col("Nv")
+    ).cast("double")
+    return (
+        cells.groupBy("source", "ns")
+        .agg(F.sum(term.cast("decimal(38,12)")).cast("double").alias("chi2"))
+        .select(
+            "source", F.col("ns").cast("long").alias("n_vocab_tokens"), "chi2"
+        )
+    )

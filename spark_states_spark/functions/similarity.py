@@ -578,3 +578,102 @@ def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_K)
         .select("query_id", "vec_id", "approx_cosine", "rn")
     )
+
+
+# --- k-means: one exact Lloyd step ------------------------------------------
+
+_KM_K = 8  # vec_id < K seed the centroids (same convention as IVF)
+
+
+@register(
+    "kmeans_lloyd_step",
+    # Assignment distance is the SAME expression tree in both engines —
+    # ((aa - 2*ab) + bb) over identical double dot products — so argmin
+    # (with cid tie-break) picks identical clusters; the new centroids are
+    # per-dimension DECIMAL-exact means of float32 components.
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    cents AS (SELECT vec_id AS cid, embedding AS cemb FROM e
+              WHERE vec_id < {_KM_K}),
+    d AS (
+      SELECT e.vec_id, c.cid,
+             (({_DUCK_DOT.format(a='e.embedding', b='e.embedding')}
+               - 2 * {_DUCK_DOT.format(a='e.embedding', b='c.cemb')})
+               + {_DUCK_DOT.format(a='c.cemb', b='c.cemb')}) AS dist
+      FROM e CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d) WHERE rn = 1
+    ),
+    comp_raw AS (
+      -- no WITH ORDINALITY / lateral-list unnest in this DuckDB: explode
+      -- via a select-list struct comprehension over the fixed dim
+      SELECT a.cid,
+             unnest([struct_pack(dim := i,
+                                 x := CAST(e.embedding[i + 1] AS DOUBLE))
+                     for i in range(64)]) AS u
+      FROM assigned a JOIN e ON e.vec_id = a.vec_id
+    ),
+    comp AS (SELECT cid, u.dim AS dim, u.x AS x FROM comp_raw)
+    SELECT CAST(cid AS INT) AS cid, CAST(dim AS INT) AS dim,
+           CAST(sum(CAST(floor(x * 10000000000.0) AS BIGINT)) AS DOUBLE)
+             / count(*) / 10000000000.0 AS centroid,
+           CAST(count(*) AS BIGINT) AS n_values
+    FROM comp GROUP BY cid, dim
+    """,
+)
+def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EXACT Lloyd iteration of k-means over the embeddings corpus:
+    assign every vector to its nearest seed centroid (squared-euclidean
+    argmin, deterministic tie-break), then recompute centroids as
+    per-dimension means (floor-quantized integer sums — see the in-code
+    note) — the building block of distributed clustering (a full k-means
+    is this step iterated, centroids re-broadcast each round).
+
+    Scale shape: assignment is a broadcast of K centroid literals against
+    one corpus scan (no shuffle); the recomputation is a (K × dim)-key
+    aggregation with map-side combine — update sizes are K·dim, never
+    corpus-sized. Numeric discipline: the distance is the identical
+    double expression tree in both engines (term-dropping or reassociation
+    would let float ties flip assignments); means are order-free integer
+    sums of floor-quantized components, divided once.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    aa = _SPARK_DOT.format(a="embedding", b="embedding")
+    ab = _SPARK_DOT.format(a="embedding", b="cemb")
+    bb = _SPARK_DOT.format(a="cemb", b="cemb")
+    d = e.crossJoin(F.broadcast(cents)).selectExpr(
+        "vec_id", "cid", f"(({aa} - 2 * {ab}) + {bb}) AS dist"
+    )
+    w = W.partitionBy("vec_id").orderBy("dist", "cid")
+    assigned = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    comp = (
+        assigned.join(e, "vec_id")
+        .select("cid", F.posexplode("embedding").alias("dim", "x"))
+    )
+    return comp.groupBy("cid", "dim").agg(
+        (
+            # Integer-scaled FLOOR quantization (not a decimal cast): the
+            # engines' decimal casts round midpoints differently (half-up
+            # vs half-even), but floor of the identical double product is
+            # unambiguous — the mean is then exact integer arithmetic with
+            # two identical IEEE divisions at the end.
+            F.sum(
+                F.floor(F.col("x").cast("double") * 1e10).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1e10)
+        ).alias("centroid"),
+        F.count("*").alias("n_values"),
+    )

@@ -199,6 +199,10 @@ _NON_EQUI_BY_DESIGN = {
     "graph_triangle_count",  # 1-row edge-count × 1-row triangle-count join
     "skyline_parts_2d",  # 1-row (lo,hi) extent broadcast onto the scan
     "streaming_hll_update",  # 1-row register-sum × 1-row exact-count join
+    # sources × top-K-vocab grid (K=24 by construction) + 1-row vocab-mass
+    # broadcast — both cross-join sides bounded by constants, not data
+    "source_divergence_chi2",
+    "kmeans_lloyd_step",  # broadcast of K=8 centroid rows x corpus scan
 }
 
 
