@@ -126,6 +126,7 @@ HEADLINE = [
     "curation_pipeline_report",
     "source_divergence_chi2",
     "kmeans_lloyd_step",
+    "funnel_state_scan",
 ]
 
 

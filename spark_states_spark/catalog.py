@@ -109,6 +109,7 @@ _VERIFY_FIRST = [
     "curation_pipeline_report",
     "source_divergence_chi2",
     "kmeans_lloyd_step",
+    "funnel_state_scan",
     # --- earlier this session: time-series/CDC family, span-level dedup,
     # source reputation, the bucketed co-located join, and the streaming
     # materialized-view pair (CDC upsert + windowed top-k) ---

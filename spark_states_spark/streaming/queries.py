@@ -1603,3 +1603,83 @@ def streaming_ohlc_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fin.n_trades").alias("n_trades"),
         )
     )
+
+
+@register(
+    "funnel_state_scan",
+    # The committed per-user (k1, k2, k3) state records ARE the batch fold:
+    # the oracle computes the same chained-min composite keys and compares
+    # them against the offline state scan — StateStore.iterator parity
+    # (RocksDbStateStoreProvider.scala:244-277) for PYTHON arbitrary state.
+    oracle="""
+    WITH ops AS (
+      -- same event-type filter the stream applies: a user with ONLY other
+      -- event types never reaches the kernel, so holds no state record
+      SELECT user_id, event_type,
+             epoch_ns(ts) // 1000000000 * 1000000 + event_id AS k
+      FROM events
+      WHERE event_type IN ('view', 'signup', 'purchase')
+    ),
+    s1 AS (
+      SELECT *, min(CASE WHEN event_type = 'view' THEN k END)
+                  OVER (PARTITION BY user_id) AS k1
+      FROM ops
+    ),
+    s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'signup' AND k > k1 THEN k END)
+                  OVER (PARTITION BY user_id) AS k2
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND k > k2 THEN k END)
+                  OVER (PARTITION BY user_id) AS k3
+      FROM s2
+    )
+    SELECT user_id, max(k1) AS k1, max(k2) AS k2, max(k3) AS k3
+    FROM s3 GROUP BY user_id
+    """,
+)
+def funnel_state_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline scan of the streaming funnel's ARBITRARY PYTHON STATE: run
+    the funnel to completion, then read its per-user (k1, k2, k3) records
+    straight out of the RocksDB checkpoint with the state data source —
+    no re-run, no sink involved. The oracle recomputes the same records as
+    a batch fold, so the driver value-checks what the state store actually
+    holds — extending the ``state_store_scan`` parity row (reference
+    ``StateStore.iterator``) from built-in aggregation state to
+    applyInPandasWithState state.
+    """
+    import tempfile as _tf
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..sources import chunked_stream
+    from .state_reader import read_state
+
+    ckpt = _tf.mkdtemp(prefix="sss_funnel_state_")
+
+    def run() -> DataFrame:
+        events = (
+            chunked_stream(spark, sf_dir, "events", n_chunks=2)
+            .where(F.col("event_type").isin(*_FUNNEL_STAGES))
+            .select("user_id", "event_type", F.expr(_FUNNEL_K).alias("k"))
+        )
+        transitions = events.groupBy("user_id").applyInPandasWithState(
+            funnel_kernel,
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return run_stream_to_table(
+            transitions, output_mode="append", checkpoint_location=ckpt
+        )
+
+    _with_state_parts(spark, 16, run)
+    st = read_state(spark, ckpt)
+    return st.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.groupState.k1").alias("k1"),
+        F.col("value.groupState.k2").alias("k2"),
+        F.col("value.groupState.k3").alias("k3"),
+    )

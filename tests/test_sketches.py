@@ -77,3 +77,52 @@ def test_bloom_seed_family_is_stable():
     family — a drifted seed silently turns the filter into a row dropper
     (caught by the oracle, but pin the root cause here)."""
     assert len(set(_BLOOM_SEEDS)) == len(_BLOOM_SEEDS) == 3
+
+
+def test_hll_rho_case_boundaries(spark):
+    """The integer-comparison rho rank must agree with Python bit_length at
+    every boundary (powers of two, zero, max 20-bit value) in BOTH engines
+    — an off-by-one here shifts register values and silently skews every
+    estimate."""
+    import duckdb
+
+    from spark_states_spark.functions.sketches import _HLL_WBITS, _rho_case
+
+    ws = [0, 1, 2, 3, (1 << 19) - 1, 1 << 19, (1 << 20) - 1]
+    ws += [(1 << k) for k in range(_HLL_WBITS)] + [(1 << k) - 1 for k in range(2, _HLL_WBITS)]
+
+    def py_rho(w):
+        return _HLL_WBITS + 1 if w == 0 else _HLL_WBITS - (w.bit_length() - 1)
+
+    con = duckdb.connect()
+    try:
+        for w in sorted(set(ws)):
+            want = py_rho(w)
+            got_duck = con.execute(f"SELECT {_rho_case(str(w))}").fetchone()[0]
+            got_spark = (
+                spark.range(1).selectExpr(f"{_rho_case(str(w))} AS r").collect()[0].r
+            )
+            assert got_duck == want == got_spark, (w, want, got_duck, got_spark)
+    finally:
+        con.close()
+
+
+def test_hll_pow2neg_literals_exact(spark):
+    """Every 2^-rho CASE literal must be the exact binary value (5^k/10^k)
+    in both engines — a truncated literal biases the harmonic sum."""
+    from decimal import Decimal
+
+    import duckdb
+
+    from spark_states_spark.functions.sketches import _HLL_WBITS, _pow2neg_case
+
+    con = duckdb.connect()
+    try:
+        for r in range(1, _HLL_WBITS + 2):
+            want = Decimal(1) / (Decimal(2) ** r)
+            got = con.execute(
+                f"SELECT CAST({_pow2neg_case(str(r))} AS DECIMAL(38,21))"
+            ).fetchone()[0]
+            assert Decimal(got) == want, (r, got)
+    finally:
+        con.close()
