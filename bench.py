@@ -127,6 +127,7 @@ HEADLINE = [
     "source_divergence_chi2",
     "kmeans_lloyd_step",
     "funnel_state_scan",
+    "similarity_lsh_recall",
 ]
 
 

@@ -110,6 +110,7 @@ _VERIFY_FIRST = [
     "source_divergence_chi2",
     "kmeans_lloyd_step",
     "funnel_state_scan",
+    "similarity_lsh_recall",
     # --- earlier this session: time-series/CDC family, span-level dedup,
     # source reputation, the bucketed co-located join, and the streaming
     # materialized-view pair (CDC upsert + windowed top-k) ---

@@ -677,3 +677,88 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid"),
         F.count("*").alias("n_values"),
     )
+
+
+# --- ANN quality self-evaluation --------------------------------------------
+
+
+@register(
+    "similarity_lsh_recall",
+    # Exact top-K and LSH top-K are the two catalog pipelines verbatim;
+    # recall@K = |intersection| / K per query. Integer hits and one
+    # division of identical integers — no float comparison surface beyond
+    # the cosine orderings both entries already pin.
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < {_N_QUERIES}),
+    exact_scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_DUCK_DOT.format(a='q.qe', b='e.embedding')}
+               / ({_duck_norm('q.qe')} * {_duck_norm('e.embedding')}) AS cosine
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ),
+    exact_topk AS (
+      SELECT query_id, vec_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id) AS rn
+            FROM exact_scored) WHERE rn <= {_TOP_K}
+    ),
+    bucketed AS (
+      SELECT vec_id, embedding, unnest({_duck_buckets('embedding')}) AS bucket
+      FROM embeddings
+    ),
+    qb AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM bucketed
+           WHERE vec_id < {_N_QUERIES}),
+    cand AS (
+      SELECT DISTINCT qb.query_id, qb.qe, e.vec_id, e.embedding
+      FROM qb JOIN bucketed e ON e.bucket = qb.bucket
+                             AND e.vec_id <> qb.query_id
+    ),
+    ann_scored AS (
+      SELECT query_id, vec_id,
+             {_DUCK_DOT.format(a='qe', b='embedding')}
+               / ({_duck_norm('qe')} * {_duck_norm('embedding')}) AS cosine
+      FROM cand
+    ),
+    ann_topk AS (
+      SELECT query_id, vec_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id) AS rn
+            FROM ann_scored) WHERE rn <= {_TOP_K}
+    )
+    SELECT x.query_id,
+           CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+           CAST(count(a.vec_id) AS DOUBLE) / {_TOP_K} AS recall_at_k
+    FROM exact_topk x
+    LEFT JOIN ann_topk a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+    GROUP BY x.query_id
+    """,
+)
+def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{K} of the hyperplane-LSH ANN against the exact brute-force
+    top-K, per query — the evaluation loop every ANN deployment runs
+    before trusting an index (and the honest face of "approximate": the
+    catalog measures its own approximation instead of asserting it).
+
+    Composition: both sides are the existing catalog pipelines verbatim
+    (`similarity_cosine_topk`, `similarity_lsh_ann`); the report is one
+    left join + count over two K-row-per-query sets. At 100 TB the exact
+    side runs on a SAMPLE of queries (it is the expensive one) — the
+    report shape is unchanged.
+    """
+    exact = similarity_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    ann = similarity_lsh_ann(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("vec_id").alias("av")
+    )
+    return (
+        exact.join(
+            ann,
+            (F.col("query_id") == F.col("aq")) & (F.col("vec_id") == F.col("av")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("av").alias("n_hits"),
+            (F.count("av").cast("double") / F.lit(_TOP_K)).alias("recall_at_k"),
+        )
+    )

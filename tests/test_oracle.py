@@ -40,9 +40,9 @@ def test_oracle_differential_sf01(spark, name):
     """Scale-up differential: the same oracle gate at sf0.1 — 10× the
     driver's correctness scale. A query whose plan or numeric discipline
     only holds at small data (decimal overflow, candidate explosion,
-    rank-boundary drift) fails here first. The full catalog passed this
-    at sf0.1 in ~13 min on local[32] (2026-08-14); env-gated so the
-    default suite stays fast."""
+    rank-boundary drift) fails here first. The full catalog (157 oracle
+    entries) passed this at sf0.1 in ~15.5 min on local[32] (2026-08-14,
+    round-4 end); env-gated so the default suite stays fast."""
     con = duckdb_con("/root/testdata/sf0.1")
     try:
         probs = compare(QUERIES[name](spark, "/root/testdata/sf0.1"), con, ORACLES[name])

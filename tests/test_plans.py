@@ -203,6 +203,7 @@ _NON_EQUI_BY_DESIGN = {
     # broadcast — both cross-join sides bounded by constants, not data
     "source_divergence_chi2",
     "kmeans_lloyd_step",  # broadcast of K=8 centroid rows x corpus scan
+    "similarity_lsh_recall",  # composes the two exempt similarity pipelines
 }
 
 
