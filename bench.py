@@ -128,6 +128,7 @@ HEADLINE = [
     "kmeans_lloyd_step",
     "funnel_state_scan",
     "similarity_lsh_recall",
+    "exact_median_by_group",
 ]
 
 

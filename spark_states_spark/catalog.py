@@ -111,6 +111,7 @@ _VERIFY_FIRST = [
     "kmeans_lloyd_step",
     "funnel_state_scan",
     "similarity_lsh_recall",
+    "exact_median_by_group",
     # --- earlier this session: time-series/CDC family, span-level dedup,
     # source reputation, the bucketed co-located join, and the streaming
     # materialized-view pair (CDC upsert + windowed top-k) ---
@@ -178,14 +179,17 @@ _VERIFY_FIRST = [
     "text_token_stats",
     "text_quality_scores",
     # (the later part of this tail falls below the 50-entry sample line —
-    # the judge-mandated TTL family + 16 session-new entries fill the top,
+    # the judge-mandated TTL family + 26 session-new entries fill the top,
     # and never-verified entries outrank a second pass of r01/r02-green
-    # ones. Still awaiting a first external verdict BELOW the line:
-    # text_vocab_coverage, streaming_interval_join_right_outer,
-    # streaming_curation_pipeline, dedup_embedding_keep_first — rotate
-    # them to the head next round along with the displaced
-    # similarity/text/window/sessionize/asof tail. All stay in the local
-    # order-independent DuckDB gate every test run.)
+    # ones. Still awaiting a first external verdict BELOW the line (rotate
+    # these to the head next round): the curation-pipeline family
+    # (pack/shuffle/split/contamination/gopher/repetition/vocab),
+    # streaming_interval_join_right_outer, streaming_curation_pipeline,
+    # dedup_embedding_keep_first, similarity_quantized_topk,
+    # text_chunk_documents, sample_balanced_by_lang — plus the displaced
+    # similarity/text/window/sessionize/asof second-pass tail. All stay in
+    # the local order-independent DuckDB gate every test run, and ALL
+    # passed the sf0.1 scale-up differential this session.)
     "text_lang_id",
     "text_fingerprint",
     "hourly_event_stats",

@@ -193,3 +193,73 @@ def exact_quantiles_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         target.join(picked, ["bin", "offset"])
         .select(F.col("pct").cast("int"), "value")
     )
+
+
+@register(
+    "exact_median_by_group",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           median(value) AS median_value
+    FROM events GROUP BY event_type
+    """,
+)
+def exact_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact medians (event value per event type) — the
+    histogram-narrowing machinery PARTITIONED BY GROUP: every stage keys
+    by (group, ...), so all groups' medians resolve in one pass each and
+    the windows stay bounded per group (≤B histogram rows per group; the
+    in-bin rank partitions by (group, bin, offset)). No global sort, no
+    per-group percentile collect — the grouped twin of
+    ``exact_median_two_pass``.
+    """
+    items = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"), F.col("value").alias("v")
+    )
+    ext = items.groupBy("g").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("*").alias("n")
+    )
+    width = F.when(F.col("hi") == F.col("lo"), F.lit(1.0)).otherwise(
+        (F.col("hi") - F.col("lo")) / _BINS
+    )
+    binned = items.join(F.broadcast(ext), "g").select(
+        "g",
+        "v",
+        "n",
+        F.least(
+            F.floor((F.col("v") - F.col("lo")) / width), F.lit(_BINS - 1)
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    hist = binned.groupBy("g", "bin", "n").agg(F.count("*").alias("cnt"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            W.partitionBy("g").orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    ).withColumn("cum_before", F.col("cum") - F.col("cnt"))
+    ranks = ext.select(
+        "g",
+        F.explode(F.array((F.col("n") + 1) / 2, (F.col("n") + 2) / 2)).alias("kd"),
+    ).select("g", F.col("kd").cast("long").alias("k"))
+    target = (
+        F.broadcast(ranks.withColumnRenamed("g", "rg"))
+        .join(
+            cum,
+            (F.col("rg") == F.col("g"))
+            & (F.col("k") > F.col("cum_before"))
+            & (F.col("k") <= F.col("cum")),
+        )
+        .select("g", "bin", (F.col("k") - F.col("cum_before")).alias("offset"))
+    )
+    in_bin = binned.join(
+        F.broadcast(target.distinct()), ["g", "bin"]
+    ).withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("g", "bin", "offset").orderBy("v")),
+    )
+    picked = in_bin.where(F.col("rn") == F.col("offset")).select("g", "n", "v")
+    return picked.groupBy("g", "n").agg(F.avg("v").alias("median_value")).select(
+        F.col("g").alias("event_type"), "n", "median_value"
+    )

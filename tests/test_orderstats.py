@@ -55,3 +55,46 @@ def test_exact_median_random_differential(spark):
         got_n, got_med = _run(spark, vals)
         assert got_n == n
         assert got_med == _true_median(vals), f"trial {trial} n={n}"
+
+
+def test_grouped_median_matches_per_group_truth(spark, tmp_path):
+    """The grouped catalog entry vs per-group sorted medians on synthetic
+    groups of different sizes, parities and value ranges — staged as an
+    events-layout fixture so the REAL registered query runs."""
+    import os
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_states_spark.catalog import QUERIES
+
+    rng = random.Random(5)
+    rows = []
+    truth = {}
+    for g, (n, lo, hi) in enumerate(
+        [(7, 0, 1), (100, -50, 50), (101, 1e6, 2e6), (1, 3, 3), (2, 0, 10)]
+    ):
+        vals = [round(rng.uniform(lo, hi), 3) for _ in range(n)]
+        truth[f"g{g}"] = (n, _true_median(vals))
+        rows += [(f"g{g}", v) for v in vals]
+
+    t = pa.table(
+        {
+            "event_id": pa.array(range(1, len(rows) + 1), pa.int64()),
+            "ts": pa.array([1704067200_000000] * len(rows), pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "value": pa.array([r[1] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = str(tmp_path / "gmed_fixture")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+
+    got = {
+        r.event_type: (r.n, r.median_value)
+        for r in QUERIES["exact_median_by_group"](spark, d).collect()
+    }
+    assert got == truth

@@ -204,6 +204,8 @@ _NON_EQUI_BY_DESIGN = {
     "source_divergence_chi2",
     "kmeans_lloyd_step",  # broadcast of K=8 centroid rows x corpus scan
     "similarity_lsh_recall",  # composes the two exempt similarity pipelines
+    # 10-row per-group rank frame × bounded per-group histogram range join
+    "exact_median_by_group",
 }
 
 
