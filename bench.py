@@ -26,6 +26,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline set: the scale-relevant operators across every family —
 # relational joins/aggs, windows, sessionization, fuzzy dedup, similarity
 # search, text analysis, and real streaming state.
+#
+# Timing tiers (bounded wall-clock as the catalog grows): the CORE set —
+# the round-over-round comparable series (r01-r03 headline + the streaming
+# production recipes) — runs best-of-3 for steady-state numbers; the
+# EXTENDED tail runs once as a regression tripwire (a tripwire regression
+# is re-measured by re-running bench on that entry alone via
+# SPARK_GRAFT_BENCH_QUERIES, which always uses best-of-3).
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -131,9 +138,13 @@ HEADLINE = [
     "exact_median_by_group",
 ]
 
+# CORE = through the strict-TTL kernel (index of the r03-comparable set +
+# the state-evicting production recipes); everything after is EXTENDED.
+N_CORE = HEADLINE.index("keyed_state_ttl_strict") + 1
 
-def run_query(spark, name: str, sf_dir: str) -> float:
-    """Steady-state latency: best of three runs, cache cleared before each.
+
+def run_query(spark, name: str, sf_dir: str, n_runs: int = 3) -> float:
+    """Steady-state latency: best of ``n_runs``, cache cleared before each.
 
     The first execution of a plan shape absorbs JVM codegen/JIT warm-up
     (measured ~2× on q1); clearing the cache between runs keeps .cache()'d
@@ -142,7 +153,7 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     on untouched queries was machine noise, not code (VERDICT r02).
     """
     best = float("inf")
-    for _ in range(3):
+    for _ in range(n_runs):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
@@ -161,7 +172,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in headline:
-        timings[name] = round(run_query(spark, name, SF_DIR), 3)
+        n_runs = 3 if (subset or HEADLINE.index(name) < N_CORE) else 1
+        timings[name] = round(run_query(spark, name, SF_DIR, n_runs), 3)
 
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(sf_match.group(1).rstrip(".")) if sf_match else None
