@@ -136,6 +136,7 @@ HEADLINE = [
     "funnel_state_scan",
     "similarity_lsh_recall",
     "exact_median_by_group",
+    "sample_mixture_weights",
 ]
 
 # CORE = through the strict-TTL kernel (index of the r03-comparable set +

@@ -730,3 +730,83 @@ def source_divergence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", F.col("ns").cast("long").alias("n_vocab_tokens"), "chi2"
         )
     )
+
+
+# Mixture resampling: target corpus proportions by language, as integer
+# ratios (en:fr:de:es:zh = 4:2:2:1:1). Integer arithmetic end-to-end so
+# the feasible-size and per-stratum keep counts are bit-identical across
+# engines (no float weight ever multiplies a count).
+_MIX_RATIOS = {"en": 4, "fr": 2, "de": 2, "es": 1, "zh": 1}
+_MIX_R = sum(_MIX_RATIOS.values())
+_MIX_VALUES_DUCK = ",".join(f"('{k}',{v})" for k, v in _MIX_RATIOS.items())
+
+
+@register(
+    "sample_mixture_weights",
+    oracle=f"""
+    WITH w(lang, w) AS (VALUES {_MIX_VALUES_DUCK}),
+    c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ),
+    f AS (SELECT c.lang, n, w FROM c JOIN w USING (lang)),
+    tot AS (SELECT min(n * {_MIX_R} // w) AS total FROM f),
+    k AS (
+      SELECT lang, (w * (SELECT total FROM tot)) // {_MIX_R} AS keep FROM f
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {duck_h32("'mix:' || CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked JOIN k USING (lang) WHERE rn <= keep
+    """,
+)
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-weight corpus mixture resampling: downsample each language
+    stratum so the output matches a target mixture (en:fr:de:es:zh =
+    4:2:2:1:1) as closely as floor rounding allows, WITHOUT upsampling any
+    stratum — the data-mixture step every pre-training corpus recipe runs
+    (cf. the published LLaMA/Pile source weights). Complements
+    ``sample_balanced_by_lang`` (the equal-share special case).
+
+    Feasible output size N = min over strata of floor(n_s * R / r_s): the
+    largest total for which every stratum can supply floor(r_s * N / R)
+    docs from what it has. All arithmetic is integer (ratios, not float
+    weights), so N and the per-stratum keep counts are bit-identical
+    across engines. Selection within a stratum is by smallest seeded hash
+    (deterministic, reproducible, partition-order-independent).
+
+    Scale shape: one tiny count aggregate joined to a literal weights
+    relation (broadcast both ways), then one per-stratum window rank —
+    the rank's shuffle is the only movement of the corpus, and at 100 TB
+    the rank swaps for an approximate per-stratum quantile threshold on
+    the same hash column (identical semantics, no per-stratum sort).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wdf = spark.createDataFrame(
+        list(_MIX_RATIOS.items()), "lang string, w int"
+    )
+    feas = (
+        d.groupBy("lang").agg(F.count("*").alias("n")).join(wdf, "lang")
+    )
+    # The feasible total is a min over the |strata|-row aggregate; taking it
+    # as an unpartitioned window over that tiny frame (instead of a separate
+    # agg + cross join) keeps ONE counts subtree, so the corpus is scanned
+    # once for ranks and once for counts — not three times.
+    keep = feas.selectExpr(
+        "lang",
+        f"(w * min(n * {_MIX_R} div w) OVER ()) div {_MIX_R} AS keep",
+    )
+    h = spark_h32("concat('mix:', cast(doc_id as string))")
+    win = W.partitionBy("lang").orderBy(F.expr(h), "doc_id")
+    ranked = d.select("doc_id", "lang").withColumn(
+        "rn", F.row_number().over(win)
+    )
+    return (
+        ranked.join(F.broadcast(keep), "lang")
+        .filter(F.col("rn") <= F.col("keep"))
+        .select("doc_id", "lang")
+    )

@@ -165,3 +165,34 @@ def test_connected_components_random_graphs_match_union_find(spark):
             r.doc_id: r.label for r in connected_components(pairs).collect()
         }
         assert got == expected, f"trial {trial} (n={n}, m={m}): {got} != {expected}"
+
+
+def test_mixture_weights_no_upsample_and_floor_exact(spark, sf_dir):
+    """The mixture resampler must (a) never keep more docs than a stratum
+    has, (b) keep exactly floor(r_l * N / R) per stratum for the feasible
+    N = min_l floor(n_l * R / r_l), and (c) be deterministic."""
+    from spark_states_spark.functions.pipeline import (
+        _MIX_R,
+        _MIX_RATIOS,
+        sample_mixture_weights,
+    )
+
+    orig = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    out = sample_mixture_weights(spark, sf_dir)
+    kept = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = min(orig[l] * _MIX_R // w for l, w in _MIX_RATIOS.items())
+    for lang, w in _MIX_RATIOS.items():
+        assert kept.get(lang, 0) == w * n_total // _MIX_R
+        assert kept.get(lang, 0) <= orig[lang]
+    ids_a = {r["doc_id"] for r in out.collect()}
+    ids_b = {r["doc_id"] for r in sample_mixture_weights(spark, sf_dir).collect()}
+    assert ids_a == ids_b
