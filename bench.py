@@ -137,6 +137,7 @@ HEADLINE = [
     "similarity_lsh_recall",
     "exact_median_by_group",
     "sample_mixture_weights",
+    "dedup_cluster_keep_best",
 ]
 
 # CORE = through the strict-TTL kernel (index of the r03-comparable set +

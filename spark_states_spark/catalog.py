@@ -75,9 +75,11 @@ from .operators import skyline  # noqa: E402,F401
 # must sit inside the verified window). The local DuckDB gate stays
 # order-independent and covers ALL entries every test run.
 _VERIFY_FIRST = [
-    # newest entry (no driver verdict yet): arbitrary-weight mixture
-    # resampling over language strata
+    # newest entries (no driver verdict yet): arbitrary-weight mixture
+    # resampling over language strata; per-cluster best-quality
+    # representative selection
     "sample_mixture_weights",
+    "dedup_cluster_keep_best",
     # --- VERDICT r03 items #1-2 first: the finite-TTL oracle family and
     # the wall-clock binding's first driver rows — the judge's top asks,
     # pinned at the head of the window ahead of everything else ---

@@ -608,3 +608,97 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.n_parts").alias("n_parts_a"),
         F.col("b.n_parts").alias("n_parts_b"),
     )
+
+
+from .text import _duck_ratio as _text_duck_ratio  # noqa: E402
+
+_DUCK_ALPHA = _text_duck_ratio("text", "a-zA-Z")
+
+
+@register(
+    "dedup_cluster_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_duck_minhash_cte()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    sim AS (
+      SELECT p.doc_a, p.doc_b
+      FROM pairs p JOIN sig sa ON p.doc_a = sa.doc_id
+                   JOIN sig sb ON p.doc_b = sb.doc_id
+      WHERE CAST(len([i for i in range({_N_PERM})
+                      if sa.sig[i + 1] = sb.sig[i + 1]]) AS DOUBLE) / {_N_PERM}
+            >= {_CC_EST_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM sim
+      UNION ALL
+      SELECT doc_b, doc_a FROM sim
+    ),
+    reach(doc_id, label) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.doc_id
+    ),
+    comp AS (
+      SELECT doc_id, min(label) AS component_id FROM reach GROUP BY doc_id
+    ),
+    sized AS (
+      SELECT doc_id, component_id,
+             CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
+               AS component_size
+      FROM comp
+    ),
+    q AS (SELECT doc_id, {_DUCK_ALPHA} AS alpha_ratio FROM documents),
+    ranked AS (
+      SELECT s.component_id, s.doc_id, s.component_size, q.alpha_ratio,
+             row_number() OVER (
+               PARTITION BY s.component_id
+               ORDER BY q.alpha_ratio DESC, s.doc_id
+             ) AS rn
+      FROM sized s JOIN q USING (doc_id)
+    )
+    SELECT component_id, doc_id AS keeper_doc_id, component_size,
+           alpha_ratio AS keeper_alpha_ratio
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection per duplicate cluster: within each
+    connected component of the near-dup graph, keep the single document
+    with the highest quality signal (alpha ratio; ties to min doc_id) —
+    the curation step that follows clustering in a RefinedWeb-style
+    pipeline (cluster, then keep the best copy, drop the rest).
+
+    Pure composition of two green kernels: the CC cluster labels
+    (``dedup_cluster_connected_components``) joined to the quality scorer
+    (``text_quality_scores``) on doc_id, then one argmax window PER
+    CLUSTER. The ranking key is an IEEE division of two integer counts —
+    bit-identical across engines, so the per-cluster winner is stable.
+
+    Scale shape: the join and the window both run on the DUP GRAPH's
+    nodes (orders of magnitude smaller than the corpus — only clustered
+    docs survive the CC kernel), partitioned by component; no stage
+    touches the full corpus beyond the two upstream kernels' own scans.
+    """
+    from .text import text_quality_scores
+
+    clusters = dedup_cluster_connected_components(spark, sf_dir)
+    quality = text_quality_scores(spark, sf_dir).select(
+        "doc_id", "alpha_ratio"
+    )
+    win = W.partitionBy("component_id").orderBy(
+        F.col("alpha_ratio").desc(), "doc_id"
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("keeper_doc_id"),
+            "component_size",
+            F.col("alpha_ratio").alias("keeper_alpha_ratio"),
+        )
+    )

@@ -196,3 +196,29 @@ def test_mixture_weights_no_upsample_and_floor_exact(spark, sf_dir):
     ids_a = {r["doc_id"] for r in out.collect()}
     ids_b = {r["doc_id"] for r in sample_mixture_weights(spark, sf_dir).collect()}
     assert ids_a == ids_b
+
+
+def test_cluster_keep_best_winner_invariants(spark, sf_dir):
+    """The keeper must be a member of its cluster with the cluster-max
+    quality (ties to min doc_id), exactly one keeper per component."""
+    from spark_states_spark.functions.dedup import (
+        dedup_cluster_connected_components,
+        dedup_cluster_keep_best,
+    )
+    from spark_states_spark.functions.text import text_quality_scores
+
+    members = dedup_cluster_connected_components(spark, sf_dir).join(
+        text_quality_scores(spark, sf_dir).select("doc_id", "alpha_ratio"),
+        "doc_id",
+    )
+    by_comp = {}
+    for r in members.collect():
+        by_comp.setdefault(r["component_id"], []).append(
+            (r["alpha_ratio"], r["doc_id"])
+        )
+    keepers = dedup_cluster_keep_best(spark, sf_dir).collect()
+    assert len(keepers) == len(by_comp)
+    assert len({k["component_id"] for k in keepers}) == len(keepers)
+    for k in keepers:
+        best = max(by_comp[k["component_id"]], key=lambda t: (t[0], -t[1]))
+        assert (k["keeper_alpha_ratio"], k["keeper_doc_id"]) == best
