@@ -138,6 +138,7 @@ HEADLINE = [
     "exact_median_by_group",
     "sample_mixture_weights",
     "dedup_cluster_keep_best",
+    "batching_padding_waste",
 ]
 
 # CORE = through the strict-TTL kernel (index of the r03-comparable set +

@@ -810,3 +810,57 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("keep"))
         .select("doc_id", "lang")
     )
+
+
+# Length-bucketed batching accounting: fixed-width token-count buckets
+# (floor(n_tokens / width)), NOT ntile — quantile buckets would need a
+# global sort of the corpus; fixed widths are a pure projection, so the
+# one groupBy shuffle (on a small int key) is the only data movement.
+_BATCH_BUCKET_WIDTH = 16
+
+
+@register(
+    "batching_padding_waste",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len({DUCK_TOKS.format(col='text')}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT n_tokens, n_tokens // {_BATCH_BUCKET_WIDTH} AS bucket FROM tok
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           max(n_tokens) AS max_tokens,
+           CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT)
+             AS total_pad_waste
+    FROM b GROUP BY bucket
+    """,
+)
+def batching_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste accounting for length-bucketed batching: group docs
+    into fixed-width token-count buckets and report, per bucket, how many
+    pad tokens a batch padded to the bucket max would burn
+    (max_tokens x n_docs - sum tokens) — the metric that justifies
+    length-bucketed batching in a training data loader (random batching
+    pads every sequence to the global max; bucketing bounds waste by the
+    bucket width).
+
+    All-integer arithmetic (token counts), bit-identical across engines.
+    Scale shape: tokenize + bucket is a linear projection; the single
+    groupBy on a small integer key is the only shuffle, map-side
+    combinable down to one row per bucket per partition.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = SPARK_TOKS.format(col="text")
+    b = d.selectExpr(
+        f"cast(size({toks}) as bigint) AS n_tokens"
+    ).selectExpr("n_tokens", f"n_tokens div {_BATCH_BUCKET_WIDTH} AS bucket")
+    return b.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.max("n_tokens").alias("max_tokens"),
+        (F.max("n_tokens") * F.count("*") - F.sum("n_tokens")).alias(
+            "total_pad_waste"
+        ),
+    )

@@ -222,3 +222,21 @@ def test_cluster_keep_best_winner_invariants(spark, sf_dir):
     for k in keepers:
         best = max(by_comp[k["component_id"]], key=lambda t: (t[0], -t[1]))
         assert (k["keeper_alpha_ratio"], k["keeper_doc_id"]) == best
+
+
+def test_padding_waste_bucket_invariants(spark, sf_dir):
+    """Buckets must partition the corpus (doc counts sum to corpus size),
+    every bucket max must sit inside the bucket's token range, and waste
+    must be non-negative and bounded by (width-1) * n_docs."""
+    from spark_states_spark.functions.pipeline import (
+        _BATCH_BUCKET_WIDTH as width,
+        batching_padding_waste,
+    )
+
+    out = batching_padding_waste(spark, sf_dir).collect()
+    n_corpus = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in out) == n_corpus
+    for r in out:
+        lo, hi = r["bucket"] * width, (r["bucket"] + 1) * width
+        assert lo <= r["max_tokens"] < hi
+        assert 0 <= r["total_pad_waste"] <= (width - 1) * r["n_docs"]
