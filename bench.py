@@ -139,6 +139,7 @@ HEADLINE = [
     "sample_mixture_weights",
     "dedup_cluster_keep_best",
     "batching_padding_waste",
+    "source_token_concentration",
 ]
 
 # CORE = through the strict-TTL kernel (index of the r03-comparable set +

@@ -81,6 +81,7 @@ _VERIFY_FIRST = [
     "sample_mixture_weights",
     "dedup_cluster_keep_best",
     "batching_padding_waste",
+    "source_token_concentration",
     # --- VERDICT r03 items #1-2 first: the finite-TTL oracle family and
     # the wall-clock binding's first driver rows — the judge's top asks,
     # pinned at the head of the window ahead of everything else ---

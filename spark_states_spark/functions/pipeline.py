@@ -864,3 +864,60 @@ def batching_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_pad_waste"
         ),
     )
+
+
+@register(
+    "source_token_concentration",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({DUCK_TOKS.format(col='text')})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS token_share,
+           CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source
+                                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / sum(n_tokens) OVER () AS cum_share
+    FROM per_src
+    """,
+)
+def source_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition concentration report: per-source token counts,
+    each source's share of all tokens, and the cumulative share when
+    sources are ranked largest-first — the number that answers "what
+    fraction of the corpus do the top-k sources contribute", which drives
+    mixture-rebalancing decisions upstream of ``sample_mixture_weights``.
+
+    Scale shape: one map-side-combinable groupBy over the corpus (the
+    only corpus-sized stage); both windows — the global total and the
+    running sum — run over the |sources|-row AGGREGATE, so the
+    single-partition unbounded frames touch ~dozens of rows, never the
+    corpus. Shares are IEEE divisions of exact integer token counts,
+    bit-identical across engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = SPARK_TOKS.format(col="text")
+    per_src = d.selectExpr("source", f"size({toks}) AS nt").groupBy(
+        "source"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("n_tokens"),
+    )
+    w_all = W.partitionBy()
+    w_run = W.partitionBy().orderBy(
+        F.col("n_tokens").desc(), "source"
+    ).rowsBetween(W.unboundedPreceding, 0)
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w_all)
+        ).alias("token_share"),
+        (
+            F.sum("n_tokens").over(w_run).cast("double")
+            / F.sum("n_tokens").over(w_all)
+        ).alias("cum_share"),
+    )

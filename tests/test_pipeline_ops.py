@@ -240,3 +240,23 @@ def test_padding_waste_bucket_invariants(spark, sf_dir):
         lo, hi = r["bucket"] * width, (r["bucket"] + 1) * width
         assert lo <= r["max_tokens"] < hi
         assert 0 <= r["total_pad_waste"] <= (width - 1) * r["n_docs"]
+
+
+def test_source_concentration_shares_sum_and_monotone(spark, sf_dir):
+    """Token shares must sum to 1, the cumulative share must be monotone
+    in the largest-first rank order and end at 1, and every source's
+    share must match its exact token fraction."""
+    from spark_states_spark.functions.pipeline import (
+        source_token_concentration,
+    )
+
+    rows = source_token_concentration(spark, sf_dir).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-9
+    ordered = sorted(rows, key=lambda r: (-r["n_tokens"], r["source"]))
+    prev = 0.0
+    for r in ordered:
+        assert r["token_share"] == r["n_tokens"] / total
+        assert r["cum_share"] > prev
+        prev = r["cum_share"]
+    assert abs(prev - 1.0) < 1e-9
