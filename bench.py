@@ -204,8 +204,19 @@ def main() -> None:
         n_events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()
         result["streaming_events_per_sec"] = round(n_events / timings[tput_query])
         result["streaming_events_per_sec_query"] = tput_query
-    print(json.dumps(result))
+    line = json.dumps(result)
+    # Artifact loss-proofing (VERDICT r04 #1): the driver captures a bounded
+    # tail of stdout+stderr, and spark.stop() floods stderr with state-store
+    # maintenance shutdown noise. Persist the result to a file FIRST, then
+    # stop the session, then print the JSON as the very last line so it can
+    # never be pushed out of the captured tail.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json"),
+        "w",
+    ) as fh:
+        fh.write(line + "\n")
     spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
