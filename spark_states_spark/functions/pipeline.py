@@ -674,8 +674,8 @@ _CHI2_VOCAB_K = 24
     SELECT sv.source,
            CAST(ns.ns AS BIGINT) AS n_vocab_tokens,
            CAST(sum(CAST(
-             CAST((sv.o * nv.Nv - sv.cc * ns.ns) *
-                  (sv.o * nv.Nv - sv.cc * ns.ns) AS DOUBLE)
+             CAST(sv.o * nv.Nv - sv.cc * ns.ns AS DOUBLE) *
+             CAST(sv.o * nv.Nv - sv.cc * ns.ns AS DOUBLE)
              / CAST(sv.cc * ns.ns * nv.Nv AS DOUBLE)
            AS DECIMAL(38,12))) AS DOUBLE) AS chi2
     FROM src_v sv JOIN ns ON ns.source = sv.source CROSS JOIN nv
@@ -719,8 +719,12 @@ def source_divergence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ns = grid.groupBy("source").agg(F.sum("o").alias("ns"))
     cells = grid.join(ns, "source").crossJoin(F.broadcast(nv))
-    num = (F.col("o") * F.col("Nv") - F.col("cc") * F.col("ns"))
-    term = (num * num).cast("double") / (
+    # Square in DOUBLE, not int64 (ADVICE r04): at large corpus counts the
+    # int64 num*num overflows before the cast; double(num)**2 trades the
+    # last ulp for range. The oracle SQL squares in double identically, so
+    # the cross-engine hash stays exact.
+    num = (F.col("o") * F.col("Nv") - F.col("cc") * F.col("ns")).cast("double")
+    term = (num * num) / (
         F.col("cc") * F.col("ns") * F.col("Nv")
     ).cast("double")
     return (

@@ -86,7 +86,11 @@ def misra_gries_candidates(keys: DataFrame, key_col: str, k: int = _MG_K) -> Dat
              "mg_count": list(counters.values()) + [n_seen]}
         )
 
-    sketch_schema = f"{key_col} string, mg_count bigint"
+    # Sketch-row key type follows the input column (ADVICE r04): a non-string
+    # key column (e.g. bigint user ids) keeps its type through the Arrow
+    # crossing instead of being silently stringified by a hardcoded schema.
+    key_type = dict(keys.dtypes)[key_col]
+    sketch_schema = f"{key_col} {key_type}, mg_count bigint"
     return keys.mapInPandas(mg, sketch_schema).groupBy(key_col).agg(
         F.sum("mg_count").alias("mg_count")
     )

@@ -68,9 +68,13 @@ def compact(spark: SparkSession, src_dir: str, dst_dir: str) -> str:
     rewrite is scan + write only.
     """
     if not os.path.exists(os.path.join(dst_dir, "_SUCCESS")):
+        # Recursive walk (ADVICE r04): a hive-partitioned source keeps its
+        # parquet files in subdirectories — a flat listdir would compute
+        # total=0 and coalesce everything into one file regardless of size.
         total = sum(
-            os.path.getsize(os.path.join(src_dir, f))
-            for f in os.listdir(src_dir)
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(src_dir)
+            for f in files
             if f.endswith(".parquet")
         )
         n_files = max(1, -(-total // _TARGET_FILE_BYTES))
