@@ -10,6 +10,12 @@ check (used for genuinely non-SQL-expressible stateful ops).
 
 from __future__ import annotations
 
+import ast
+import glob
+import json
+import os
+import re
+import subprocess
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -18,6 +24,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+# Registering module per entry — the module map behind the computed
+# verification order (VERDICT r04 #7).
+MODULES: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None):
@@ -27,6 +36,7 @@ def register(name: str, oracle: str | None = None):
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
         QUERIES[name] = fn
+        MODULES[name] = fn.__module__
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
@@ -67,169 +77,209 @@ from .operators import graph  # noqa: E402,F401
 from .operators import rangejoin  # noqa: E402,F401
 from .operators import skyline  # noqa: E402,F401
 
-# Verification-priority reorder: entries whose code changed this round, or
-# which have never had an external (driver) verdict, float to the front so a
-# prefix-sampling harness re-checks them soonest; everything else keeps its
-# registration order. The list is data, not logic — update it per round with
-# the set of touched/new entries (ADVICE r02: any family touched by a diff
-# must sit inside the verified window). The local DuckDB gate stays
-# order-independent and covers ALL entries every test run.
-_VERIFY_FIRST = [
-    # newest entries (no driver verdict yet): arbitrary-weight mixture
-    # resampling over language strata; per-cluster best-quality
-    # representative selection
-    "sample_mixture_weights",
-    "dedup_cluster_keep_best",
-    "batching_padding_waste",
-    "source_token_concentration",
-    # --- VERDICT r03 items #1-2 first: the finite-TTL oracle family and
-    # the wall-clock binding's first driver rows — the judge's top asks,
-    # pinned at the head of the window ahead of everything else ---
-    "keyed_state_ttl_strict",
-    "keyed_state_ttl_stateless",
-    "keyed_state_ttl_per_query",
-    "keyed_state_wallclock_infinite",
-    "streaming_interval_join_full_outer",
-    "streaming_static_enrich",
-    "rollup_hourly_to_daily",
-    # --- newest: the sketch family (Misra-Gries heavy hitters, Bloom-pruned
-    # semi join, HLL), behavioral analytics (funnels incl. streaming,
-    # cohort retention), order statistics, OHLC, URL canonicalization,
-    # compaction, graph/range/skyline — first external verdict pending ---
-    "heavy_hitter_tokens",
-    "bloom_semi_join_orders",
-    "hll_distinct_user_days",
-    "funnel_view_signup_purchase",
-    "cohort_retention_daily",
-    "streaming_funnel_stages",
-    "exact_median_two_pass",
-    "ohlc_daily_bars",
-    "url_normalize_dedup",
-    "compact_small_files",
-    "exact_quantiles_multi",
-    "streaming_ohlc_update",
-    "graph_triangle_count",
-    "range_band_join",
-    "skyline_parts_2d",
-    "hll_distinct_users_by_type",
-    "streaming_hll_update",
-    "curation_pipeline_report",
-    "source_divergence_chi2",
-    "kmeans_lloyd_step",
-    "funnel_state_scan",
-    "similarity_lsh_recall",
-    "exact_median_by_group",
-    # --- earlier this session: time-series/CDC family, span-level dedup,
-    # source reputation, the bucketed co-located join, and the streaming
-    # materialized-view pair (CDC upsert + windowed top-k) ---
-    "cdc_upsert_latest",
-    "scd2_event_type_intervals",
-    "timeseries_gap_fill_locf",
-    "dedup_span_fraction",
-    "source_reputation_filter",
-    "bucketed_join_no_shuffle",
-    "streaming_cdc_upsert",
-    "streaming_topk_per_day",
-    "partitioned_scan_prune",
-    "merge_incremental_snapshot",
-    "anomaly_zscore_events",
-    "profile_lineitem_columns",
-    "audit_referential_integrity",
-    "audit_value_ranges",
-    "fuzzy_join_part_names",
-    "segment_customers_rfm",
-    "streaming_quality_audit",
-    "window_distribution_family",
-    "similar_users_timeseries",
-    "histogram_event_values",
-    # --- also new this round: the post-dedup curation pipeline (clustering,
-    # packing, shuffle sharding, stratified split, decontamination,
-    # Gopher-style quality + repetition filters, vocab coverage) and the
-    # right-outer interval join completing the stream-join matrix ---
-    "dedup_cluster_connected_components",
-    "pack_token_budget_bins",
-    "shuffle_shard_order",
-    "sample_stratified_split",
-    "contamination_ngram_overlap",
-    "text_gopher_quality_filter",
-    "text_repetition_stats",
-    "text_vocab_coverage",
-    "streaming_interval_join_right_outer",
-    "streaming_curation_pipeline",
-    "dedup_embedding_keep_first",
-    "similarity_quantized_topk",
-    "text_chunk_documents",
-    "sample_balanced_by_lang",
-    # --- code-touched in round 4 (r03-green, but their plans changed:
-    # adaptive salting in functions/skew.py; real BMP/WAV container parsing
-    # in the multimodal decode stage; 8-state-partition pinning on the
-    # chunked-replay streaming entries) ---
-    "dedup_minhash_lsh_pairs",
-    "dedup_embedding_cosine",
-    "multimodal_decode_features",
-    "streaming_hourly_agg_update",
-    "streaming_sliding_window_update",
-    "streaming_session_window_append",
-    "streaming_dedup_within_watermark",
-    # --- the 46-entry tail: last driver verdict r01 (first five) or r02;
-    # rotated into the r04 window per VERDICT r03 #3 so every entry
-    # completes a second driver pass ---
-    "q9_product_profit",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "agg_grouping_sets",
-    "agg_exact_percentiles",
-    "multimodal_manifest",
-    "similarity_cosine_topk",
-    "similarity_lsh_ann",
-    "similarity_ivf_ann",
-    "text_token_stats",
-    "text_quality_scores",
-    # (the later part of this tail falls below the 50-entry sample line —
-    # the judge-mandated TTL family + 26 session-new entries fill the top,
-    # and never-verified entries outrank a second pass of r01/r02-green
-    # ones. Still awaiting a first external verdict BELOW the line (rotate
-    # these to the head next round): the curation-pipeline family
-    # (pack/shuffle/split/contamination/gopher/repetition/vocab),
-    # streaming_interval_join_right_outer, streaming_curation_pipeline,
-    # dedup_embedding_keep_first, similarity_quantized_topk,
-    # text_chunk_documents, sample_balanced_by_lang — plus the displaced
-    # similarity/text/window/sessionize/asof second-pass tail. All stay in
-    # the local order-independent DuckDB gate every test run, and ALL
-    # passed the sf0.1 scale-up differential this session.)
-    "text_lang_id",
-    "text_fingerprint",
-    "hourly_event_stats",
-    "sessionize_events",
-    "user_funnel_counts",
-    "user_gap_median",
-    "asof_join_latest_order",
-    "window_topk_per_group",
-    "window_running_revenue",
-    "window_order_gaps",
-    "window_rank_family",
-    # Entries deliberately left outside the 50-entry sample window
-    # (never-verified or code-touched entries outrank a second pass of
-    # stable ones): `keyed_state_ttl` — rows-only by design, all three
-    # oracle-backed twins sit at the top of this window;
-    # `streaming_global_limit` — r02-green trivial least(n, count) oracle;
-    # all six setops — r02-green, untouched, trivially-stable oracles
-    # (`_intersect_all` rotated out this round for the r05 entries);
-    # all seven scalar pure-function round-trips (r02-green; rotated out
-    # this round to make room for the 9 round-5 entries);
-    # `dedup_exact_groups`/`dedup_exact_keep_first` — r02-green trivial
-    # md5-group oracles; `window_first_last`/`window_range_frame` —
-    # r02-green, the window family keeps four other entries in-window;
-    # and the complete-mode streaming oracle harnesses
-    # (`streaming_hourly_agg/_dedup/_doc_dedup/_session_window/
-    # _sliding_window`) — r02-green AND their state-evicting production
-    # twins sit inside the window. All remain covered by the local
-    # order-independent DuckDB gate every test run.
-]
+# --- Computed verification order (VERDICT r04 #7) ---------------------------
+#
+# The external driver samples a bounded prefix (50 entries/round) of
+# ``queries()``. Through round 4 the prefix was a hand-maintained 150-line
+# list — the round's most error-prone artifact (a forgotten entry silently
+# starves verification). It is now COMPUTED from the two ground truths that
+# already live in the repo:
+#
+#   1. the CORRECTNESS_r{N}.json verdict history at the repo root
+#      (never-externally-green entries outrank everything), then
+#   2. entries whose registering module changed since the last round
+#      boundary (``git diff`` against the newest ``round N:`` commit,
+#      mapped through MODULES), then
+#   3. everything else, oldest-green-verdict first,
+#
+# with registration order breaking ties. Failure-isolated: if the history
+# files or git are unavailable (driver sandbox, fresh clone), the order
+# degrades to registration order — the contract surface never breaks. The
+# authoritative correctness gate stays local and order-independent: every
+# oracle entry is verified against DuckDB each test run (tests/test_oracle.py)
+# regardless of sampling order. Known granularity limit: a change to a shared
+# infra module (functions/skew.py, sources/tables.py, session.py) does not
+# mark its dependent entries touched — only registering modules are mapped.
+# Run ``python -m spark_states_spark.catalog`` to print the freshness table
+# (written to VERIFY_ORDER.md per round).
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _verdict_green(rec: dict) -> bool:
+    """A driver verdict row counts as green iff it value-matched the oracle
+    (or, for rows-only entries, ran to a row count without error)."""
+    if not isinstance(rec, dict):
+        return False
+    if rec.get("err") == "no_oracle":
+        return rec.get("spark_rows") is not None
+    return bool(
+        rec.get("err") is None
+        and rec.get("rows_match")
+        and rec.get("schema_match")
+        and rec.get("hash_match")
+    )
+
+
+def last_green_round(root: str = _ROOT) -> dict[str, int]:
+    """Entry -> newest round number with a fully-green driver verdict."""
+    out: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, rec in data.items():
+            if _verdict_green(rec):
+                out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
+def _toplevel_spans(tree: "ast.Module") -> dict[str, tuple[int, int]]:
+    """Top-level name -> (first_line, last_line) including decorators."""
+    spans: dict[str, tuple[int, int]] = {}
+    for node in tree.body:
+        names: list[str] = []
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            names = [node.name]
+        elif isinstance(node, ast.Assign):
+            names = [t.id for t in node.targets if isinstance(t, ast.Name)]
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            names = [node.target.id]
+        if not names:
+            continue
+        start = min(
+            [node.lineno]
+            + [d.lineno for d in getattr(node, "decorator_list", [])]
+        )
+        for n in names:
+            spans[n] = (start, node.end_lineno or node.lineno)
+    return spans
+
+
+def _changed_toplevel_names(root: str, base: str, rel_path: str) -> set[str] | None:
+    """Top-level names in ``rel_path`` whose source intersects the diff vs
+    ``base``, expanded through intra-module references (a change inside a
+    helper touches every top-level def that mentions the helper). Returns
+    None when the analysis can't run (unparseable / deleted file) — caller
+    falls back to whole-module granularity."""
+    abs_path = os.path.join(root, rel_path)
+    try:
+        with open(abs_path) as fh:
+            tree = ast.parse(fh.read())
+        diff = subprocess.run(
+            ["git", "diff", "-U0", base, "--", rel_path],
+            cwd=root, capture_output=True, text=True, timeout=10,
+        ).stdout
+    except (OSError, SyntaxError, subprocess.SubprocessError, ValueError):
+        return None
+    spans = _toplevel_spans(tree)
+    # new-file-side hunk ranges from @@ -a,b +c,d @@ headers; a pure deletion
+    # (d == 0) still marks its anchor line so the enclosing def is credited
+    hunks: list[tuple[int, int]] = []
+    for m in re.finditer(r"^@@ [^+]*\+(\d+)(?:,(\d+))? @@", diff, re.M):
+        start = int(m.group(1))
+        count = int(m.group(2)) if m.group(2) is not None else 1
+        hunks.append((start, start + max(count, 1) - 1))
+    changed = {
+        name
+        for name, (lo, hi) in spans.items()
+        for (a, b) in hunks
+        if a <= hi and b >= lo
+    }
+    # propagate: who references a changed name (transitively, top-level only)
+    refs: dict[str, set[str]] = {}
+    for node in tree.body:
+        for owner, (lo, hi) in spans.items():
+            if getattr(node, "lineno", None) == lo or (
+                lo <= getattr(node, "lineno", -1) <= hi
+            ):
+                ids = {n.id for n in ast.walk(node) if isinstance(n, ast.Name)}
+                refs.setdefault(owner, set()).update(ids & spans.keys())
+    frontier = set(changed)
+    while frontier:
+        frontier = {
+            owner
+            for owner, ids in refs.items()
+            if ids & frontier and owner not in changed
+        }
+        changed |= frontier
+    return changed
+
+
+def touched_entries(root: str = _ROOT) -> set[str]:
+    """Entries whose implementation changed since the last round boundary
+    (the newest driver 'round N: ...' commit).
+
+    Granularity: diff hunks are mapped to top-level module names via ast
+    and propagated through intra-module references, so a change to one
+    helper or one entry's decorator touches only the entries that reach
+    it — not every entry in a 1700-line module (which would crowd the
+    driver's 50-entry sampling window with freshly-verified neighbors).
+    Falls back to whole-module granularity when the hunk analysis can't
+    run, and to the empty set on any git failure; regression safety does
+    not depend on this — the local DuckDB gate runs every oracle entry on
+    every test run regardless."""
+    try:
+        base = subprocess.run(
+            ["git", "log", "--grep", "^round [0-9]*:", "-n", "1", "--format=%H"],
+            cwd=root, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        if not base:
+            return set()
+        files = subprocess.run(
+            ["git", "diff", "--name-only", base],
+            cwd=root, capture_output=True, text=True, timeout=10,
+        ).stdout.split()
+    except (OSError, subprocess.SubprocessError, ValueError):
+        return set()
+    out: set[str] = set()
+    for f in files:
+        if not f.endswith(".py"):
+            continue
+        mod = f[:-3].replace("/", ".")
+        entries = {n for n, m in MODULES.items() if m == mod}
+        if not entries:
+            continue
+        changed = _changed_toplevel_names(root, base, f)
+        if changed is None:
+            out |= entries  # fallback: whole module
+            continue
+        out |= {n for n in entries if QUERIES[n].__name__ in changed}
+    return out
+
+
+def verification_order() -> list[str]:
+    """All catalog entries, highest verification priority first."""
+    try:
+        greens = last_green_round()
+        touched = touched_entries()
+    except Exception:
+        return list(QUERIES)
+
+    def rank(item: tuple[int, str]) -> tuple[int, int, int]:
+        idx, name = item
+        if name not in greens:
+            return (0, 0, idx)  # never externally green
+        if name in touched:
+            # green before, but code changed this round; stalest first so a
+            # broad module-level diff (module granularity over-includes)
+            # doesn't let freshly-verified entries crowd the window
+            return (1, greens[name], idx)
+        return (2, greens[name], idx)  # stalest verdict first
+
+    return [n for _, n in sorted(enumerate(QUERIES), key=rank)]
 
 
 def ordered_queries() -> dict[str, QueryFn]:
-    """QUERIES with the priority entries first.
+    """QUERIES in computed verification-priority order.
 
     Computed lazily (NOT at import time): when a registering module is the
     first import, its ``from ..catalog import register`` re-enters this
@@ -237,9 +287,51 @@ def ordered_queries() -> dict[str, QueryFn]:
     import-time reorder would see an incomplete registry and fail.
     ``__spark_entry__.queries()`` calls this after all registrations exist.
     """
-    missing = [n for n in _VERIFY_FIRST if n not in QUERIES]
-    if missing:
-        raise ValueError(f"_VERIFY_FIRST names unknown entries: {missing}")
-    ordered = {n: QUERIES[n] for n in _VERIFY_FIRST}
-    ordered.update({n: f for n, f in QUERIES.items() if n not in _VERIFY_FIRST})
-    return ordered
+    return {n: QUERIES[n] for n in verification_order()}
+
+
+def freshness_table() -> str:
+    """Markdown freshness report: one row per entry with its status."""
+    greens = last_green_round()
+    touched = touched_entries()
+    order = verification_order()
+    newest = max(greens.values(), default=0)
+    rows = ["| # | entry | last green | status |", "|---|---|---|---|"]
+    for i, name in enumerate(order, 1):
+        if name not in greens:
+            status = "NEVER-VERIFIED"
+            last = "—"
+        else:
+            last = f"r{greens[name]:02d}"
+            if name in touched:
+                status = "code-touched"
+            elif greens[name] < newest - 1:
+                status = "stale"
+            else:
+                status = "fresh"
+        rows.append(f"| {i} | {name} | {last} | {status} |")
+    n_never = sum(1 for n in order if n not in greens)
+    head = (
+        "# VERIFY_ORDER — computed driver-sampling priority\n\n"
+        "Generated by `python -m spark_states_spark.catalog` from the\n"
+        "CORRECTNESS_r*.json history + git diff vs the last round boundary\n"
+        "(see catalog.py). The driver samples the first ~50 rows.\n\n"
+        f"Entries: {len(order)} · never-verified: {n_never} · "
+        f"code-touched: {len(touched & set(greens))} · newest verdict round: r{newest:02d}\n\n"
+    )
+    return head + "\n".join(rows) + "\n"
+
+
+if __name__ == "__main__":
+    # `python -m` runs this file as __main__ while the registering modules
+    # import the canonical `spark_states_spark.catalog` instance — delegate
+    # to that instance or the __main__ copy sees an empty registry.
+    from spark_states_spark import catalog as _canonical
+
+    out = os.path.join(_ROOT, "VERIFY_ORDER.md")
+    with open(out, "w") as fh:
+        fh.write(_canonical.freshness_table())
+    print(f"wrote {out}")
+    greens = _canonical.last_green_round()
+    print(f"{len(_canonical.QUERIES)} entries; never-verified: "
+          f"{sorted(n for n in _canonical.QUERIES if n not in greens)}")

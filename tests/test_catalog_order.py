@@ -1,0 +1,127 @@
+"""Computed verification order (catalog.py, VERDICT r04 #7): the driver
+samples a prefix of ``queries()``, so the ordering logic is contract surface.
+These tests pin the priority rules against synthetic verdict histories."""
+
+import json
+
+from spark_states_spark import catalog
+
+
+def test_verdict_green_rules():
+    assert catalog._verdict_green(
+        {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    )
+    # any mismatch or error is not green
+    assert not catalog._verdict_green(
+        {"rows_match": True, "schema_match": True, "hash_match": False, "err": None}
+    )
+    assert not catalog._verdict_green(
+        {"rows_match": True, "schema_match": True, "hash_match": True, "err": "boom"}
+    )
+    # rows-only entries: green = ran to a row count
+    assert catalog._verdict_green({"err": "no_oracle", "spark_rows": 150})
+    assert not catalog._verdict_green({"err": "no_oracle", "spark_rows": None})
+    assert not catalog._verdict_green(None)
+
+
+def test_last_green_round_takes_newest(tmp_path):
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "a": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+        "b": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+    }))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({
+        "a": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+        "c": {"rows_match": False, "schema_match": True, "hash_match": False, "err": None},
+    }))
+    greens = catalog.last_green_round(str(tmp_path))
+    assert greens == {"a": 3, "b": 1}  # c's red verdict never counts
+
+
+def test_last_green_round_survives_garbage(tmp_path):
+    (tmp_path / "CORRECTNESS_r01.json").write_text("not json{")
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({"a": "weird"}))
+    assert catalog.last_green_round(str(tmp_path)) == {}
+
+
+def test_verification_order_is_a_permutation():
+    order = catalog.verification_order()
+    assert sorted(order) == sorted(catalog.QUERIES)
+
+
+def test_never_verified_entries_lead_the_order():
+    greens = catalog.last_green_round()
+    if not greens:  # fresh clone without history: registration order
+        return
+    order = catalog.verification_order()
+    never = {n for n in catalog.QUERIES if n not in greens}
+    assert set(order[: len(never)]) == never
+
+
+def test_touched_entries_best_effort_on_bad_root(tmp_path):
+    assert catalog.touched_entries(str(tmp_path)) == set()
+
+
+def test_touched_entries_subset_of_registry():
+    assert catalog.touched_entries() <= set(catalog.QUERIES)
+
+
+def test_toplevel_spans_cover_decorators_assigns_and_defs():
+    import ast
+
+    src = (
+        "X = 1\n"
+        "\n"
+        "@deco(\n"
+        "    'arg',\n"
+        ")\n"
+        "def f():\n"
+        "    return X\n"
+        "\n"
+        "def g():\n"
+        "    return 2\n"
+    )
+    spans = catalog._toplevel_spans(ast.parse(src))
+    assert spans["X"] == (1, 1)
+    assert spans["f"] == (3, 7)  # decorator line starts the span
+    assert spans["g"] == (9, 10)
+
+
+def test_changed_toplevel_names_propagates_references(tmp_path):
+    """A hunk on a module-level helper touches the defs that reference it,
+    transitively, and nothing else."""
+    import subprocess
+
+    def git(*a):
+        subprocess.run(["git", *a], cwd=tmp_path, check=True, capture_output=True)
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    mod = tmp_path / "m.py"
+    mod.write_text("K = 1\n\ndef uses_k():\n    return K\n\ndef chain():\n    return uses_k()\n\ndef other():\n    return 2\n")
+    git("add", "m.py")
+    git("commit", "-q", "-m", "round 0: base")
+    # change only the helper constant
+    mod.write_text("K = 2\n\ndef uses_k():\n    return K\n\ndef chain():\n    return uses_k()\n\ndef other():\n    return 2\n")
+    base = subprocess.run(
+        ["git", "log", "--grep", "^round [0-9]*:", "-n", "1", "--format=%H"],
+        cwd=tmp_path, capture_output=True, text=True,
+    ).stdout.strip()
+    changed = catalog._changed_toplevel_names(str(tmp_path), base, "m.py")
+    assert changed == {"K", "uses_k", "chain"}
+
+
+def test_changed_toplevel_names_none_on_unparseable(tmp_path):
+    assert (
+        catalog._changed_toplevel_names(str(tmp_path), "HEAD", "missing.py") is None
+    )
+
+
+def test_freshness_table_mentions_every_entry():
+    table = catalog.freshness_table()
+    for name in catalog.QUERIES:
+        assert f"| {name} |" in table
+
+
+def test_every_query_has_a_module():
+    assert set(catalog.MODULES) == set(catalog.QUERIES)
