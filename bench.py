@@ -140,6 +140,10 @@ HEADLINE = [
     "dedup_cluster_keep_best",
     "batching_padding_waste",
     "source_token_concentration",
+    # round-5 additions: the TTL bounds oracles (lazy chunked-replay
+    # sandwich; finite wall-clock kernel) — the two new stateful entries.
+    "keyed_state_ttl_lazy_bounds",
+    "keyed_state_wallclock_finite_bounds",
 ]
 
 # CORE = through the strict-TTL kernel (index of the r03-comparable set +

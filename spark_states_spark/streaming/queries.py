@@ -1105,7 +1105,14 @@ def keyed_state_wallclock_infinite(spark: SparkSession, sf_dir: str) -> DataFram
 # follows from hit-set nesting and is checked too.
 
 _LAZY_BOUNDS_TTL_SECS = 21600
-_LAZY_BOUNDS_CHUNKS = 8  # real between-batch sweeps, same replay as windows
+# Chunk/partition choice measured at sf0.1 (the per-query deployment knob):
+# per-batch cost here is Python kernel invocations (batches × key-groups),
+# so fewer chunks win as long as real between-batch sweeps remain — 3 chunks
+# = 2 mid-stream sweep boundaries at ~3.0 s vs 8 chunks at 7.9 s; 16 state
+# partitions beat both 4 (group-skew serialization, 20.9 s) and 32 (setup
+# overhead) for this key cardinality.
+_LAZY_BOUNDS_CHUNKS = 3
+_LAZY_BOUNDS_STATE_PARTS = 16
 
 
 def _batch_kv_fold_bounds(
@@ -1225,21 +1232,28 @@ def keyed_state_ttl_lazy_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     }
     ttl = resolve_ttl(conf, "events_kv_lazy_bounds")
-    # Same op derivation as _event_kv_ops, over the chunked source. Kept
-    # inline (not refactored into the shared helper) so this addition does
-    # not mark the whole green TTL family code-touched in the verify order.
-    ev = chunked_stream(spark, sf_dir, "events", n_chunks=_LAZY_BOUNDS_CHUNKS)
-    ops = ev.select(
-        F.concat(F.lit("u"), F.col("user_id")).alias("key"),
-        F.when(F.col("event_type") == "purchase", "put")
-        .when(F.col("event_type") == "error", "remove")
-        .otherwise("get")
-        .alias("op"),
-        (F.col("value") * 100).cast("long").alias("value"),
-        F.unix_timestamp("ts").alias("ts_s"),
-        F.col("event_id").alias("seq"),
-    )
-    out = run_stream_to_table(ttl_kv_ops(ops, ttl), output_mode="append")
+
+    def run() -> DataFrame:
+        # Same op derivation as _event_kv_ops, over the chunked source. Kept
+        # inline (not refactored into the shared helper) so this addition
+        # does not mark the whole green TTL family code-touched in the
+        # verify order.
+        ev = chunked_stream(
+            spark, sf_dir, "events", n_chunks=_LAZY_BOUNDS_CHUNKS
+        )
+        ops = ev.select(
+            F.concat(F.lit("u"), F.col("user_id")).alias("key"),
+            F.when(F.col("event_type") == "purchase", "put")
+            .when(F.col("event_type") == "error", "remove")
+            .otherwise("get")
+            .alias("op"),
+            (F.col("value") * 100).cast("long").alias("value"),
+            F.unix_timestamp("ts").alias("ts_s"),
+            F.col("event_id").alias("seq"),
+        )
+        return run_stream_to_table(ttl_kv_ops(ops, ttl), output_mode="append")
+
+    out = _with_state_parts(spark, _LAZY_BOUNDS_STATE_PARTS, run)
     lazy = _get_outcome_summary(out)
     bounds = _batch_kv_fold_bounds(
         spark, sf_dir, _LAZY_BOUNDS_TTL_SECS, ["ts_s", "seq"]
@@ -1318,10 +1332,14 @@ def keyed_state_wallclock_finite_bounds(
     }
     ttl = resolve_ttl(conf, "events_kv_wall_finite")
     n_rows = load_table(spark, sf_dir, "events").count()
-    out = run_stream_drain_wallclock(
-        ttl_kv_ops_wallclock(_event_kv_ops(spark, sf_dir), ttl),
-        n_input_rows=n_rows,
-        output_mode="append",
+    out = _with_state_parts(
+        spark,
+        STATE_PARTS,
+        lambda: run_stream_drain_wallclock(
+            ttl_kv_ops_wallclock(_event_kv_ops(spark, sf_dir), ttl),
+            n_input_rows=n_rows,
+            output_mode="append",
+        ),
     )
     wall = _get_outcome_summary(out)
     fold = _batch_kv_fold_bounds(spark, sf_dir, _WALL_FINITE_TTL_SECS, ["seq"])
