@@ -144,6 +144,10 @@ HEADLINE = [
     # sandwich; finite wall-clock kernel) — the two new stateful entries.
     "keyed_state_ttl_lazy_bounds",
     "keyed_state_wallclock_finite_bounds",
+    # Late-data contract: out-of-order replay through the append aggregation
+    # (watermark = eviction, not admission — the middle third arrives late
+    # and must still be counted).
+    "streaming_late_arrival_merge",
 ]
 
 # CORE = through the strict-TTL kernel (index of the r03-comparable set +

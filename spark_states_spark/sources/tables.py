@@ -120,6 +120,7 @@ def chunked_stream(
     name: str = "events",
     n_chunks: int = 8,
     order_cols: tuple[str, ...] = ("ts", "event_id"),
+    arrival_order: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """Stream a fixture table as ``n_chunks`` event-time-ordered micro-batches.
 
@@ -136,11 +137,24 @@ def chunked_stream(
     watermark during batch N is max(ts of batches < N) − delay, which is
     ≤ every ts in batch N, so no event is ever late-dropped.
 
+    ``arrival_order`` (default: in time order) permutes DELIVERY order
+    while chunk CONTENTS stay time-contiguous: chunk i still holds the
+    i-th time range, but its file's mtime is its rank in the permutation,
+    so the file source replays chunks in that order. This is how late-data
+    semantics are exercised deterministically — e.g. ``(0, 2, 1)`` delivers
+    oldest, newest, then middle, making every middle-third event arrive
+    behind the watermark the newest third advanced.
+
     100 TB note: this staging is test-harness-only — it simulates arrival
     order for a bounded fixture. Production streams arrive from Kafka /
     object-store listings already ordered by time; nothing here is on a
     scale path (the stage is a one-time local sort of a test file).
     """
+    if arrival_order is not None and sorted(arrival_order) != list(range(n_chunks)):
+        raise ValueError(
+            f"arrival_order {arrival_order} is not a permutation of "
+            f"range({n_chunks})"
+        )
     path = table_path(sf_dir, name)
     # Key the staged-chunk cache by source content identity (mtime+size per
     # file), not just path: the driver regenerates testdata in place between
@@ -151,6 +165,7 @@ def chunked_stream(
     key = (
         f"{os.path.abspath(path)}|{_source_identity(path)}"
         f"|{n_chunks}|{','.join(order_cols)}"
+        + (f"|arrive:{arrival_order}" if arrival_order is not None else "")
     )
     digest = hashlib.sha1(key.encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), "sss_stream_chunks", digest)
@@ -172,10 +187,14 @@ def chunked_stream(
         os.makedirs(tmp)
         bounds = [round(i * t.num_rows / n_chunks) for i in range(n_chunks + 1)]
         now = _time.time()
+        ranks = {
+            chunk: rank
+            for rank, chunk in enumerate(arrival_order or range(n_chunks))
+        }
         for i in range(n_chunks):
             f = os.path.join(tmp, f"part-{i:05d}.parquet")
             pq.write_table(t.slice(bounds[i], bounds[i + 1] - bounds[i]), f)
-            os.utime(f, (now + i, now + i))
+            os.utime(f, (now + ranks[i], now + ranks[i]))
         try:
             os.rename(tmp, d)
         except OSError:  # concurrent builder won the race; theirs is identical

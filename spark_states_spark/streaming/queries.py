@@ -248,6 +248,87 @@ def streaming_hourly_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_late_arrival_merge",
+    # The oracle needs NO chunk arithmetic: if this Spark build dropped
+    # late rows, every middle-third event would vanish from the counts and
+    # the hash would miss by a third of the corpus. The only frontier is
+    # the final watermark (floor-ms global max − the 10-min delay,
+    # inclusive ≤ — the empirically pinned eviction predicate, see
+    # streaming_session_window_append): windows ending past it are never
+    # finalized, everything else must carry its FULL batch count.
+    oracle="""
+    WITH wm AS (
+      SELECT ((max(epoch_ns(ts)) // 1000000) - 600000) * 1000 AS wm_us
+      FROM events
+    )
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+           CAST(0 AS BIGINT) AS n_rows_dropped_by_watermark
+    FROM events, wm
+    WHERE epoch_ns(date_trunc('hour', ts)) // 1000 + 3600000000 <= wm_us
+    GROUP BY 1, 2
+    """,
+)
+def streaming_late_arrival_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-DATA CONTRACT, value-checked end-to-end: on this Spark build the
+    watermark is an EVICTION frontier, not admission control — an append-mode
+    aggregation admits arbitrarily late rows, merging them into live state or
+    re-opening their windows, and ``numRowsDroppedByWatermark`` stays 0
+    (pinned batch-locally in ``tests/test_streaming_modes.py::
+    test_late_rows_reopen_windows_update_mode``; this entry upgrades the pin
+    to an external value check).
+
+    Replay: three time-contiguous chunks delivered out of order — oldest,
+    NEWEST, then middle — so every middle-third event arrives behind a
+    watermark already advanced to the end of the timeline. The drained sink
+    must still hold the middle third's full counts.
+
+    Emission is exactly-once BY CONSTRUCTION under this permutation, so the
+    oracle is a plain GROUP BY: the watermark during batch N is computed
+    from batches < N, hence (a) when the newest chunk arrives the watermark
+    still trails the oldest chunk's max, so no chunk-0 window is finalized
+    before the middle third can merge into it, and (b) the middle batch runs
+    before its own arrival moves the watermark (it cannot — the global max
+    already arrived), so its re-opened windows finalize exactly once at the
+    drain. Windows ending inside the last 10 minutes of event time are never
+    finalized and must be absent.
+
+    The reference's store serves exactly this lifecycle: keys put/merged
+    across commits and removed at eviction (Provider.scala:152-175); a
+    pipeline with genuinely late sources reconciles re-emitted partials
+    downstream instead of assuming the engine filters them (the
+    merge_incremental_snapshot pattern).
+
+    100 TB shape: the stateful aggregation shuffles once on (window, type);
+    the metric column is a per-query scalar from the progress API, not a
+    data-path reduction. Harness staging is fixture-only (chunked_stream).
+    """
+    from ..sources import chunked_stream
+    from .windows import windowed_counts
+
+    def run() -> DataFrame:
+        ev = chunked_stream(
+            spark, sf_dir, "events", n_chunks=3, arrival_order=(0, 2, 1)
+        )
+        return run_stream_to_table(
+            windowed_counts(ev, "1 hour"), output_mode="append",
+            with_progress=True,
+        )
+
+    out, progress = _with_state_parts(spark, STATE_PARTS, run)
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in progress
+        for op in p.get("stateOperators", [])
+    )
+    return out.withColumn(
+        "n_rows_dropped_by_watermark", F.lit(dropped).cast("long")
+    )
+
+
+@register(
     "streaming_sliding_window_update",
     oracle="""
     WITH expanded AS (

@@ -54,3 +54,53 @@ def test_compaction_reduces_file_count_without_shuffle(spark, sf_dir):
     # plan shape: narrowing only — no shuffle in the compaction read+write
     df = spark.read.parquet(frag).coalesce(2)
     assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_chunked_stream_arrival_order_permutes_delivery(spark, sf_dir_small):
+    """arrival_order permutes chunk DELIVERY (file mtimes) while chunk
+    contents stay time-contiguous: with (0, 2, 1) the newest third's max
+    event time is seen by the file source before the middle third's."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from spark_states_spark.sources import chunked_stream
+
+    df = chunked_stream(
+        spark, sf_dir_small, "events", n_chunks=3, arrival_order=(0, 2, 1)
+    )
+    # Recover the staged directory from the plan's source path.
+    src_path = df._jdf.queryExecution().logical().toString()
+    staged = [
+        p for p in src_path.splitlines() if "sss_stream_chunks" in p
+    ]
+    assert staged, f"staged chunk dir not in plan: {src_path[:200]}"
+    import re
+
+    m = re.search(r"(/[^\s\]]*sss_stream_chunks/[0-9a-f]+)", staged[0])
+    assert m, staged[0]
+    chunk_dir = m.group(1)
+    parts = sorted(
+        f for f in os.listdir(chunk_dir) if f.endswith(".parquet")
+    )
+    assert len(parts) == 3
+    mtimes = {f: os.path.getmtime(os.path.join(chunk_dir, f)) for f in parts}
+    # Contents: part i = i-th time range (sorted staging unchanged) ...
+    maxes = [
+        pq.read_table(os.path.join(chunk_dir, f))["ts"].to_pylist()[-1]
+        for f in parts
+    ]
+    assert maxes[0] < maxes[1] < maxes[2]
+    # ... delivery: chunk 0 first, chunk 2 second, chunk 1 last.
+    assert mtimes[parts[0]] < mtimes[parts[2]] < mtimes[parts[1]]
+
+
+def test_chunked_stream_rejects_bad_arrival_order(spark, sf_dir_small):
+    import pytest as _pytest
+
+    from spark_states_spark.sources import chunked_stream
+
+    with _pytest.raises(ValueError, match="not a permutation"):
+        chunked_stream(
+            spark, sf_dir_small, "events", n_chunks=3, arrival_order=(0, 1)
+        )
