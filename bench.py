@@ -148,6 +148,8 @@ HEADLINE = [
     # (watermark = eviction, not admission — the middle third arrives late
     # and must still be counted).
     "streaming_late_arrival_merge",
+    # Stop-and-resume across a checkpoint into the exactly-once file sink.
+    "streaming_restart_recovery",
 ]
 
 # CORE = through the strict-TTL kernel (index of the r03-comparable set +

@@ -4,6 +4,7 @@ from .tables import (
     load_table,
     load_tables,
     read_stream,
+    staged_chunks,
     register_views,
     with_event_time,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "load_table",
     "load_tables",
     "read_stream",
+    "staged_chunks",
     "register_views",
     "with_event_time",
 ]

@@ -114,42 +114,17 @@ def _source_identity(path: str) -> str:
     return f"{st.st_mtime_ns}:{st.st_size}"
 
 
-def chunked_stream(
-    spark: SparkSession,
+def staged_chunks(
     sf_dir: str,
     name: str = "events",
     n_chunks: int = 8,
     order_cols: tuple[str, ...] = ("ts", "event_id"),
     arrival_order: tuple[int, ...] | None = None,
-) -> DataFrame:
-    """Stream a fixture table as ``n_chunks`` event-time-ordered micro-batches.
-
-    The single-file fixture is re-staged (once, cached in /tmp keyed by
-    source path + chunk count) as N parquet files sorted by ``order_cols``
-    and split into contiguous time ranges, with strictly increasing mtimes
-    so the file source (which orders by modification time) delivers them
-    oldest-first; ``maxFilesPerTrigger=1`` then yields one micro-batch per
-    chunk with a monotonically advancing watermark — real multi-batch state
-    eviction, exactly the lifecycle the reference's store serves one commit
-    per batch (Provider.scala:44-47).
-
-    In-order arrival makes watermark-evicting queries deterministic: the
-    watermark during batch N is max(ts of batches < N) − delay, which is
-    ≤ every ts in batch N, so no event is ever late-dropped.
-
-    ``arrival_order`` (default: in time order) permutes DELIVERY order
-    while chunk CONTENTS stay time-contiguous: chunk i still holds the
-    i-th time range, but its file's mtime is its rank in the permutation,
-    so the file source replays chunks in that order. This is how late-data
-    semantics are exercised deterministically — e.g. ``(0, 2, 1)`` delivers
-    oldest, newest, then middle, making every middle-third event arrive
-    behind the watermark the newest third advanced.
-
-    100 TB note: this staging is test-harness-only — it simulates arrival
-    order for a bounded fixture. Production streams arrive from Kafka /
-    object-store listings already ordered by time; nothing here is on a
-    scale path (the stage is a one-time local sort of a test file).
-    """
+) -> str:
+    """Stage a fixture table as ``n_chunks`` sorted time-range parquet files
+    and return the directory (cached in /tmp; see :func:`chunked_stream` for
+    the delivery-order contract). Exposed separately so restart-recovery
+    harnesses can copy individual chunk files into a two-phase source dir."""
     if arrival_order is not None and sorted(arrival_order) != list(range(n_chunks)):
         raise ValueError(
             f"arrival_order {arrival_order} is not a permutation of "
@@ -201,6 +176,50 @@ def chunked_stream(
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+def chunked_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "events",
+    n_chunks: int = 8,
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    arrival_order: tuple[int, ...] | None = None,
+) -> DataFrame:
+    """Stream a fixture table as ``n_chunks`` event-time-ordered micro-batches.
+
+    The single-file fixture is re-staged (once, cached in /tmp keyed by
+    source path + chunk count) as N parquet files sorted by ``order_cols``
+    and split into contiguous time ranges, with strictly increasing mtimes
+    so the file source (which orders by modification time) delivers them
+    oldest-first; ``maxFilesPerTrigger=1`` then yields one micro-batch per
+    chunk with a monotonically advancing watermark — real multi-batch state
+    eviction, exactly the lifecycle the reference's store serves one commit
+    per batch (Provider.scala:44-47).
+
+    In-order arrival makes watermark-evicting queries deterministic: the
+    watermark during batch N is max(ts of batches < N) − delay, which is
+    ≤ every ts in batch N, so no event is ever late-dropped.
+
+    ``arrival_order`` (default: in time order) permutes DELIVERY order
+    while chunk CONTENTS stay time-contiguous: chunk i still holds the
+    i-th time range, but its file's mtime is its rank in the permutation,
+    so the file source replays chunks in that order. This is how late-data
+    semantics are exercised deterministically — e.g. ``(0, 2, 1)`` delivers
+    oldest, newest, then middle, making every middle-third event arrive
+    behind the watermark the newest third advanced.
+
+    100 TB note: this staging is test-harness-only — it simulates arrival
+    order for a bounded fixture. Production streams arrive from Kafka /
+    object-store listings already ordered by time; nothing here is on a
+    scale path (the stage is a one-time local sort of a test file).
+    """
+    d = staged_chunks(sf_dir, name, n_chunks, order_cols, arrival_order)
+    return _stream_from_chunk_dir(spark, d, name)
+
+
+def _stream_from_chunk_dir(spark: SparkSession, d: str, name: str) -> DataFrame:
     # Infer the stream schema from the STAGED chunk files, not the original
     # fixture: pyarrow's writer may coerce the timestamp physical type
     # (e.g. nanos→micros), and schema + data must come from the same files.

@@ -329,6 +329,96 @@ def streaming_late_arrival_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_restart_recovery",
+    # The oracle is the batch GROUP BY restricted to the final-watermark
+    # frontier (windows ending past floor-ms(max ts) − 10 min are never
+    # finalized): it can only match if the second run (a) restores the
+    # first run's RocksDB state — otherwise every window straddling the
+    # stop point re-counts from zero and emits a partial count — and
+    # (b) skips the already-committed chunks — otherwise the restored
+    # windows double-count. Loss and replay both move counts, so both fail
+    # the value hash.
+    oracle="""
+    WITH wm AS (
+      SELECT ((max(epoch_ns(ts)) // 1000000) - 600000) * 1000 AS wm_us
+      FROM events
+    )
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events, wm
+    WHERE epoch_ns(date_trunc('hour', ts)) // 1000 + 3600000000 <= wm_us
+    GROUP BY 1, 2
+    """,
+)
+def streaming_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STOP-AND-RESUME across a checkpoint, externally value-checked — the
+    reference's versioned commit/recovery lifecycle end-to-end
+    (``StateStore.commit`` one version per batch, Provider.scala:198-217;
+    ``Provider.getStore(version)`` reload on restart, :384-401; maintenance
+    respecting retained versions, :411-418).
+
+    Harness: the events fixture staged as 4 time-ordered chunk files. A
+    first append-mode hourly aggregation drains chunks 0-1 (availableNow)
+    into an EXACTLY-ONCE parquet file sink (``_spark_metadata`` commit log
+    — the memory sink refuses checkpoint recovery) and stops; the remaining
+    2 chunks are then added to the source dir and a SECOND query starts on
+    the SAME checkpoint — replaying the offset log, reloading the committed
+    RocksDB version (changelog checkpointing on), restoring the watermark,
+    and draining only the new files. The result is the sink directory read
+    back as a batch table (the file-sink metadata guarantees each finalized
+    window appears exactly once across both runs).
+
+    Determinism: in-order chunk arrival means nothing is ever late, and any
+    window spanning the stop point cannot have been evicted before the stop
+    (its end exceeds the final run-1 watermark by more than the 10-min
+    delay), so it is exactly the state the restart must carry.
+
+    100 TB shape: restart cost is the state reload (bounded by live state,
+    not input history) plus the new files — the whole point of checkpointed
+    state at scale. The file copies are fixture staging only.
+    """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..sources import staged_chunks
+    from ..sources.tables import _stream_from_chunk_dir
+    from .windows import windowed_counts
+
+    chunks = staged_chunks(sf_dir, "events", n_chunks=4)
+    parts = sorted(
+        f for f in _os.listdir(chunks) if f.endswith(".parquet")
+    )
+    src = _tempfile.mkdtemp(prefix="sss_restart_src_")
+    ckpt = _tempfile.mkdtemp(prefix="sss_restart_ckpt_")
+    sink = _tempfile.mkdtemp(prefix="sss_restart_sink_")
+    # copy2 preserves mtimes, keeping delivery order identical to the
+    # staged chunk sequence across both phases.
+    for f in parts[:2]:
+        _shutil.copy2(_os.path.join(chunks, f), _os.path.join(src, f))
+
+    def run() -> None:
+        agg = windowed_counts(_stream_from_chunk_dir(spark, src, "events"))
+        query = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    _with_state_parts(spark, STATE_PARTS, run)
+    for f in parts[2:]:
+        _shutil.copy2(_os.path.join(chunks, f), _os.path.join(src, f))
+    _with_state_parts(spark, STATE_PARTS, run)
+    return spark.read.parquet(sink)
+
+
+@register(
     "streaming_sliding_window_update",
     oracle="""
     WITH expanded AS (
