@@ -142,10 +142,34 @@ def last_green_round(root: str = _ROOT) -> dict[str, int]:
     return out
 
 
+def _module_nodes(tree: "ast.Module") -> list["ast.stmt"]:
+    """Module statements, flattened through top-level ``if``/``try`` blocks
+    (availability-gated entries like the tws TTL bindings live under
+    ``if _TWS_AVAILABLE:`` and must still get spans — otherwise their edits
+    could never be marked code-touched)."""
+    out: list[ast.stmt] = []
+    work = list(tree.body)
+    while work:
+        node = work.pop(0)
+        if isinstance(node, ast.If):
+            work = node.body + node.orelse + work
+        elif isinstance(node, ast.Try):
+            work = (
+                node.body
+                + [s for h in node.handlers for s in h.body]
+                + node.orelse
+                + node.finalbody
+                + work
+            )
+        else:
+            out.append(node)
+    return out
+
+
 def _toplevel_spans(tree: "ast.Module") -> dict[str, tuple[int, int]]:
     """Top-level name -> (first_line, last_line) including decorators."""
     spans: dict[str, tuple[int, int]] = {}
-    for node in tree.body:
+    for node in _module_nodes(tree):
         names: list[str] = []
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
             names = [node.name]
@@ -174,10 +198,15 @@ def _changed_toplevel_names(root: str, base: str, rel_path: str) -> set[str] | N
     try:
         with open(abs_path) as fh:
             tree = ast.parse(fh.read())
-        diff = subprocess.run(
+        proc = subprocess.run(
             ["git", "diff", "-U0", base, "--", rel_path],
             cwd=root, capture_output=True, text=True, timeout=10,
-        ).stdout
+        )
+        if proc.returncode != 0:
+            # A failed diff is NOT "no hunks" — the caller already knows the
+            # file changed; fall back to whole-module granularity.
+            return None
+        diff = proc.stdout
     except (OSError, SyntaxError, subprocess.SubprocessError, ValueError):
         return None
     spans = _toplevel_spans(tree)
@@ -196,7 +225,7 @@ def _changed_toplevel_names(root: str, base: str, rel_path: str) -> set[str] | N
     }
     # propagate: who references a changed name (transitively, top-level only)
     refs: dict[str, set[str]] = {}
-    for node in tree.body:
+    for node in _module_nodes(tree):
         for owner, (lo, hi) in spans.items():
             if getattr(node, "lineno", None) == lo or (
                 lo <= getattr(node, "lineno", -1) <= hi
@@ -256,11 +285,19 @@ def touched_entries(root: str = _ROOT) -> set[str]:
     return out
 
 
-def verification_order() -> list[str]:
-    """All catalog entries, highest verification priority first."""
+def verification_order(
+    greens: dict[str, int] | None = None,
+    touched: set[str] | None = None,
+) -> list[str]:
+    """All catalog entries, highest verification priority first.
+
+    ``greens``/``touched`` default to recomputing (each spawns git
+    subprocesses / re-reads the CORRECTNESS history); pass them in when the
+    caller already has them (freshness_table) to avoid paying that twice.
+    """
     try:
-        greens = last_green_round()
-        touched = touched_entries()
+        greens = last_green_round() if greens is None else greens
+        touched = touched_entries() if touched is None else touched
     except Exception:
         return list(QUERIES)
 
@@ -294,7 +331,7 @@ def freshness_table() -> str:
     """Markdown freshness report: one row per entry with its status."""
     greens = last_green_round()
     touched = touched_entries()
-    order = verification_order()
+    order = verification_order(greens, touched)
     newest = max(greens.values(), default=0)
     rows = ["| # | entry | last green | status |", "|---|---|---|---|"]
     for i, name in enumerate(order, 1):

@@ -646,11 +646,14 @@ _CHI2_VOCAB_K = 24
     "source_divergence_chi2",
     # chi-square over the top-K corpus vocabulary: for each source, K cells
     # o_i (source count, zeros included) vs e_i = cc_i * ns / Nv restricted
-    # to vocab mass. Every term is (o*Nv - cc*ns)^2 / (cc*ns*Nv): INTEGER
-    # numerator/denominator (bounded in int64 at fixture scale), ONE double
-    # division per term — the identical IEEE op in both engines — then an
-    # order-free DECIMAL(38,12) sum. Vocab ties break on token text, so
-    # the K-set is engine-identical.
+    # to vocab mass. Every term is (o*Nv - cc*ns)^2 / (cc*ns*Nv) computed
+    # ENTIRELY in double — each int64 factor is cast BEFORE any multiply
+    # (DuckDB would promote the products to HUGEINT and survive where
+    # Spark's int64 silently wraps, so integer products are not
+    # cross-engine-safe past ~1e18) — with the same association order in
+    # both engines, so every IEEE op is identical; then an order-free
+    # DECIMAL(38,12) sum. Vocab ties break on token text, so the K-set is
+    # engine-identical.
     oracle=f"""
     WITH toks AS (
       SELECT source, unnest({DUCK_TOKS.format(col='text')}) AS token
@@ -674,9 +677,12 @@ _CHI2_VOCAB_K = 24
     SELECT sv.source,
            CAST(ns.ns AS BIGINT) AS n_vocab_tokens,
            CAST(sum(CAST(
-             CAST(sv.o * nv.Nv - sv.cc * ns.ns AS DOUBLE) *
-             CAST(sv.o * nv.Nv - sv.cc * ns.ns AS DOUBLE)
-             / CAST(sv.cc * ns.ns * nv.Nv AS DOUBLE)
+             (CAST(sv.o AS DOUBLE) * CAST(nv.Nv AS DOUBLE)
+              - CAST(sv.cc AS DOUBLE) * CAST(ns.ns AS DOUBLE)) *
+             (CAST(sv.o AS DOUBLE) * CAST(nv.Nv AS DOUBLE)
+              - CAST(sv.cc AS DOUBLE) * CAST(ns.ns AS DOUBLE))
+             / (CAST(sv.cc AS DOUBLE) * CAST(ns.ns AS DOUBLE)
+                * CAST(nv.Nv AS DOUBLE))
            AS DECIMAL(38,12))) AS DOUBLE) AS chi2
     FROM src_v sv JOIN ns ON ns.source = sv.source CROSS JOIN nv
     GROUP BY sv.source, ns.ns
@@ -687,15 +693,15 @@ def source_divergence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     token distribution against the corpus, over the top-{K} vocabulary —
     the standard drift alarm a crawl pipeline runs per ingest source.
 
-    Numeric discipline: integer numerators/denominators, one IEEE double
-    division per cell, DECIMAL-exact summation — bit-identical
+    Numeric discipline: every count cast to double BEFORE any multiply
+    (int64 products wrap past ~1e18 in Spark while DuckDB promotes to
+    HUGEINT), identical association order per cell in both engines, one
+    IEEE division per cell, DECIMAL-exact summation — bit-identical
     cross-engine despite being a float statistic (a naive float sum is
     partial-order-dependent and never hash-matches). Scale shape: the
     grid is |sources| × K rows (linear), the vocab is a bounded top-K
     (swap in the Misra-Gries candidates at 100 TB), and every join key is
-    bounded. At extreme counts the int64 numerator would overflow — the
-    production spelling casts to double before squaring, trading the last
-    ulp for range (documented, not needed at fixture scale).
+    bounded.
     """
     toks = load_table(spark, sf_dir, "documents").select(
         "source", F.explode(F.expr(SPARK_TOKS.format(col="text"))).alias("token")
@@ -719,14 +725,17 @@ def source_divergence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ns = grid.groupBy("source").agg(F.sum("o").alias("ns"))
     cells = grid.join(ns, "source").crossJoin(F.broadcast(nv))
-    # Square in DOUBLE, not int64 (ADVICE r04): at large corpus counts the
-    # int64 num*num overflows before the cast; double(num)**2 trades the
-    # last ulp for range. The oracle SQL squares in double identically, so
-    # the cross-engine hash stays exact.
-    num = (F.col("o") * F.col("Nv") - F.col("cc") * F.col("ns")).cast("double")
-    term = (num * num) / (
-        F.col("cc") * F.col("ns") * F.col("Nv")
-    ).cast("double")
+    # All arithmetic in DOUBLE from the first multiply (ADVICE r04, widened
+    # after review): casting only the difference or only the final product
+    # still leaves o*Nv / cc*ns / cc*ns*Nv in int64, which silently wraps
+    # past ~1e18 in Spark while DuckDB promotes to HUGEINT — the engines
+    # would diverge exactly at the scale the fix targets. Same association
+    # order as the oracle, so every IEEE op is identical cross-engine;
+    # trades the last ulp for range.
+    o_d, nv_d = F.col("o").cast("double"), F.col("Nv").cast("double")
+    cc_d, ns_d = F.col("cc").cast("double"), F.col("ns").cast("double")
+    num = o_d * nv_d - cc_d * ns_d
+    term = (num * num) / (cc_d * ns_d * nv_d)
     return (
         cells.groupBy("source", "ns")
         .agg(F.sum(term.cast("decimal(38,12)")).cast("double").alias("chi2"))

@@ -80,9 +80,11 @@ def misra_gries_candidates(keys: DataFrame, key_col: str, k: int = _MG_K) -> Dat
                 counters = {u: c - cut for u, c in counters.items() if c > cut}
         # Sentinel row (key NULL): the partition's EXACT row count, so the
         # global total rides along in the sketch pass instead of costing a
-        # separate scan.
+        # separate scan. Object dtype keeps integer keys exact: a plain
+        # list-with-None column coerces int64 → float64 and keys past 2^53
+        # would silently collide through the Arrow crossing.
         yield pd.DataFrame(
-            {key_col: list(counters) + [None],
+            {key_col: pd.Series(list(counters) + [None], dtype=object),
              "mg_count": list(counters.values()) + [n_seen]}
         )
 

@@ -391,9 +391,20 @@ def streaming_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = sorted(
         f for f in _os.listdir(chunks) if f.endswith(".parquet")
     )
-    src = _tempfile.mkdtemp(prefix="sss_restart_src_")
-    ckpt = _tempfile.mkdtemp(prefix="sss_restart_ckpt_")
-    sink = _tempfile.mkdtemp(prefix="sss_restart_sink_")
+    # All run dirs live under one parent, and PREVIOUS runs are wiped on
+    # entry: invocations are sequential (bench/driver/pytest) and a prior
+    # run's sink was fully materialized before its caller returned, so
+    # repeated runs don't accumulate chunk copies + checkpoints in /tmp.
+    parent = _os.path.join(_tempfile.gettempdir(), "sss_restart_runs")
+    _os.makedirs(parent, exist_ok=True)
+    for old in _os.listdir(parent):
+        _shutil.rmtree(_os.path.join(parent, old), ignore_errors=True)
+    run_dir = _tempfile.mkdtemp(dir=parent)
+    src = _os.path.join(run_dir, "src")
+    ckpt = _os.path.join(run_dir, "ckpt")
+    sink = _os.path.join(run_dir, "sink")
+    for d in (src, ckpt, sink):
+        _os.makedirs(d)
     # copy2 preserves mtimes, keeping delivery order identical to the
     # staged chunk sequence across both phases.
     for f in parts[:2]:
@@ -889,11 +900,13 @@ def streaming_interval_join_left_semi(spark: SparkSession, sf_dir: str) -> DataF
     return _with_state_parts(spark, STATE_PARTS, run)
 
 
-def _event_kv_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events stream → deterministic keyed-state op stream: purchase →
+def _kv_op_select(events: DataFrame) -> DataFrame:
+    """THE events→(key, op, value, ts_s, seq) mapping: purchase →
     put(value cents), error → remove, view/signup → get; virtual clock =
-    event time, sequence = event_id."""
-    events = read_stream(spark, sf_dir, "events")
+    event time, sequence = event_id. One definition shared by the streaming
+    kernels, the lazy-bounds chunked replay, and the batch bound folds, so
+    the kernel under test and the bounds it is checked against cannot
+    drift (its SQL twin is ``_KV_OPS_ORACLE_CTE``)."""
     return events.select(
         F.concat(F.lit("u"), F.col("user_id")).alias("key"),
         F.when(F.col("event_type") == "purchase", "put")
@@ -904,6 +917,12 @@ def _event_kv_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("ts").alias("ts_s"),
         F.col("event_id").alias("seq"),
     )
+
+
+def _event_kv_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events stream → deterministic keyed-state op stream (see
+    :func:`_kv_op_select`)."""
+    return _kv_op_select(read_stream(spark, sf_dir, "events"))
 
 
 def _get_outcome_summary(out: DataFrame) -> DataFrame:
@@ -917,15 +936,10 @@ def _get_outcome_summary(out: DataFrame) -> DataFrame:
     )
 
 
-def _infinite_fold_oracle(order_by: str) -> str:
-    """Oracle for infinite-TTL keyed state: a get finds the key iff the
-    latest preceding put/remove op for that key — in the given replay
-    order — is a put. One plain window-function fold; the replay order is
-    the only thing that differs between the virtual-clock kernel
-    (``ts_s, seq``) and the wall-clock kernel (``seq`` alone: arrival
-    order stands in for wall time, its state has no virtual ts)."""
-    return f"""
-    WITH ops AS (
+# SQL twin of _kv_op_select — the single oracle-side spelling of the
+# events→op-stream mapping, shared by every TTL oracle below.
+_KV_OPS_ORACLE_CTE = """
+    ops AS (
       SELECT 'u' || CAST(user_id AS VARCHAR) AS key,
              CASE WHEN event_type = 'purchase' THEN 'put'
                   WHEN event_type = 'error' THEN 'remove'
@@ -934,7 +948,19 @@ def _infinite_fold_oracle(order_by: str) -> str:
              epoch_ns(ts) // 1000000000 AS ts_s,
              event_id AS seq
       FROM events
-    ),
+    )
+"""
+
+
+def _infinite_fold_oracle(order_by: str) -> str:
+    """Oracle for infinite-TTL keyed state: a get finds the key iff the
+    latest preceding put/remove op for that key — in the given replay
+    order — is a put. One plain window-function fold; the replay order is
+    the only thing that differs between the virtual-clock kernel
+    (``ts_s, seq``) and the wall-clock kernel (``seq`` alone: arrival
+    order stands in for wall time, its state has no virtual ts)."""
+    return f"""
+    WITH {_KV_OPS_ORACLE_CTE},
     st AS (
       SELECT key, op,
              last_value(CASE WHEN op IN ('put', 'remove')
@@ -992,16 +1018,7 @@ def _strict_ttl_oracle(ttl_s: int) -> str:
     session-window oracle above.
     """
     return f"""
-    WITH ops AS (
-      SELECT 'u' || CAST(user_id AS VARCHAR) AS key,
-             CASE WHEN event_type = 'purchase' THEN 'put'
-                  WHEN event_type = 'error' THEN 'remove'
-                  ELSE 'get' END AS op,
-             CAST(trunc(value * 100) AS BIGINT) AS v,
-             epoch_ns(ts) // 1000000000 AS ts_s,
-             event_id AS seq
-      FROM events
-    ),
+    WITH {_KV_OPS_ORACLE_CTE},
     epo AS (
       SELECT *,
              sum(CASE WHEN op IN ('put', 'remove') THEN 1 ELSE 0 END)
@@ -1298,17 +1315,7 @@ def _batch_kv_fold_bounds(
     (which ignores event time)."""
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    ops = ev.select(
-        F.concat(F.lit("u"), F.col("user_id")).alias("key"),
-        F.when(F.col("event_type") == "purchase", "put")
-        .when(F.col("event_type") == "error", "remove")
-        .otherwise("get")
-        .alias("op"),
-        (F.col("value") * 100).cast("long").alias("value"),
-        F.unix_timestamp("ts").alias("ts_s"),
-        F.col("event_id").alias("seq"),
-    )
+    ops = _kv_op_select(load_table(spark, sf_dir, "events"))
     w = (
         Window.partitionBy("key")
         .orderBy(*order_cols)
@@ -1335,20 +1342,6 @@ def _batch_kv_fold_bounds(
         F.sum(F.when(upper_hit, 1).otherwise(0)).alias("up_hits"),
         F.sum(F.when(upper_hit, F.col("prev.v")).otherwise(0)).alias("up_sum"),
     )
-
-
-_KV_OPS_ORACLE_CTE = """
-    ops AS (
-      SELECT 'u' || CAST(user_id AS VARCHAR) AS key,
-             CASE WHEN event_type = 'purchase' THEN 'put'
-                  WHEN event_type = 'error' THEN 'remove'
-                  ELSE 'get' END AS op,
-             CAST(trunc(value * 100) AS BIGINT) AS v,
-             epoch_ns(ts) // 1000000000 AS ts_s,
-             event_id AS seq
-      FROM events
-    )
-"""
 
 
 @register(
@@ -1381,9 +1374,10 @@ _KV_OPS_ORACLE_CTE = """
 )
 def keyed_state_ttl_lazy_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAZY (non-strict) finite TTL, externally value-checked via a bounds
-    sandwich: run the kernel over a CHUNKED replay (8 time-ordered
-    micro-batches → real between-batch sweeps, so expired keys genuinely
-    drop mid-stream), then check per key that every outcome sits inside the
+    sandwich: run the kernel over a CHUNKED replay (``_LAZY_BOUNDS_CHUNKS``
+    time-ordered micro-batches → real between-batch sweeps, so expired keys
+    genuinely drop mid-stream), then check per key that every outcome sits
+    inside the
     proved-sound SQL bounds (see the block comment above) and that no get
     event or key was lost. Emits one summary row: the anchors, both bound
     totals, and the violation count (must be 0).
@@ -1405,22 +1399,8 @@ def keyed_state_ttl_lazy_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ttl = resolve_ttl(conf, "events_kv_lazy_bounds")
 
     def run() -> DataFrame:
-        # Same op derivation as _event_kv_ops, over the chunked source. Kept
-        # inline (not refactored into the shared helper) so this addition
-        # does not mark the whole green TTL family code-touched in the
-        # verify order.
-        ev = chunked_stream(
-            spark, sf_dir, "events", n_chunks=_LAZY_BOUNDS_CHUNKS
-        )
-        ops = ev.select(
-            F.concat(F.lit("u"), F.col("user_id")).alias("key"),
-            F.when(F.col("event_type") == "purchase", "put")
-            .when(F.col("event_type") == "error", "remove")
-            .otherwise("get")
-            .alias("op"),
-            (F.col("value") * 100).cast("long").alias("value"),
-            F.unix_timestamp("ts").alias("ts_s"),
-            F.col("event_id").alias("seq"),
+        ops = _kv_op_select(
+            chunked_stream(spark, sf_dir, "events", n_chunks=_LAZY_BOUNDS_CHUNKS)
         )
         return run_stream_to_table(ttl_kv_ops(ops, ttl), output_mode="append")
 

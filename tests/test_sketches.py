@@ -126,3 +126,17 @@ def test_hll_pow2neg_literals_exact(spark):
             assert Decimal(got) == want, (r, got)
     finally:
         con.close()
+
+
+def test_misra_gries_bigint_keys_exact_past_2_53(spark):
+    """Integer keys above 2^53 must survive the sketch's Arrow crossing
+    exactly — a float64-coerced key column would collide adjacent ids."""
+    base = 2**53
+    ids = [base + i for i in range(8) for _ in range(3)]  # 8 keys x3 each
+    df = spark.createDataFrame([(i,) for i in ids], "key bigint")
+    sketch = misra_gries_candidates(df, "key", k=16)
+    assert dict(sketch.dtypes)["key"] == "bigint"
+    got = {r.key for r in sketch.collect() if r.key is not None}
+    assert got == set(base + i for i in range(8))
+    total = [r.mg_count for r in sketch.collect() if r.key is None]
+    assert total == [len(ids)]
