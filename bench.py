@@ -150,6 +150,8 @@ HEADLINE = [
     "streaming_late_arrival_merge",
     # Stop-and-resume across a checkpoint into the exactly-once file sink.
     "streaming_restart_recovery",
+    # Two stateful operators in one query: hourly agg re-aggregated daily.
+    "streaming_chained_agg_daily",
 ]
 
 # CORE = through the strict-TTL kernel (index of the r03-comparable set +

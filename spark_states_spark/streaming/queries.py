@@ -430,6 +430,77 @@ def streaming_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_chained_agg_daily",
+    # Frontier = the final watermark (floor-ms global max − 10-min delay,
+    # inclusive): a daily window with end ≤ wm has every one of its hourly
+    # inputs finalized in the same batch that finalizes it (end_hour ≤
+    # end_day ≤ wm, and both operators evict against the same per-batch
+    # watermark), so every emitted day carries complete counts; a day
+    # ending past the frontier never emits. n_hours pins that the hourly
+    # stage's granularity actually flowed through the chain.
+    oracle="""
+    WITH wm AS (
+      SELECT ((max(epoch_ns(ts)) // 1000000) - 600000) * 1000 AS wm_us
+      FROM events
+    )
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_hours
+    FROM events, wm
+    WHERE epoch_ns(date_trunc('day', ts)) // 1000 + 86400000000 <= wm_us
+    GROUP BY 1, 2
+    """,
+)
+def streaming_chained_agg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED streaming aggregations — TWO stateful operators in ONE query
+    (Spark 3.4+ ``window_time``): hourly tumbling counts re-aggregated into
+    daily totals, append mode, each stage with its own state store
+    instances (the reference's provider hosts every store a query plans —
+    one ``operatorId``/``partitionId`` store set per stateful operator,
+    Provider.scala:347-360; this is the multi-operator case).
+
+    The hourly stage emits a window only when the watermark finalizes it;
+    the daily stage consumes those finalized rows AS A STREAM and applies
+    the same watermark to its own day windows. The drained result must
+    equal the batch daily GROUP BY restricted to finalized days — including
+    ``n_hours``, which only matches if every hourly window reached the
+    second stage exactly once.
+
+    100 TB shape: the classic rollup cascade (hour → day) as one
+    incremental query instead of a nightly batch re-scan; each stage is one
+    keyed shuffle, state bounded by live (window, type) pairs per stage.
+    """
+    from ..sources import chunked_stream
+
+    def run() -> DataFrame:
+        ev = chunked_stream(spark, sf_dir, "events")
+        hourly = (
+            ev.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+        )
+        daily = (
+            hourly.groupBy(
+                F.window(F.window_time("window"), "1 day"), "event_type"
+            )
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.count("*").alias("n_hours"),
+            )
+            .select(
+                F.date_format("window.start", "yyyy-MM-dd").alias("day"),
+                "event_type",
+                "n_events",
+                "n_hours",
+            )
+        )
+        return run_stream_to_table(daily, output_mode="append")
+
+    return _with_state_parts(spark, STATE_PARTS, run)
+
+
+@register(
     "streaming_sliding_window_update",
     oracle="""
     WITH expanded AS (
