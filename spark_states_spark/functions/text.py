@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import register
 from ..sources import load_table
-from .hashes import duck_h32, duck_h60, spark_h32, spark_h60
+from .hashes import DUCK_TOKS, SPARK_TOKS, duck_h32, duck_h60, spark_h32, spark_h60
 
 # Tokenizer: lowercase, strip everything but [a-z0-9] to spaces, split.
 # Keep the regex char-class ASCII-only so Java and RE2 behave identically.
@@ -33,12 +33,12 @@ def tokens_col(text: Column) -> Column:
     )
 
 
-# The same tokenizer in DuckDB SQL (list_filter guards empty strings).
-TOKENS_SQL = (
-    "CASE WHEN trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g')) = '' "
-    "THEN [] "
-    "ELSE string_split(trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g')), ' ') END"
-)
+# The same tokenizer in DuckDB SQL — the canonical spelling lives in
+# hashes.py (DUCK_TOKS, with SPARK_TOKS as its Spark twin); re-exported
+# here under the module's historical name instead of re-declared, so the
+# tokenizer cannot drift between the text and dedup families.
+# tests/test_llm_ops.py pins tokens_col == SPARK_TOKS on real data.
+TOKENS_SQL = DUCK_TOKS
 
 
 # BPE-ish pre-tokenization regex (GPT-2 style, simplified): letter runs,

@@ -31,16 +31,33 @@ from pyspark.sql import functions as F
 from ..catalog import register
 from ..sources import load_table
 
+# Latest-wins argmax BY (ts, event_id): struct comparison is lexicographic,
+# so with the ordering columns leading the struct this is a map-side-
+# combinable argmax. ONE definition (plus its SQL twin) shared by the batch
+# compaction and the incremental MERGE so the two can never disagree on
+# which row is "latest".
+_LATEST_STRUCT_SQL = (
+    "max(struct_pack(ts := epoch_ns(ts) // 1000, event_id := event_id,"
+    " event_type := event_type, value := value))"
+)
+
+
+def _latest_struct_col() -> "F.Column":
+    return F.max(
+        F.struct(
+            F.unix_micros("ts").alias("ts"),
+            "event_id",
+            "event_type",
+            "value",
+        )
+    )
+
 
 @register(
     "cdc_upsert_latest",
-    oracle="""
+    oracle=f"""
     WITH m AS (
-      SELECT user_id,
-             max(struct_pack(ts := epoch_ns(ts) // 1000,
-                             event_id := event_id,
-                             event_type := event_type,
-                             value := value)) AS m
+      SELECT user_id, {_LATEST_STRUCT_SQL} AS m
       FROM events GROUP BY user_id
     )
     SELECT user_id,
@@ -63,16 +80,7 @@ def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     by event_id (unique), so the result is deterministic in both engines.
     """
     events = load_table(spark, sf_dir, "events")
-    m = events.groupBy("user_id").agg(
-        F.max(
-            F.struct(
-                F.unix_micros("ts").alias("ts"),
-                "event_id",
-                "event_type",
-                "value",
-            )
-        ).alias("m")
-    )
+    m = events.groupBy("user_id").agg(_latest_struct_col().alias("m"))
     return m.select(
         "user_id",
         F.col("m.ts").alias("last_ts_us"),
@@ -86,7 +94,7 @@ def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_event_type_intervals",
     oracle="""
     WITH o AS (
-      SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us,
+      SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS ts_us,
              CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
                   THEN 1 ELSE 0 END AS is_start
       FROM events
@@ -94,7 +102,7 @@ def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     g AS (
       SELECT user_id, event_type, ts_us,
-             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_us
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
       FROM o
     ),
@@ -126,6 +134,7 @@ def scd2_event_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = events.select(
         "user_id",
         "event_type",
+        "event_id",
         F.unix_micros("ts").alias("ts_us"),
         F.when(
             ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
@@ -133,9 +142,12 @@ def scd2_event_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_start"),
     )
+    # event_id tiebreak: without it, same-timestamp events of one user can
+    # integrate the is_start marks in a different order than the lag()
+    # window computed them, nondeterministically splitting runs.
     wg = (
         Window.partitionBy("user_id")
-        .orderBy("ts_us")
+        .orderBy("ts_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     g = o.withColumn("grp", F.sum("is_start").over(wg))
@@ -219,23 +231,6 @@ def timeseries_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # MERGE cutoff: the last ~10 days of the 30-day fixture arrive as the delta.
 _MERGE_CUTOFF = "2024-01-20"
-
-_LATEST_STRUCT_SQL = (
-    "max(struct_pack(ts := epoch_ns(ts) // 1000, event_id := event_id,"
-    " event_type := event_type, value := value))"
-)
-
-
-def _latest_struct_col() -> "F.Column":
-    return F.max(
-        F.struct(
-            F.unix_micros("ts").alias("ts"),
-            "event_id",
-            "event_type",
-            "value",
-        )
-    )
-
 
 @register(
     "merge_incremental_snapshot",
@@ -475,7 +470,9 @@ _HIST_BINS = 20
       SELECT CAST(min(value) AS DOUBLE) AS lo, CAST(max(value) AS DOUBLE) AS hi
       FROM events
     )
-    SELECT least(CAST(floor((value - lo) / ((hi - lo) / {_HIST_BINS})) AS BIGINT),
+    SELECT least(CAST(floor((value - lo) /
+                   (CASE WHEN hi = lo THEN 1.0
+                         ELSE (hi - lo) / {_HIST_BINS} END)) AS BIGINT),
                  {_HIST_BINS - 1}) AS bin,
            CAST(count(*) AS BIGINT) AS n,
            CAST(min(value) AS DOUBLE) AS bin_min,
@@ -500,7 +497,12 @@ def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").cast("double").alias("lo"),
         F.max("value").cast("double").alias("hi"),
     )
-    width = (F.col("hi") - F.col("lo")) / _HIST_BINS
+    # Degenerate-extent pin (same guard as exact_median / skyline): an
+    # all-equal value column makes hi == lo, and 0/0 = NaN bins floor
+    # differently across engines; width 1.0 puts every row in bin 0.
+    width = F.when(F.col("hi") == F.col("lo"), F.lit(1.0)).otherwise(
+        (F.col("hi") - F.col("lo")) / _HIST_BINS
+    )
     binned = events.crossJoin(ext).select(
         F.least(
             F.floor((F.col("value") - F.col("lo")) / width).cast("bigint"),
@@ -553,11 +555,24 @@ def ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     # seq = microseconds WITHIN the day * 1e7 + event_id: unique and
     # order-preserving inside each day group (the only scope argmin/argmax
     # compare in), and bounded at ~8.6e17 + 1e7 — no int64 overflow at any
-    # SF, unlike a global micros*K composite.
+    # SF, unlike a global micros*K composite. Order preservation REQUIRES
+    # event_id < 1e7 (a larger id bleeds into the next microsecond's
+    # keyspace, silently picking the wrong open/close — and the oracle
+    # replays the same formula, so equality would not catch it); the
+    # inline assert_true makes that precondition fail loudly instead.
+    # assert_true returns NULL when the predicate holds, so the coalesce
+    # term is a codegen'd no-op 0 on the happy path.
+    seq_guard = (
+        "coalesce(cast(assert_true(event_id >= 0 AND event_id < 10000000, "
+        "'ohlc seq key: event_id outside [0, 1e7) breaks (ts, event_id) "
+        "ordering — widen the composite key') AS BIGINT), 0)"
+    )
     k = e.select(
         (F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
         (
-            F.expr("(unix_micros(ts) % 86400000000) * 10000000") + F.col("event_id")
+            F.expr("(unix_micros(ts) % 86400000000) * 10000000")
+            + F.col("event_id")
+            + F.expr(seq_guard)
         ).alias("seq"),
         "value",
     )

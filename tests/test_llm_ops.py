@@ -160,3 +160,27 @@ def test_url_canonicalizer_cases_both_dialects(spark):
             assert got_spark == want, f"spark: {raw!r} -> {got_spark!r}"
     finally:
         con.close()
+
+
+def test_tokenizer_spellings_agree(spark, sf_dir):
+    """The four tokenizer spellings cannot drift: TOKENS_SQL is DUCK_TOKS
+    by identity (text.py re-exports it), and this test pins the Column-API
+    tokens_col to the SPARK_TOKS SQL string on the real corpus (the
+    SPARK_TOKS == DUCK_TOKS pair is pinned by every oracle differential)."""
+    from pyspark.sql import functions as F
+
+    from spark_states_spark.functions.hashes import DUCK_TOKS, SPARK_TOKS
+    from spark_states_spark.functions.text import TOKENS_SQL, tokens_col
+    from spark_states_spark.sources import load_table
+
+    assert TOKENS_SQL is DUCK_TOKS
+    d = load_table(spark, sf_dir, "documents")
+    mismatch = (
+        d.select(
+            tokens_col(F.col("text")).alias("a"),
+            F.expr(SPARK_TOKS.format(col="text")).alias("b"),
+        )
+        .filter(~F.col("a").eqNullSafe(F.col("b")))
+        .count()
+    )
+    assert mismatch == 0
