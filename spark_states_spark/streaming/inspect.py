@@ -9,14 +9,13 @@ layout) round-trips exactly.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import register
 from ..sources import read_stream
-from .runner import run_stream_to_table
+from .runner import auto_checkpoint_dir, run_stream_to_table
 from .state_reader import read_state, state_metadata
 
 
@@ -25,9 +24,9 @@ def _run_user_agg(spark: SparkSession, sf_dir: str, n_parts: int = 8) -> str:
     checkpoint and return its location. 8 state partitions: one store
     instance per partition is the dominant fixed cost at fixture scale
     (same sizing note as streaming_interval_join)."""
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
-    try:
+    from .queries import _with_state_parts
+
+    def run() -> str:
         agg = (
             read_stream(spark, sf_dir, "events")
             .groupBy("user_id")
@@ -37,11 +36,11 @@ def _run_user_agg(spark: SparkSession, sf_dir: str, n_parts: int = 8) -> str:
                 F.max("value").alias("max_value"),
             )
         )
-        ckpt = tempfile.mkdtemp(prefix="ckpt_statescan_")
+        ckpt = auto_checkpoint_dir("statescan")
         run_stream_to_table(agg, output_mode="complete", checkpoint_location=ckpt)
         return ckpt
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    return _with_state_parts(spark, n_parts, run)
 
 
 @register(

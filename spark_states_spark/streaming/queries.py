@@ -21,17 +21,20 @@ from .runner import run_stream_to_table
 from .windows import streaming_hourly_agg
 
 
-@register(
-    "streaming_hourly_agg",
-    oracle="""
+# ONE hourly GROUP BY oracle shared by the complete-mode harness and the
+# update-mode production recipe — an edit cannot silently fork their
+# contracts.
+_HOURLY_ORACLE = """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@register("streaming_hourly_agg", oracle=_HOURLY_ORACLE)
 def streaming_hourly_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: streaming tumbling-window aggregation, complete mode.
 
@@ -192,16 +195,6 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_table(agg, output_mode="complete")
-
-
-_HOURLY_ORACLE = """
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-    FROM events
-    GROUP BY 1, 2
-    """
 
 
 @register("streaming_hourly_agg_update", oracle=_HOURLY_ORACLE)
@@ -725,12 +718,9 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purely on instance overhead. A 100 TB deployment raises it with volume
     (state stays per-key partitioned; nothing here assumes 8).
     """
-    saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        return _interval_join_run(spark, sf_dir)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
+    return _with_state_parts(
+        spark, 8, lambda: _interval_join_run(spark, sf_dir)
+    )
 
 
 def _interval_join_sides(spark: SparkSession, sf_dir: str):
@@ -799,14 +789,19 @@ def _with_state_parts(spark: SparkSession, n: int, fn):
 # watermark — Spark's multi-watermark policy is MIN over inputs (each side's
 # watermark = max event time seen on that side − its 10-min delay), advanced
 # by availableNow's final no-data batch. Timestamps in microseconds to match
-# Spark's nanos→micros event-time conversion (sources/tables.py).
+# Spark's nanos→micros event-time conversion (sources/tables.py); each side's
+# max is floored to MILLISECONDS before the delay is subtracted — Spark
+# tracks watermarks in ms (the same ms-floor every agg/session oracle in
+# this file pins), and an un-floored frontier sits up to 999 µs ahead of
+# Spark's, null-extending rows Spark still retains.
 _IJ_ORACLE_PREFIX = """
     WITH p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us
                FROM events WHERE event_type = 'purchase'),
     x AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us
           FROM events WHERE event_type = 'error'),
-    wm AS (SELECT least((SELECT max(ts_us) FROM p),
-                        (SELECT max(ts_us) FROM x)) - 600000000 AS w)
+    wm AS (SELECT least(((SELECT max(ts_us) FROM p) // 1000) * 1000,
+                        ((SELECT max(ts_us) FROM x) // 1000) * 1000)
+                  - 600000000 AS w)
 """
 
 
@@ -1815,7 +1810,7 @@ def streaming_topk_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c1,
         CAST(sum(CASE WHEN event_type NOT IN
-          ('click', 'view', 'purchase', 'login', 'error') THEN 1 ELSE 0 END)
+          ('click', 'view', 'purchase', 'signup', 'error') THEN 1 ELSE 0 END)
           AS BIGINT) AS c2,
         CAST(count(*) AS BIGINT) AS c3
       FROM events
@@ -1845,8 +1840,11 @@ def streaming_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("value") < 0, 1).otherwise(0).alias("value_negative"),
             F.when(F.col("user_id").isNull(), 1).otherwise(0).alias("user_id_null"),
             F.when(
+                # The fixture's real domain — 'signup', not 'login'
+                # (a stale list silently misclassified every signup as
+                # invalid while the oracle mirrored the same mistake).
                 ~F.col("event_type").isin(
-                    "click", "view", "purchase", "login", "error"
+                    "click", "view", "purchase", "signup", "error"
                 ),
                 1,
             )
@@ -1907,6 +1905,65 @@ FUNNEL_STATE_SCHEMA = _T.StructType(
         _T.StructField("k3", _T.LongType()),
     ]
 )
+
+
+def _funnel_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE funnel stream: chunked replay -> stage filter -> composite key ->
+    ``funnel_kernel`` under ``applyInPandasWithState``. One builder shared
+    by ``streaming_funnel_stages`` and ``funnel_state_scan`` so the stage
+    counter and the offline state scan always describe the same pipeline
+    (n_chunks, filter, key spelling and partitioning included).
+
+    Replay-order guard: the kernel's cross-batch "first eligible" fold is
+    correct iff composite-key order equals the chunked (ts, event_id)
+    arrival order — which, the key having only SECOND resolution, requires
+    event_id to be ts-monotone within each second. The fixture satisfies
+    this; _assert_funnel_key_order fails loudly if a regeneration stops
+    satisfying it (the range assert inside _FUNNEL_K cannot see this)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..sources import chunked_stream
+
+    _assert_funnel_key_order(spark, sf_dir)
+    events = (
+        chunked_stream(spark, sf_dir, "events", n_chunks=2)
+        .where(F.col("event_type").isin(*_FUNNEL_STAGES))
+        .select("user_id", "event_type", F.expr(_FUNNEL_K).alias("k"))
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        funnel_kernel,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _assert_funnel_key_order(spark: SparkSession, sf_dir: str) -> None:
+    """Raise unless, within every second, event_id order == (ts, event_id)
+    order for funnel-stage events — the precondition that makes the
+    second-resolution composite key replay-order-faithful. One bounded
+    window aggregation over the filtered fixture (harness-side guard, not
+    a data-path stage)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(*_FUNNEL_STAGES)
+    )
+    w = Window.partitionBy(F.unix_timestamp("ts")).orderBy("event_id")
+    bad = (
+        ev.select(F.unix_micros("ts").alias("us"), "event_id", "ts")
+        .withColumn("prev_us", F.lag("us").over(w))
+        .where(F.col("prev_us") > F.col("us"))
+        .count()
+    )
+    if bad:
+        raise AssertionError(
+            f"funnel composite key: {bad} same-second event pairs have "
+            "event_id order inverted vs (ts, event_id) order — the "
+            "second-resolution key no longer replays arrival order; widen "
+            "_FUNNEL_K to a microsecond struct key"
+        )
 
 
 def funnel_kernel(key, pdfs, state):
@@ -2005,10 +2062,6 @@ def streaming_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle folds over, so the drained stage counts value-match the
     batch window SQL.
     """
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    from ..sources import chunked_stream
-
     def run() -> DataFrame:
         # 2 time-ordered chunks + 16 state partitions: this query's cost is
         # per-(batch x partition) Python worker round-trips, NOT data
@@ -2020,19 +2073,9 @@ def streaming_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Funnel-irrelevant event types are dropped BEFORE the stateful
         # operator, so the state op sees 60% of the stream and the filter
         # runs JVM-side at the scan.
-        events = (
-            chunked_stream(spark, sf_dir, "events", n_chunks=2)
-            .where(F.col("event_type").isin(*_FUNNEL_STAGES))
-            .select("user_id", "event_type", F.expr(_FUNNEL_K).alias("k"))
+        drained = run_stream_to_table(
+            _funnel_transitions(spark, sf_dir), output_mode="append"
         )
-        transitions = events.groupBy("user_id").applyInPandasWithState(
-            funnel_kernel,
-            outputStructType=FUNNEL_OUT_SCHEMA,
-            stateStructType=FUNNEL_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
-        drained = run_stream_to_table(transitions, output_mode="append")
         counts = drained.groupBy("stage").agg(F.count("*").alias("cnt"))
         # The oracle emits a row per stage even when its count is 0; a bare
         # groupBy would drop empty stages, so anchor on a literal 3-row
@@ -2160,30 +2203,16 @@ def funnel_state_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``StateStore.iterator``) from built-in aggregation state to
     applyInPandasWithState state.
     """
-    import tempfile as _tf
-
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    from ..sources import chunked_stream
+    from .runner import auto_checkpoint_dir
     from .state_reader import read_state
 
-    ckpt = _tf.mkdtemp(prefix="sss_funnel_state_")
+    ckpt = auto_checkpoint_dir("funnel_state")
 
     def run() -> DataFrame:
-        events = (
-            chunked_stream(spark, sf_dir, "events", n_chunks=2)
-            .where(F.col("event_type").isin(*_FUNNEL_STAGES))
-            .select("user_id", "event_type", F.expr(_FUNNEL_K).alias("k"))
-        )
-        transitions = events.groupBy("user_id").applyInPandasWithState(
-            funnel_kernel,
-            outputStructType=FUNNEL_OUT_SCHEMA,
-            stateStructType=FUNNEL_STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
         return run_stream_to_table(
-            transitions, output_mode="append", checkpoint_location=ckpt
+            _funnel_transitions(spark, sf_dir),
+            output_mode="append",
+            checkpoint_location=ckpt,
         )
 
     _with_state_parts(spark, 16, run)

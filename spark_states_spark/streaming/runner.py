@@ -11,10 +11,46 @@ micro-batch lifecycle the reference participates in
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame
+
+# Auto-created checkpoint dirs (callers that pass checkpoint_location manage
+# their own): grouped under one parent, registered for atexit removal, with
+# a stale sweep (> 6 h old, i.e. killed earlier processes) on first use —
+# otherwise every catalog entry invocation leaks a RocksDB checkpoint into
+# /tmp. In-process dirs are kept until exit: offline state scans read their
+# checkpoint after the query stops.
+_AUTO_CKPT_PARENT = os.path.join(tempfile.gettempdir(), "sss_auto_ckpts")
+_auto_ckpts: list[str] = []
+
+
+def auto_checkpoint_dir(name: str) -> str:
+    """A throwaway checkpoint dir, removed at interpreter exit."""
+    os.makedirs(_AUTO_CKPT_PARENT, exist_ok=True)
+    if not _auto_ckpts:
+        cutoff = time.time() - 6 * 3600
+        for d in os.listdir(_AUTO_CKPT_PARENT):
+            path = os.path.join(_AUTO_CKPT_PARENT, d)
+            try:
+                if os.path.getmtime(path) < cutoff:
+                    shutil.rmtree(path, ignore_errors=True)
+            except OSError:
+                pass
+    d = tempfile.mkdtemp(prefix=f"ckpt_{name}_", dir=_AUTO_CKPT_PARENT)
+    _auto_ckpts.append(d)
+    return d
+
+
+@atexit.register
+def _cleanup_auto_ckpts() -> None:
+    for d in _auto_ckpts:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def run_stream_to_table(
@@ -30,10 +66,17 @@ def run_stream_to_table(
     ``progress`` is the query's per-batch ``recentProgress`` dicts — used by
     tests to assert on state-store metrics (numRowsTotal / numRowsRemoved),
     the PySpark face of ``StateStore.metrics`` (Provider.scala:282-283).
+
+    Known bounded cost: each call registers a fresh memory-sink table that
+    lives for the session (the returned DataFrame reads it lazily, and some
+    entries union two sinks, so eager dropping would be unsound). At
+    fixture scale that is <= ~100 K rows per streaming entry; a service
+    embedding this harness long-term should drop the temp views after
+    consuming results.
     """
     spark = stream_df.sparkSession
     name = query_name or f"sss_{uuid.uuid4().hex[:12]}"
-    ckpt = checkpoint_location or tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    ckpt = checkpoint_location or auto_checkpoint_dir(name)
     query = (
         stream_df.writeStream.outputMode(output_mode)
         .format("memory")
@@ -69,7 +112,7 @@ def run_stream_drain_wallclock(
 
     spark = stream_df.sparkSession
     name = f"sss_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    ckpt = auto_checkpoint_dir(name)
     query = (
         stream_df.writeStream.outputMode(output_mode)
         .format("memory")
@@ -80,6 +123,12 @@ def run_stream_drain_wallclock(
     )
     try:
         deadline = _time.time() + timeout_s
+        # Accumulate rows per batchId across polls: recentProgress is a
+        # ring buffer capped at ~100 entries, and the 200 ms trigger
+        # rotates it every ~20 s — summing only the current buffer would
+        # lose the data batches' counts once empty batches rotate them
+        # out, spinning a fully-drained stream into a spurious timeout.
+        rows_by_batch: dict[int, int] = {}
         while _time.time() < deadline:
             if not query.isActive:
                 # Surface the real failure instead of spinning to a
@@ -89,7 +138,9 @@ def run_stream_drain_wallclock(
                     f"wall-clock stream terminated before draining: {exc}"
                 )
             progress = list(query.recentProgress)
-            seen = sum(p["numInputRows"] for p in progress)
+            for p in progress:
+                rows_by_batch[p["batchId"]] = p["numInputRows"]
+            seen = sum(rows_by_batch.values())
             if (
                 seen >= n_input_rows
                 and progress
