@@ -1328,6 +1328,7 @@ def keyed_state_wallclock_infinite(spark: SparkSession, sf_dir: str) -> DataFram
     from .runner import run_stream_drain_wallclock
     from .ttl import ttl_kv_ops_wallclock
 
+    _assert_event_id_ts_monotone(spark, sf_dir, scope="global")
     ttl = resolve_ttl({}, "events_kv_wall_inf")  # default -1 = infinite
     n_rows = load_table(spark, sf_dir, "events").count()
     out = run_stream_drain_wallclock(
@@ -1464,6 +1465,8 @@ def keyed_state_ttl_lazy_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     ttl = resolve_ttl(conf, "events_kv_lazy_bounds")
 
+    _assert_event_id_ts_monotone(spark, sf_dir)
+
     def run() -> DataFrame:
         ops = _kv_op_select(
             chunked_stream(spark, sf_dir, "events", n_chunks=_LAZY_BOUNDS_CHUNKS)
@@ -1540,6 +1543,8 @@ def keyed_state_wallclock_finite_bounds(
     from ..config import resolve_ttl
     from .runner import run_stream_drain_wallclock
     from .ttl import ttl_kv_ops_wallclock
+
+    _assert_event_id_ts_monotone(spark, sf_dir, scope="global")
 
     conf = {
         "spark.sql.streaming.stateStore.stateExpirySecs": str(
@@ -1917,14 +1922,15 @@ def _funnel_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Replay-order guard: the kernel's cross-batch "first eligible" fold is
     correct iff composite-key order equals the chunked (ts, event_id)
     arrival order — which, the key having only SECOND resolution, requires
-    event_id to be ts-monotone within each second. The fixture satisfies
-    this; _assert_funnel_key_order fails loudly if a regeneration stops
-    satisfying it (the range assert inside _FUNNEL_K cannot see this)."""
+    event_id to be ts-monotone WITHIN each second. The fixtures satisfy
+    this; _assert_event_id_ts_monotone fails loudly if a regeneration
+    stops satisfying it (the range assert inside _FUNNEL_K cannot see
+    this)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..sources import chunked_stream
 
-    _assert_funnel_key_order(spark, sf_dir)
+    _assert_event_id_ts_monotone(spark, sf_dir)
     events = (
         chunked_stream(spark, sf_dir, "events", n_chunks=2)
         .where(F.col("event_type").isin(*_FUNNEL_STAGES))
@@ -1939,18 +1945,44 @@ def _funnel_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _assert_funnel_key_order(spark: SparkSession, sf_dir: str) -> None:
-    """Raise unless, within every second, event_id order == (ts, event_id)
-    order for funnel-stage events — the precondition that makes the
-    second-resolution composite key replay-order-faithful. One bounded
-    window aggregation over the filtered fixture (harness-side guard, not
-    a data-path stage)."""
+_SEQ_ORDER_CHECKED: set = set()
+
+
+def _assert_event_id_ts_monotone(
+    spark: SparkSession, sf_dir: str, scope: str = "within_second"
+) -> None:
+    """Raise unless event_id order matches (ts, event_id) arrival order on
+    the events fixture, at the strength the caller's fold actually needs
+    (``chunked_stream`` chunks are contiguous in (ts, event_id), so chunk
+    boundaries can only invert orders these checks would flag):
+
+    - ``scope="within_second"``: within each second, event_id order must
+      match micros order. Suffices for folds whose replay key carries the
+      second — the funnel's ``sec*1e6 + event_id`` composite key and the
+      lazy-TTL bounds' (ts_s, seq) fold — and HOLDS on the adversarial
+      funnel fixture, whose ids interleave across seconds but never invert
+      within one.
+    - ``scope="global"``: event_id must be ts-monotone over the whole
+      table. Required by the wall-clock kernels, whose arrival fold orders
+      by seq ALONE (wall-clock TTL ignores event time), so a mid-stream id
+      inversion across a chunk boundary would silently reorder the fold.
+
+    The driver fixtures' generator assigns event_id in timestamp order, so
+    both hold there; the guard makes a regeneration (or a new fixture) that
+    stops holding fail loudly instead of silently corrupting cross-batch
+    fold order. Memoized per (fixture dir, scope), global satisfying
+    within_second; one bounded two-column window check (harness-side
+    guard, not a data-path stage)."""
+    if (sf_dir, scope) in _SEQ_ORDER_CHECKED or (
+        scope == "within_second" and (sf_dir, "global") in _SEQ_ORDER_CHECKED
+    ):
+        return
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events").where(
-        F.col("event_type").isin(*_FUNNEL_STAGES)
-    )
-    w = Window.partitionBy(F.unix_timestamp("ts")).orderBy("event_id")
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    if scope == "within_second":
+        w = Window.partitionBy(F.unix_timestamp("ts")).orderBy("event_id")
     bad = (
         ev.select(F.unix_micros("ts").alias("us"), "event_id", "ts")
         .withColumn("prev_us", F.lag("us").over(w))
@@ -1959,11 +1991,13 @@ def _assert_funnel_key_order(spark: SparkSession, sf_dir: str) -> None:
     )
     if bad:
         raise AssertionError(
-            f"funnel composite key: {bad} same-second event pairs have "
-            "event_id order inverted vs (ts, event_id) order — the "
-            "second-resolution key no longer replays arrival order; widen "
-            "_FUNNEL_K to a microsecond struct key"
+            f"events fixture: {bad} event_id-adjacent pairs ({scope}) have "
+            "inverted timestamps — event_id no longer reproduces (ts, "
+            "event_id) arrival order at the strength this fold's replay "
+            "key assumes (funnel/TTL-bounds composite keys, wall-clock seq "
+            "folds); widen the key to a microsecond struct"
         )
+    _SEQ_ORDER_CHECKED.add((sf_dir, scope))
 
 
 def funnel_kernel(key, pdfs, state):
