@@ -159,6 +159,25 @@ HEADLINE = [
 N_CORE = HEADLINE.index("keyed_state_ttl_strict") + 1
 
 
+def _unload_state_providers(spark) -> None:
+    """Drop every loaded state-store provider and its maintenance thread.
+
+    The run's ~30 streaming drains each load RocksDB providers (one per
+    state partition) that stay resident in the JVM after the drain ends,
+    so by the tail of a full headline run hundreds of maintenance threads
+    compete with the query being timed — and their shutdown churn is the
+    stderr flood that ate BENCH_r04. ``StateStore.stop()`` is Spark's own
+    session-shutdown hook (idempotent; providers lazily re-load on next
+    use), so calling it between queries resets each measurement to a clean
+    provider slate. Best-effort: the JVM walk is internal API, so a miss
+    degrades to the old accumulate-then-unload behavior.
+    """
+    try:
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:
+        pass
+
+
 def run_query(spark, name: str, sf_dir: str, n_runs: int = 3) -> float:
     """Steady-state latency: best of ``n_runs``, cache cleared before each.
 
@@ -171,6 +190,7 @@ def run_query(spark, name: str, sf_dir: str, n_runs: int = 3) -> float:
     best = float("inf")
     for _ in range(n_runs):
         spark.catalog.clearCache()
+        _unload_state_providers(spark)
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -227,6 +247,9 @@ def main() -> None:
         "w",
     ) as fh:
         fh.write(line + "\n")
+    # Unload providers BEFORE stop: most of the shutdown stderr flood that
+    # ate BENCH_r04 was provider-unload churn racing the dying RpcEnv.
+    _unload_state_providers(spark)
     spark.stop()
     print(line, flush=True)
 
