@@ -34,7 +34,13 @@ def main() -> int:
     con = duckdb_con(SF_DIR)
     failures: dict[str, str] = {}
     t0 = time.time()
+    from bench import _unload_state_providers
+
     for i, name in enumerate(sorted(ORACLES), 1):
+        # Same provider hygiene as bench.py: without it the ~40 streaming
+        # entries leave hundreds of RocksDB maintenance threads competing
+        # with the rest of the sweep.
+        _unload_state_providers(spark)
         try:
             problems = compare(QUERIES[name](spark, SF_DIR), con, ORACLES[name])
             if problems:
