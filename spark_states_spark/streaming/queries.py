@@ -467,7 +467,14 @@ def streaming_chained_agg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import chunked_stream
 
     def run() -> DataFrame:
-        ev = chunked_stream(spark, sf_dir, "events")
+        # 4 chunks, not the 8-chunk default: TWO stateful operators double
+        # the per-batch store open/commit cost (2 ops x STATE_PARTS stores
+        # x n_batches), and 4 time-ordered batches over the ~30-day fixture
+        # still finalize hourly windows at every batch boundary — the
+        # multi-batch eviction lifecycle the entry exists to exercise. The
+        # emitted set is chunk-count-invariant (both stages evict against
+        # the final frontier by drain end; oracle uses only that frontier).
+        ev = chunked_stream(spark, sf_dir, "events", n_chunks=4)
         hourly = (
             ev.withWatermark("ts", "10 minutes")
             .groupBy(F.window("ts", "1 hour"), "event_type")
