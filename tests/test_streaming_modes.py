@@ -187,3 +187,46 @@ def test_late_rows_reopen_windows_update_mode(spark, sf_dir_small, tmp_path):
     )
     late_windows = out.filter(F.col("window_start") < cutoff).count()
     assert late_windows > 0, "late rows should have re-opened their windows"
+
+
+def test_chained_agg_runs_two_stateful_operators(spark, sf_dir):
+    """The hour->day rollup cascade (streaming_chained_agg_daily) must plan
+    TWO stateful operators in one query — the multi-operator provider case
+    (one operatorId/partitionId store set per stateful operator,
+    Provider.scala:347-360) — and BOTH must bound their state: each stage
+    holds live windows and evicts them as the shared watermark advances.
+    Guards the structure the entry exists to exercise; a refactor that
+    collapsed the chain into one aggregation (or detached the second stage
+    from the watermark) would still pass the value oracle on this fixture
+    but silently stop exercising multi-store state."""
+    ev = chunked_stream(spark, sf_dir, "events", n_chunks=4)
+    hourly = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    daily = (
+        hourly.groupBy(F.window(F.window_time("window"), "1 day"), "event_type")
+        .agg(F.sum("n_events").alias("n_events"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+        )
+    )
+    out, progress = run_stream_to_table(daily, "append", with_progress=True)
+    assert out.count() > 0
+    per_op_removed: dict[int, int] = {}
+    per_op_peak: dict[int, int] = {}
+    n_ops = 0
+    for p in progress:
+        ops = p["stateOperators"]
+        if ops:
+            n_ops = max(n_ops, len(ops))
+            for i, op in enumerate(ops):
+                per_op_removed[i] = per_op_removed.get(i, 0) + op["numRowsRemoved"]
+                per_op_peak[i] = max(per_op_peak.get(i, 0), op["numRowsTotal"])
+    assert n_ops == 2, f"expected 2 stateful operators, saw {n_ops}"
+    for i in range(2):
+        assert per_op_peak[i] > 0, f"operator {i} never held state"
+        assert per_op_removed[i] > 0, f"operator {i} never evicted state"
