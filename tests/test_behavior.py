@@ -100,3 +100,90 @@ def test_batch_funnel_on_adversarial_data(spark, fixture_dir):
     assert row.n_view == 4
     assert row.n_signup_after_view == 3  # users 1, 3, 5 (same-second counts)
     assert row.n_purchase_after_signup == 1
+
+
+# --- kernel-level hypothesis differential (no Spark: pure pandas) --------
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spark_states_spark.streaming.queries import funnel_kernel
+
+
+class _FakeGroupState:
+    """The three members funnel_kernel touches, per the
+    applyInPandasWithState GroupState contract."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _sequential_fold(seq):
+    """Reference: one pass over (event_type, k) in arrival (k) order."""
+    k1 = k2 = k3 = None
+    emits = []
+    for et, k in seq:
+        if k1 is None and et == "view":
+            k1, _ = k, emits.append(1)
+        elif k1 is not None and k2 is None and et == "signup" and k > k1:
+            k2, _ = k, emits.append(2)
+        elif k2 is not None and k3 is None and et == "purchase" and k > k2:
+            k3, _ = k, emits.append(3)
+    return (k1, k2, k3), emits
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    data=st.lists(
+        st.sampled_from(["view", "signup", "purchase", "other"]),
+        min_size=0,
+        max_size=40,
+    ),
+    keys=st.sets(st.integers(min_value=0, max_value=10**9), min_size=0, max_size=40),
+    cuts=st.lists(st.integers(min_value=0, max_value=40), max_size=5),
+)
+def test_funnel_kernel_matches_sequential_fold(data, keys, cuts):
+    """The kernel's per-batch chained masked-min fold == the one-pass
+    sequential fold, for ANY contiguous ascending-k batching — including
+    slots filled across batch boundaries and several slots filled inside
+    one batch. This is the exact invariant the replay-order guard protects:
+    time-ordered chunk delivery makes real micro-batches contiguous
+    ascending-k, and under that precondition min-over-eligible per batch
+    must reproduce arrival order. Emit-once rides along: each stage must
+    surface exactly once, in the batch containing its filling event."""
+    ks = sorted(keys)[: len(data)]
+    seq = list(zip(data[: len(ks)], ks))
+    bounds = sorted({c for c in cuts if c < len(seq)})
+    batches = []
+    prev = 0
+    for b in bounds + [len(seq)]:
+        if b > prev:
+            batches.append(seq[prev:b])
+            prev = b
+    state = _FakeGroupState()
+    emitted = []
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {
+                "event_type": [et for et, _ in batch],
+                "k": pd.array([k for _, k in batch], dtype="int64"),
+            }
+        )
+        for out in funnel_kernel((7,), iter([pdf]), state):
+            emitted.extend(out["stage"].tolist())
+            assert (out["user_id"] == 7).all()
+    expect_state, expect_emits = _sequential_fold(seq)
+    assert (state.get if state.exists else (None, None, None)) == expect_state
+    assert emitted == expect_emits
