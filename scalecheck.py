@@ -36,25 +36,33 @@ def main() -> int:
     t0 = time.time()
     from bench import _unload_state_providers
 
+    entry_s: dict[str, float] = {}
     for i, name in enumerate(sorted(ORACLES), 1):
         # Same provider hygiene as bench.py: without it the ~40 streaming
         # entries leave hundreds of RocksDB maintenance threads competing
         # with the rest of the sweep.
         _unload_state_providers(spark)
+        te = time.perf_counter()
         try:
             problems = compare(QUERIES[name](spark, SF_DIR), con, ORACLES[name])
             if problems:
                 failures[name] = "; ".join(problems)
         except Exception as exc:  # noqa: BLE001 — record, keep sweeping
             failures[name] = f"error: {exc}"
+        # Coarse per-entry wall seconds (VERDICT r05 #7): Spark execution +
+        # collect + the DuckDB oracle together — NOT comparable to bench.py's
+        # best-of-N noop-sink numbers, but a free round-over-round regression
+        # series for the ~70 catalog entries outside the bench headline set.
+        entry_s[name] = round(time.perf_counter() - te, 2)
         status = "FAIL" if name in failures else "ok"
-        print(f"[{i}/{len(ORACLES)}] {name}: {status}", flush=True)
+        print(f"[{i}/{len(ORACLES)}] {name}: {status} {entry_s[name]}s", flush=True)
     result = {
         "sf_dir": SF_DIR,
         "n_entries": len(ORACLES),
         "n_pass": len(ORACLES) - len(failures),
         "failures": failures,
         "elapsed_s": round(time.time() - t0, 1),
+        "entry_wall_s_incl_oracle": dict(sorted(entry_s.items())),
     }
     out = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),

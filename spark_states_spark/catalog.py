@@ -97,9 +97,10 @@ from .operators import skyline  # noqa: E402,F401
 # degrades to registration order — the contract surface never breaks. The
 # authoritative correctness gate stays local and order-independent: every
 # oracle entry is verified against DuckDB each test run (tests/test_oracle.py)
-# regardless of sampling order. Known granularity limit: a change to a shared
-# infra module (functions/skew.py, sources/tables.py, session.py) does not
-# mark its dependent entries touched — only registering modules are mapped.
+# regardless of sampling order. Shared-infra changes (functions/skew.py,
+# sources/tables.py, session.py, streaming/runner.py, …) propagate to
+# dependent entries through the package's computed import graph
+# (ADVICE r05 — see touched_entries).
 # Run ``python -m spark_states_spark.catalog`` to print the freshness table
 # (written to VERIFY_ORDER.md per round).
 
@@ -243,6 +244,80 @@ def _changed_toplevel_names(root: str, base: str, rel_path: str) -> set[str] | N
     return changed
 
 
+def _internal_import_graph(root: str = _ROOT) -> dict[str, set[str]]:
+    """Module -> package-internal modules it imports (anywhere in the file,
+    including function-level imports). Relative imports are resolved against
+    the importing module's package; ``from ..sources import staged_chunks``
+    credits both ``..sources`` and ``..sources.staged_chunks`` if the latter
+    is a real module (the imported name may be a submodule or an attribute)."""
+    pkg_root = os.path.join(root, "spark_states_spark")
+    mods: dict[str, str] = {}  # dotted module -> abs path
+    is_pkg: set[str] = set()  # modules that are packages (__init__.py)
+    for dirpath, _dirs, files in os.walk(pkg_root):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            rel = os.path.relpath(os.path.join(dirpath, f), root)
+            mod = rel[:-3].replace(os.sep, ".")
+            if mod.endswith(".__init__"):
+                mod = mod[: -len(".__init__")]
+                is_pkg.add(mod)
+            mods[mod] = os.path.join(dirpath, f)
+    graph: dict[str, set[str]] = {m: set() for m in mods}
+    for mod, path in mods.items():
+        try:
+            with open(path) as fh:
+                tree = ast.parse(fh.read())
+        except (OSError, SyntaxError, ValueError):
+            continue
+        # Package for relative-import resolution: a package's own __init__
+        # resolves level=1 against itself, a plain module against its parent.
+        pkg = mod if mod in is_pkg else mod.rsplit(".", 1)[0]
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom):
+                if node.level:
+                    base_parts = pkg.split(".")
+                    if node.level > 1:
+                        base_parts = base_parts[: -(node.level - 1)]
+                    target = ".".join(base_parts + ([node.module] if node.module else []))
+                elif node.module and node.module.startswith("spark_states_spark"):
+                    target = node.module
+                else:
+                    continue
+                if target in graph:
+                    graph[mod].add(target)
+                for alias in node.names:
+                    sub = f"{target}.{alias.name}"
+                    if sub in graph:
+                        graph[mod].add(sub)
+            elif isinstance(node, ast.Import):
+                for alias in node.names:
+                    if alias.name in graph:
+                        graph[mod].add(alias.name)
+        graph[mod].discard(mod)
+    # The registry's own imports are registration plumbing (it imports every
+    # registering module for side effects): traversing through it would make
+    # every module transitively "depend on" every other. Same for package
+    # __init__ re-export hubs that import the registry.
+    graph[__name__] = set()
+    return graph
+
+
+def _reaches(graph: dict[str, set[str]], src: str, targets: set[str]) -> bool:
+    """True iff ``src`` transitively imports any module in ``targets``."""
+    seen: set[str] = set()
+    work = [src]
+    while work:
+        m = work.pop()
+        for dep in graph.get(m, ()):
+            if dep in targets:
+                return True
+            if dep not in seen:
+                seen.add(dep)
+                work.append(dep)
+    return False
+
+
 def touched_entries(root: str = _ROOT) -> set[str]:
     """Entries whose implementation changed since the last round boundary
     (the newest driver 'round N: ...' commit).
@@ -252,6 +327,16 @@ def touched_entries(root: str = _ROOT) -> set[str]:
     helper or one entry's decorator touches only the entries that reach
     it — not every entry in a 1700-line module (which would crowd the
     driver's 50-entry sampling window with freshly-verified neighbors).
+
+    Shared-infra propagation (ADVICE r05): a changed package module that
+    registers NO entries itself (runner.py, sources/tables.py, session.py,
+    windows.py, …) marks touched every entry of every registering module
+    that transitively imports it — computed from the package's own import
+    graph, not a hand-maintained list, so new infra files are covered the
+    day they appear. This is deliberately module-coarse on the registering
+    side: an infra change can alter behavior through any call path, and
+    under-marking starves the driver's re-verification sampling.
+
     Falls back to whole-module granularity when the hunk analysis can't
     run, and to the empty set on any git failure; regression safety does
     not depend on this — the local DuckDB gate runs every oracle entry on
@@ -270,18 +355,31 @@ def touched_entries(root: str = _ROOT) -> set[str]:
     except (OSError, subprocess.SubprocessError, ValueError):
         return set()
     out: set[str] = set()
+    registering = set(MODULES.values())
+    infra_changed: set[str] = set()
     for f in files:
         if not f.endswith(".py"):
             continue
         mod = f[:-3].replace("/", ".")
         entries = {n for n, m in MODULES.items() if m == mod}
         if not entries:
+            # THIS module (the registry/ordering itself) carries no query
+            # behavior but is imported by every registering module — letting
+            # it propagate would saturate the touched signal on any edit to
+            # the ordering logic.
+            if mod.startswith("spark_states_spark") and mod != __name__:
+                infra_changed.add(mod)
             continue
         changed = _changed_toplevel_names(root, base, f)
         if changed is None:
             out |= entries  # fallback: whole module
             continue
         out |= {n for n in entries if QUERIES[n].__name__ in changed}
+    if infra_changed:
+        graph = _internal_import_graph(root)
+        for rmod in registering:
+            if _reaches(graph, rmod, infra_changed):
+                out |= {n for n, m in MODULES.items() if m == rmod}
     return out
 
 
@@ -301,16 +399,23 @@ def verification_order(
     except Exception:
         return list(QUERIES)
 
-    def rank(item: tuple[int, str]) -> tuple[int, int, int]:
+    def rank(item: tuple[int, str]) -> tuple[int, int, int, int]:
+        # Never-verified entries outrank everything; after that, STALENESS
+        # is primary (oldest external verdict first) and code-touched is
+        # only a tie-break within the same verdict round. Rationale: the
+        # driver's 50-entry sample is the scarce external resource and
+        # staleness-first maximizes its breadth (an entry last checked in
+        # r02 is weaker evidence than an r05-green entry whose module was
+        # edited this round — the edit is already re-verified locally by
+        # the every-run DuckDB gate and the full sf0.1 scale check, while
+        # nothing local refreshes EXTERNAL verdict age). The touched signal
+        # now includes shared-infra propagation (ADVICE r05), which can mark
+        # 50+ entries in one round — tier-above-staleness would let one
+        # hygiene edit crowd every window slot with freshly-green entries.
         idx, name = item
         if name not in greens:
-            return (0, 0, idx)  # never externally green
-        if name in touched:
-            # green before, but code changed this round; stalest first so a
-            # broad module-level diff (module granularity over-includes)
-            # doesn't let freshly-verified entries crowd the window
-            return (1, greens[name], idx)
-        return (2, greens[name], idx)  # stalest verdict first
+            return (0, 0, 0, idx)  # never externally green
+        return (1, greens[name], 0 if name in touched else 1, idx)
 
     return [n for _, n in sorted(enumerate(QUERIES), key=rank)]
 

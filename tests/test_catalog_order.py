@@ -125,3 +125,43 @@ def test_freshness_table_mentions_every_entry():
 
 def test_every_query_has_a_module():
     assert set(catalog.MODULES) == set(catalog.QUERIES)
+
+def test_import_graph_resolves_relative_and_absolute_imports():
+    g = catalog._internal_import_graph()
+    sq = "spark_states_spark.streaming.queries"
+    # from .runner import ... (level-1 relative in a submodule)
+    assert "spark_states_spark.streaming.runner" in g[sq]
+    # from ..sources import staged_chunks (level-2, name is an attribute)
+    assert "spark_states_spark.sources" in g[sq]
+    # the registry node must not act as a dependency hub: it imports every
+    # registering module for side effects, which would otherwise connect
+    # everything to everything
+    assert g["spark_states_spark.catalog"] == set()
+
+
+def test_infra_change_propagates_to_importing_modules_entries():
+    """ADVICE r05 (medium): a changed module that registers no entries
+    (runner.py & co.) must mark the entries of registering modules that
+    transitively import it — otherwise the driver's sampling window can
+    skip entries whose behavior actually changed."""
+    g = catalog._internal_import_graph()
+    runner = "spark_states_spark.streaming.runner"
+    sq = "spark_states_spark.streaming.queries"
+    assert catalog._reaches(g, sq, {runner})
+    # relational must NOT reach runner except through the pruned registry hub
+    rel = "spark_states_spark.operators.relational"
+    assert not catalog._reaches(g, rel, {runner})
+
+
+def test_staleness_outranks_touched_within_order(monkeypatch):
+    """The external verdict age is primary; code-touched only tie-breaks
+    within a round — an infra edit marking 50+ fresh-green entries must not
+    crowd the stale tail out of the driver's 50-entry sample."""
+    greens = {"stale_old": 1, "touched_new": 5, "plain_new": 5}
+    monkeypatch.setattr(catalog, "QUERIES", {
+        "plain_new": None, "touched_new": None, "stale_old": None, "never": None,
+    })
+    order = catalog.verification_order(
+        greens=greens, touched={"touched_new"}
+    )
+    assert order == ["never", "stale_old", "touched_new", "plain_new"]

@@ -38,12 +38,19 @@ def test_entry_returns_rows(spark, sf_dir_small):
     assert len(df.collect()) > 0
 
 
-def test_bench_emits_json_line():
+def test_bench_emits_json_line(tmp_path):
+    # Route the subprocess's artifact to a tmp path (VERDICT r05 #2): the
+    # default bench_result.json is the round's official loss-proofing
+    # artifact and a pytest run after the real bench must not clobber it.
+    bench_out = tmp_path / "bench_result.json"
+    official = os.path.join(REPO, "bench_result.json")
+    before = open(official, "rb").read() if os.path.exists(official) else None
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_BENCH_QUERIES="q6_forecast_revenue,dedup_exact_keep_first",
         SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_BENCH_OUT=str(bench_out),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -54,8 +61,18 @@ def test_bench_emits_json_line():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     line = out.stdout.strip().splitlines()[-1]
+    # The printed line is the driver's bounded-tail capture target: compact.
+    assert len(line) < 1000
     payload = json.loads(line)
     assert payload["metric"] == "headline_total"
     assert payload["unit"] == "sec"
-    assert set(payload["queries"]) == {"q6_forecast_revenue", "dedup_exact_keep_first"}
     assert payload["value"] > 0
+    assert payload["n_queries"] == 2
+    assert set(payload["queries"]) == {"q6_forecast_revenue", "dedup_exact_keep_first"}
+    # The FULL per-query map lands in the file.
+    full = json.loads(bench_out.read_text())
+    assert set(full["queries"]) == {"q6_forecast_revenue", "dedup_exact_keep_first"}
+    assert full["value"] == payload["value"]
+    # And the official artifact is bit-identical to before the run.
+    after = open(official, "rb").read() if os.path.exists(official) else None
+    assert after == before, "bench run clobbered the official bench_result.json"
