@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import atexit
 import os
+import re
 import shutil
 import tempfile
 import time
@@ -22,27 +23,72 @@ from pyspark.sql import DataFrame
 
 # Auto-created checkpoint dirs (callers that pass checkpoint_location manage
 # their own): grouped under one parent, registered for atexit removal, with
-# a stale sweep (> 6 h old, i.e. killed earlier processes) on first use —
-# otherwise every catalog entry invocation leaks a RocksDB checkpoint into
-# /tmp. In-process dirs are kept until exit: offline state scans read their
-# checkpoint after the query stops.
+# a stale sweep on first use — otherwise every catalog entry invocation
+# leaks a RocksDB checkpoint into /tmp. Dir names embed the owning PID so
+# the sweep never removes a still-running process's live checkpoint (a
+# driver/scalecheck session crossing the old 6 h mtime cutoff would have had
+# its RocksDB checkpoint deleted mid-query): dirs whose owner is dead are
+# removed immediately, dirs with an unparseable owner only past the mtime
+# cutoff. In-process dirs are kept until exit: offline state scans read
+# their checkpoint after the query stops.
 _AUTO_CKPT_PARENT = os.path.join(tempfile.gettempdir(), "sss_auto_ckpts")
 _auto_ckpts: list[str] = []
+
+
+def pid_alive(pid: int) -> bool:
+    """True iff ``pid`` is a live process (signal-0 probe; EPERM counts as
+    alive — someone else's process is not ours to sweep)."""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except OSError:
+        return True
+    return True
+
+
+def owner_pid(dirname: str) -> int | None:
+    """PID embedded in a sweep-managed dir name (``..._pid<N>``), if any."""
+    m = re.search(r"_pid(\d+)_", dirname)
+    return int(m.group(1)) if m else None
+
+
+def sweep_stale_dirs(parent: str, mtime_cutoff_s: float = 6 * 3600) -> None:
+    """Remove sibling dirs under ``parent`` owned by dead processes.
+
+    PID-tagged dirs are removed as soon as their owner is gone; untagged
+    (legacy / foreign) dirs only when older than ``mtime_cutoff_s``. Live
+    owners are always skipped, however old the dir.
+    """
+    try:
+        entries = os.listdir(parent)
+    except OSError:
+        return
+    cutoff = time.time() - mtime_cutoff_s
+    for d in entries:
+        path = os.path.join(parent, d)
+        pid = owner_pid(d)
+        if pid is not None:
+            if not pid_alive(pid):
+                shutil.rmtree(path, ignore_errors=True)
+            continue
+        try:
+            if os.path.getmtime(path) < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            pass
 
 
 def auto_checkpoint_dir(name: str) -> str:
     """A throwaway checkpoint dir, removed at interpreter exit."""
     os.makedirs(_AUTO_CKPT_PARENT, exist_ok=True)
     if not _auto_ckpts:
-        cutoff = time.time() - 6 * 3600
-        for d in os.listdir(_AUTO_CKPT_PARENT):
-            path = os.path.join(_AUTO_CKPT_PARENT, d)
-            try:
-                if os.path.getmtime(path) < cutoff:
-                    shutil.rmtree(path, ignore_errors=True)
-            except OSError:
-                pass
-    d = tempfile.mkdtemp(prefix=f"ckpt_{name}_", dir=_AUTO_CKPT_PARENT)
+        sweep_stale_dirs(_AUTO_CKPT_PARENT)
+    d = tempfile.mkdtemp(
+        prefix=f"ckpt_{name}_pid{os.getpid()}_", dir=_AUTO_CKPT_PARENT
+    )
     _auto_ckpts.append(d)
     return d
 
@@ -118,14 +164,17 @@ def run_stream_drain_wallclock(
         .format("memory")
         .queryName(name)
         .option("checkpointLocation", ckpt)
-        .trigger(processingTime="200 milliseconds")
+        # 100 ms: the drain's floor is (data batches + one trailing empty
+        # batch + polling latency), so trigger cadence is pure dead time on
+        # the tail — an empty batch is a near-free state commit.
+        .trigger(processingTime="100 milliseconds")
         .start()
     )
     try:
         deadline = _time.time() + timeout_s
         # Accumulate rows per batchId across polls: recentProgress is a
-        # ring buffer capped at ~100 entries, and the 200 ms trigger
-        # rotates it every ~20 s — summing only the current buffer would
+        # ring buffer capped at ~100 entries, and the 100 ms trigger
+        # rotates it every ~10 s — summing only the current buffer would
         # lose the data batches' counts once empty batches rotate them
         # out, spinning a fully-drained stream into a spurious timeout.
         rows_by_batch: dict[int, int] = {}
@@ -147,7 +196,7 @@ def run_stream_drain_wallclock(
                 and progress[-1]["numInputRows"] == 0
             ):
                 break
-            _time.sleep(0.2)
+            _time.sleep(0.1)
         else:
             raise TimeoutError(
                 f"wall-clock stream did not drain {n_input_rows} rows "

@@ -65,21 +65,18 @@ def test_chunked_stream_arrival_order_permutes_delivery(spark, sf_dir_small):
     import pyarrow.parquet as pq
 
     from spark_states_spark.sources import chunked_stream
+    from spark_states_spark.sources.tables import staged_chunks
 
-    df = chunked_stream(
+    chunked_stream(
         spark, sf_dir_small, "events", n_chunks=3, arrival_order=(0, 2, 1)
     )
-    # Recover the staged directory from the plan's source path.
-    src_path = df._jdf.queryExecution().logical().toString()
-    staged = [
-        p for p in src_path.splitlines() if "sss_stream_chunks" in p
-    ]
-    assert staged, f"staged chunk dir not in plan: {src_path[:200]}"
-    import re
-
-    m = re.search(r"(/[^\s\]]*sss_stream_chunks/[0-9a-f]+)", staged[0])
-    assert m, staged[0]
-    chunk_dir = m.group(1)
+    # staged_chunks is cached by (source identity, chunking args): calling
+    # it with chunked_stream's arguments returns the SAME directory the
+    # stream above reads — deterministic, no plan-string scraping (which
+    # broke on any Spark plan-rendering change).
+    chunk_dir = staged_chunks(
+        sf_dir_small, "events", n_chunks=3, arrival_order=(0, 2, 1)
+    )
     parts = sorted(
         f for f in os.listdir(chunk_dir) if f.endswith(".parquet")
     )
