@@ -596,7 +596,13 @@ def streaming_session_window_append(spark: SparkSession, sf_dir: str) -> DataFra
     from ..sources import chunked_stream
 
     def run() -> DataFrame:
-        events = chunked_stream(spark, sf_dir, "events")
+        # 4 time-ordered chunks (halve-batches pattern, VERDICT r05 #4):
+        # the emitted set is determined by the FINAL watermark (append mode
+        # + in-order chunks: nothing is ever late, availableNow's closing
+        # no-data batch finalizes the frontier), so it is chunk-count
+        # independent; 3 mid-stream watermark advances keep real
+        # session-close/eviction lifecycle at half the fixed batch cost.
+        events = chunked_stream(spark, sf_dir, "events", n_chunks=4)
         sess = (
             events.withWatermark("ts", "10 minutes")
             .groupBy(F.session_window("ts", "30 minutes"), "user_id")
@@ -1751,7 +1757,10 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import chunked_stream
 
     def run() -> DataFrame:
-        ev = chunked_stream(spark, sf_dir, "events")
+        # 4 chunks (halve-batches, VERDICT r05 #4): the running max per key
+        # is associative and chunk-count independent; 4 batches keep real
+        # multi-batch incremental upserts at half the fixed commit cost.
+        ev = chunked_stream(spark, sf_dir, "events", n_chunks=4)
         agg = ev.groupBy("user_id").agg(
             F.max(
                 F.struct(
@@ -1810,7 +1819,12 @@ def streaming_topk_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .windows import windowed_counts
 
     def run() -> DataFrame:
-        agg = windowed_counts(chunked_stream(spark, sf_dir, "events"), "1 day")
+        # 4 chunks (halve-batches, VERDICT r05 #4): update-mode daily
+        # counts canonicalize by max-per-window, chunk-count independent;
+        # 3 watermark advances keep real closed-day eviction.
+        agg = windowed_counts(
+            chunked_stream(spark, sf_dir, "events", n_chunks=4), "1 day"
+        )
         return run_stream_to_table(agg, output_mode="update")
 
     out = _with_state_parts(spark, STATE_PARTS, run)
