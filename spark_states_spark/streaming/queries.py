@@ -621,8 +621,9 @@ def streaming_session_window_append(spark: SparkSession, sf_dir: str) -> DataFra
         )
         return run_stream_to_table(sess, output_mode="append")
 
-    # 8 state partitions: see streaming_hourly_agg_update (per-batch
-    # per-partition store commits dominate chunked replays otherwise).
+    # STATE_PARTS state partitions: see streaming_hourly_agg_update
+    # (per-batch per-partition store commits dominate chunked replays
+    # otherwise).
     return _with_state_parts(spark, STATE_PARTS, run)
 
 
@@ -660,7 +661,7 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         )
         return run_stream_to_table(dd, output_mode="append")
 
-    # 8 state partitions: see streaming_hourly_agg_update.
+    # STATE_PARTS state partitions: see streaming_hourly_agg_update.
     out = _with_state_parts(spark, STATE_PARTS, run)
     return out.groupBy("event_type").agg(F.count("*").alias("n_user_days"))
 
