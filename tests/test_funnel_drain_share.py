@@ -1,0 +1,49 @@
+"""The shared funnel drain (_funnel_drained, VERDICT r05 #4): one ingest
+serves both funnel entries. These tests pin the memo contract — same
+session + same fixture generation reuse the drain; a regenerated fixture
+(different content identity) re-drains — and that both entries read
+consistent views of the same pipeline."""
+
+import pytest
+
+from spark_states_spark.streaming import queries as sq
+
+
+@pytest.fixture(autouse=True)
+def _clear_memo():
+    sq._FUNNEL_DRAIN_MEMO.clear()
+    yield
+    sq._FUNNEL_DRAIN_MEMO.clear()
+
+
+def test_drain_memoized_within_session(spark, sf_dir_small):
+    sink1, ckpt1 = sq._funnel_drained(spark, sf_dir_small)
+    sink2, ckpt2 = sq._funnel_drained(spark, sf_dir_small)
+    assert ckpt1 == ckpt2
+    assert sink1 is sink2
+    assert len(sq._FUNNEL_DRAIN_MEMO) == 1
+
+
+def test_memo_key_carries_fixture_content_identity(spark, sf_dir_small):
+    """The driver regenerates testdata in place between rounds; a stale
+    memo would serve the previous generation's drain. The key must change
+    when the source content identity changes."""
+    sq._funnel_drained(spark, sf_dir_small)
+    (key,) = sq._FUNNEL_DRAIN_MEMO
+    from spark_states_spark.sources.tables import _source_identity, table_path
+
+    assert key[2] == _source_identity(table_path(sf_dir_small, "events"))
+
+
+def test_both_entries_describe_one_pipeline(spark, sf_dir_small):
+    """stage counts derived from the sink must agree with the state scan's
+    records: n_users at stage s == number of state rows with slot s set."""
+    stages = {
+        r["stage"]: r["n_users"]
+        for r in sq.streaming_funnel_stages(spark, sf_dir_small).collect()
+    }
+    st = sq.funnel_state_scan(spark, sf_dir_small).collect()
+    assert len(sq._FUNNEL_DRAIN_MEMO) == 1, "entries must share one drain"
+    assert stages[1] == sum(1 for r in st if r["k1"] is not None)
+    assert stages[2] == sum(1 for r in st if r["k2"] is not None)
+    assert stages[3] == sum(1 for r in st if r["k3"] is not None)
