@@ -318,9 +318,13 @@ def _reaches(graph: dict[str, set[str]], src: str, targets: set[str]) -> bool:
     return False
 
 
-def touched_entries(root: str = _ROOT) -> set[str]:
+def touched_entries(
+    root: str = _ROOT, modules: dict[str, str] | None = None
+) -> set[str]:
     """Entries whose implementation changed since the last round boundary
-    (the newest driver 'round N: ...' commit).
+    (the newest driver 'round N: ...' commit). ``modules`` (entry →
+    registering module) defaults to the live registry; injectable so the
+    propagation path is testable against a synthetic repo.
 
     Granularity: diff hunks are mapped to top-level module names via ast
     and propagated through intra-module references, so a change to one
@@ -354,14 +358,15 @@ def touched_entries(root: str = _ROOT) -> set[str]:
         ).stdout.split()
     except (OSError, subprocess.SubprocessError, ValueError):
         return set()
+    modules = MODULES if modules is None else modules
     out: set[str] = set()
-    registering = set(MODULES.values())
+    registering = set(modules.values())
     infra_changed: set[str] = set()
     for f in files:
         if not f.endswith(".py"):
             continue
         mod = f[:-3].replace("/", ".")
-        entries = {n for n, m in MODULES.items() if m == mod}
+        entries = {n for n, m in modules.items() if m == mod}
         if not entries:
             # THIS module (the registry/ordering itself) carries no query
             # behavior but is imported by every registering module — letting
@@ -374,12 +379,18 @@ def touched_entries(root: str = _ROOT) -> set[str]:
         if changed is None:
             out |= entries  # fallback: whole module
             continue
-        out |= {n for n in entries if QUERIES[n].__name__ in changed}
+        out |= {
+            n
+            for n in entries
+            # Entries without a live QUERIES function (injected synthetic
+            # registries) degrade to whole-module granularity.
+            if n not in QUERIES or QUERIES[n].__name__ in changed
+        }
     if infra_changed:
         graph = _internal_import_graph(root)
         for rmod in registering:
             if _reaches(graph, rmod, infra_changed):
-                out |= {n for n, m in MODULES.items() if m == rmod}
+                out |= {n for n, m in modules.items() if m == rmod}
     return out
 
 

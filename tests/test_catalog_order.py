@@ -165,3 +165,34 @@ def test_staleness_outranks_touched_within_order(monkeypatch):
         greens=greens, touched={"touched_new"}
     )
     assert order == ["never", "stale_old", "touched_new", "plain_new"]
+
+
+def test_infra_change_marks_dependent_entries_touched_end_to_end(tmp_path):
+    """ADVICE r05 end-to-end: in a synthetic repo, editing a module that
+    registers nothing (infra) marks touched the entries of the registering
+    module that imports it — and leaves unrelated modules alone."""
+    import subprocess
+
+    def git(*a):
+        subprocess.run(["git", *a], cwd=tmp_path, check=True, capture_output=True)
+
+    pkg = tmp_path / "spark_states_spark"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    (pkg / "infra.py").write_text("def helper():\n    return 1\n")
+    (pkg / "ops.py").write_text(
+        "from .infra import helper\n\ndef q_uses_infra():\n    return helper()\n"
+    )
+    (pkg / "other.py").write_text("def q_other():\n    return 2\n")
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    git("add", "-A")
+    git("commit", "-q", "-m", "round 0: base")
+    (pkg / "infra.py").write_text("def helper():\n    return 99\n")
+    modules = {
+        "e_infra_dep": "spark_states_spark.ops",
+        "e_unrelated": "spark_states_spark.other",
+    }
+    touched = catalog.touched_entries(str(tmp_path), modules=modules)
+    assert touched == {"e_infra_dep"}
