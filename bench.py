@@ -197,9 +197,23 @@ def run_query(spark, name: str, sf_dir: str, n_runs: int = 3) -> float:
     on untouched queries was machine noise, not code (VERDICT r02).
     """
     best = float("inf")
-    for _ in range(n_runs):
+    for i in range(n_runs):
         spark.catalog.clearCache()
         _unload_state_providers(spark)
+        if i > 0:
+            # Re-runs must re-pay shared-drain memos (the funnel pair's
+            # one-ingest-two-readers cache) or best-of-N degenerates to
+            # timing a groupBy over an already-materialized sink. Run 1
+            # keeps any memo state so SINGLE-run entries still measure the
+            # intended cross-entry sharing (the official full-bench mode).
+            try:
+                from spark_states_spark.streaming.queries import (
+                    _FUNNEL_DRAIN_MEMO,
+                )
+
+                _FUNNEL_DRAIN_MEMO.clear()
+            except Exception:
+                pass
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

@@ -98,9 +98,9 @@ from .operators import skyline  # noqa: E402,F401
 # authoritative correctness gate stays local and order-independent: every
 # oracle entry is verified against DuckDB each test run (tests/test_oracle.py)
 # regardless of sampling order. Shared-infra changes (functions/skew.py,
-# sources/tables.py, session.py, streaming/runner.py, …) propagate to
-# dependent entries through the package's computed import graph
-# (ADVICE r05 — see touched_entries).
+# sources/tables.py, streaming/runner.py, …) propagate to dependent entries
+# through the package's computed import graph (ADVICE r05 — see
+# touched_entries, including its session.py caveat).
 # Run ``python -m spark_states_spark.catalog`` to print the freshness table
 # (written to VERIFY_ORDER.md per round).
 
@@ -333,13 +333,21 @@ def touched_entries(
     driver's 50-entry sampling window with freshly-verified neighbors).
 
     Shared-infra propagation (ADVICE r05): a changed package module that
-    registers NO entries itself (runner.py, sources/tables.py, session.py,
-    windows.py, …) marks touched every entry of every registering module
-    that transitively imports it — computed from the package's own import
+    registers NO entries itself (runner.py, sources/tables.py, windows.py,
+    …) marks touched every entry of every registering module that
+    transitively imports it — computed from the package's own import
     graph, not a hand-maintained list, so new infra files are covered the
     day they appear. This is deliberately module-coarse on the registering
     side: an infra change can alter behavior through any call path, and
     under-marking starves the driver's re-verification sampling.
+
+    Known limit: a changed module NO registering module imports
+    (session.py is the real case — entries receive their session from the
+    caller and self-apply confs, so no entry module imports it) marks
+    nothing touched. That is correct for driver-checked behavior (the
+    driver builds its own session; session.py defaults never reach it)
+    but means bench/scalecheck-only harness changes rely on their own
+    artifacts, not the sampling window, to surface regressions.
 
     Falls back to whole-module granularity when the hunk analysis can't
     run, and to the empty set on any git failure; regression safety does
@@ -366,6 +374,12 @@ def touched_entries(
         if not f.endswith(".py"):
             continue
         mod = f[:-3].replace("/", ".")
+        # Normalize package __init__ files to the package's module name —
+        # the import graph keys packages that way, so an un-normalized
+        # 'pkg.__init__' in infra_changed would never match any graph edge
+        # and a re-export-hub edit would silently mark nothing touched.
+        if mod.endswith(".__init__"):
+            mod = mod[: -len(".__init__")]
         entries = {n for n, m in modules.items() if m == mod}
         if not entries:
             # THIS module (the registry/ordering itself) carries no query

@@ -2001,8 +2001,11 @@ def _funnel_drained(spark: SparkSession, sf_dir: str):
     from ..sources.tables import _source_identity, table_path
     from .runner import auto_checkpoint_dir
 
+    # applicationId, not id(sparkContext): CPython recycles object ids
+    # after GC, so a new session could get a false hit and receive a dead
+    # session's sink DataFrame; applicationId is unique per context.
     key = (
-        id(spark.sparkContext),
+        spark.sparkContext.applicationId,
         _os.path.abspath(sf_dir),
         _source_identity(table_path(sf_dir, "events")),
     )
@@ -2060,7 +2063,6 @@ def _assert_event_id_ts_monotone(
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
-    us_eid = ev.select(F.unix_micros("ts").alias("us"), "event_id")
     if scope == "within_second":
         w = Window.partitionBy(F.unix_timestamp("ts")).orderBy("event_id")
         bad = (
@@ -2070,6 +2072,7 @@ def _assert_event_id_ts_monotone(
             .count()
         )
     else:
+        us_eid = ev.select(F.unix_micros("ts").alias("us"), "event_id")
         # Global monotonicity WITHOUT a global-order window (which would be
         # one task over the whole fixture): bucket event_id into contiguous
         # ranges, check (1) monotone within each bucket — a partitioned,

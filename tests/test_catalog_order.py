@@ -196,3 +196,34 @@ def test_infra_change_marks_dependent_entries_touched_end_to_end(tmp_path):
     }
     touched = catalog.touched_entries(str(tmp_path), modules=modules)
     assert touched == {"e_infra_dep"}
+
+
+def test_package_init_edit_propagates_like_infra(tmp_path):
+    """A package __init__ re-export hub registers nothing but is imported
+    by registering modules ('from .sub import x' via the package): editing
+    it must mark importers' entries touched — the module name needs
+    __init__-normalization to match the import graph's package keys."""
+    import subprocess
+
+    def git(*a):
+        subprocess.run(["git", *a], cwd=tmp_path, check=True, capture_output=True)
+
+    pkg = tmp_path / "spark_states_spark"
+    sub = pkg / "sub"
+    sub.mkdir(parents=True)
+    (pkg / "__init__.py").write_text("")
+    (sub / "__init__.py").write_text("from .impl import helper\n")
+    (sub / "impl.py").write_text("def helper():\n    return 1\n")
+    (pkg / "ops.py").write_text(
+        "from .sub import helper\n\ndef q():\n    return helper()\n"
+    )
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    git("add", "-A")
+    git("commit", "-q", "-m", "round 0: base")
+    (sub / "__init__.py").write_text(
+        "from .impl import helper as _h\n\ndef helper():\n    return _h() + 1\n"
+    )
+    modules = {"e_dep": "spark_states_spark.ops"}
+    assert catalog.touched_entries(str(tmp_path), modules=modules) == {"e_dep"}
