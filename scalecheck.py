@@ -37,23 +37,31 @@ def main() -> int:
     from bench import _unload_state_providers
 
     entry_s: dict[str, float] = {}
+    entry_spark_s: dict[str, float] = {}
     for i, name in enumerate(sorted(ORACLES), 1):
         # Same provider hygiene as bench.py: without it the ~40 streaming
         # entries leave hundreds of RocksDB maintenance threads competing
         # with the rest of the sweep.
         _unload_state_providers(spark)
         te = time.perf_counter()
+        tm: dict[str, float] = {}
         try:
-            problems = compare(QUERIES[name](spark, SF_DIR), con, ORACLES[name])
+            problems = compare(
+                QUERIES[name](spark, SF_DIR), con, ORACLES[name], timings=tm
+            )
             if problems:
                 failures[name] = "; ".join(problems)
         except Exception as exc:  # noqa: BLE001 — record, keep sweeping
             failures[name] = f"error: {exc}"
-        # Coarse per-entry wall seconds (VERDICT r05 #7): Spark execution +
-        # collect + the DuckDB oracle together — NOT comparable to bench.py's
-        # best-of-N noop-sink numbers, but a free round-over-round regression
-        # series for the ~70 catalog entries outside the bench headline set.
+        # Coarse per-entry wall seconds (VERDICT r05 #7): total includes the
+        # DuckDB oracle (which dominates entries with expensive oracles,
+        # e.g. recursive-CTE connected components); spark_s isolates the
+        # plan-build + collect side — the engine's own regression series
+        # for the ~70 catalog entries outside the bench headline set. NOT
+        # comparable to bench.py's best-of-N noop-sink numbers.
         entry_s[name] = round(time.perf_counter() - te, 2)
+        if "spark_s" in tm:
+            entry_spark_s[name] = round(tm["spark_s"], 2)
         status = "FAIL" if name in failures else "ok"
         print(f"[{i}/{len(ORACLES)}] {name}: {status} {entry_s[name]}s", flush=True)
     result = {
@@ -63,6 +71,7 @@ def main() -> int:
         "failures": failures,
         "elapsed_s": round(time.time() - t0, 1),
         "entry_wall_s_incl_oracle": dict(sorted(entry_s.items())),
+        "entry_spark_s": dict(sorted(entry_spark_s.items())),
     }
     out = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),

@@ -79,16 +79,33 @@ def _driver_fidelity_problems(spark_df, ora_pdf) -> list[str]:
     return problems
 
 
-def compare(spark_df, con, oracle_sql: str) -> list[str]:
-    """Return a list of mismatch descriptions (empty == pass)."""
+def compare(
+    spark_df, con, oracle_sql: str, timings: dict | None = None
+) -> list[str]:
+    """Return a list of mismatch descriptions (empty == pass).
+
+    ``timings``, if given, receives ``spark_s`` (the Spark collect) and
+    ``oracle_s`` (both DuckDB executions — the value fetch and the
+    driver-fidelity pandas materialization) so callers recording wall
+    seconds can attribute them without re-running anything.
+    """
+    import time as _time
+
     problems: list[str] = []
+    t0 = _time.perf_counter()
     sp_rows = [tuple(r) for r in spark_df.collect()]
+    if timings is not None:
+        timings["spark_s"] = _time.perf_counter() - t0
     sp_cols = list(spark_df.columns)
+    t0 = _time.perf_counter()
     res = con.execute(oracle_sql)
     ora_cols = [d[0] for d in res.description]
     ora_rows = [tuple(r) for r in res.fetchall()]
     # Driver-fidelity pre-checks (pandas materialization of the oracle).
-    problems.extend(_driver_fidelity_problems(spark_df, con.execute(oracle_sql).df()))
+    ora_pdf = con.execute(oracle_sql).df()
+    if timings is not None:
+        timings["oracle_s"] = _time.perf_counter() - t0
+    problems.extend(_driver_fidelity_problems(spark_df, ora_pdf))
 
     if sorted(sp_cols) != sorted(ora_cols):
         problems.append(f"columns differ: spark={sorted(sp_cols)} oracle={sorted(ora_cols)}")
