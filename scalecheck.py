@@ -46,9 +46,14 @@ def main() -> int:
         te = time.perf_counter()
         tm: dict[str, float] = {}
         try:
-            problems = compare(
-                QUERIES[name](spark, SF_DIR), con, ORACLES[name], timings=tm
-            )
+            # Build timed separately from compare's collect: iterative
+            # entries (connected components' pointer jumping) execute
+            # EAGERLY inside the build call via localCheckpoint, so the
+            # Spark share must include it, not just the final collect.
+            df = QUERIES[name](spark, SF_DIR)
+            tm["spark_s"] = time.perf_counter() - te
+            # compare() ACCUMULATES its collect time into spark_s.
+            problems = compare(df, con, ORACLES[name], timings=tm)
             if problems:
                 failures[name] = "; ".join(problems)
         except Exception as exc:  # noqa: BLE001 — record, keep sweeping

@@ -84,10 +84,12 @@ def compare(
 ) -> list[str]:
     """Return a list of mismatch descriptions (empty == pass).
 
-    ``timings``, if given, receives ``spark_s`` (the Spark collect) and
-    ``oracle_s`` (both DuckDB executions — the value fetch and the
-    driver-fidelity pandas materialization) so callers recording wall
-    seconds can attribute them without re-running anything.
+    ``timings``, if given, ACCUMULATES ``spark_s`` (the Spark collect —
+    added to any build time the caller pre-seeded, since eager entries
+    execute inside the query-build call) and sets ``oracle_s`` (both
+    DuckDB executions — the value fetch and the driver-fidelity pandas
+    materialization) so callers recording wall seconds can attribute
+    them without re-running anything.
     """
     import time as _time
 
@@ -95,7 +97,9 @@ def compare(
     t0 = _time.perf_counter()
     sp_rows = [tuple(r) for r in spark_df.collect()]
     if timings is not None:
-        timings["spark_s"] = _time.perf_counter() - t0
+        timings["spark_s"] = timings.get("spark_s", 0.0) + (
+            _time.perf_counter() - t0
+        )
     sp_cols = list(spark_df.columns)
     t0 = _time.perf_counter()
     res = con.execute(oracle_sql)
