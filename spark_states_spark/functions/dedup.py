@@ -268,24 +268,46 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint per doc + cluster size (identical = near-dup).
 
-    Linear cost: one pass, no pair join — the scale-path complement of
-    MinHash-LSH for high-similarity detection.
+    Linear cost, no pair join — the scale-path complement of MinHash-LSH
+    for high-similarity detection.
+
+    Formulation (r06, 10× at sf0.1): bit b of the fingerprint is set iff
+    the ±1 majority vote over token-hash bits is ≥ 0, i.e. iff
+    2·(count of tokens with bit b set) ≥ n_tokens — so instead of the
+    doubly-nested higher-order ``aggregate`` (32 interpreted lambda passes
+    over every token array; 8.8 s at sf0.1), explode the hashed tokens and
+    take 32 codegen'd conditional sums + a count in ONE whole-stage-codegen
+    aggregation (0.9 s, bit-identical). 100 TB shape: explode feeds
+    map-side partial aggregation, so the shuffle carries one 33-long row
+    per doc per map partition, not the exploded tokens.
     """
+    from functools import reduce as _reduce
+
     d = load_table(spark, sf_dir, "documents")
     toks = SPARK_TOKS.format(col="text")
     th = f"transform(toks, t -> {spark_h32('t')})"
-    sim = (
-        "aggregate(sequence(0, 31), 0L, (acc, b) -> acc + "
-        "CASE WHEN aggregate(th, 0L, (a2, h) -> a2 + "
-        "CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1L ELSE -1L END) >= 0 "
-        "THEN shiftleft(1L, b) ELSE 0L END)"
-    )
-    return (
+    ex = (
         d.selectExpr("doc_id", f"{toks} AS toks")
         .filter(F.expr("size(toks) > 0"))
-        .selectExpr("doc_id", f"{th} AS th")
-        .selectExpr("doc_id", f"{sim} AS simhash")
-        .withColumn("cluster_size", F.count("*").over(W.partitionBy("simhash")))
+        .selectExpr("doc_id", f"explode({th}) AS h")
+    )
+    agg = ex.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+            for b in range(32)
+        ],
+    )
+    simhash = _reduce(
+        lambda a, b: a + b,
+        [
+            F.when(F.col(f"c{b}") * 2 >= F.col("n"), F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for b in range(32)
+        ],
+    )
+    return agg.select("doc_id", simhash.alias("simhash")).withColumn(
+        "cluster_size", F.count("*").over(W.partitionBy("simhash"))
     )
 
 
