@@ -408,6 +408,18 @@ def touched_entries(
     return out
 
 
+# The driver samples roughly the first WINDOW rows; TOUCHED_QUOTA of those
+# slots are reserved for code-touched entries that staleness alone would
+# leave outside the window (ADVICE r06: with touched demoted to a pure
+# tie-break, an entry whose behavior changed this round but was green in the
+# newest verdict round could sit outside the external sample for several
+# rounds). The quota is bounded so an infra-wide touch (which can mark 50+
+# entries) still can't crowd the window — at most TOUCHED_QUOTA stale
+# entries are displaced, and only by the MOST-STALE touched outsiders.
+_DRIVER_WINDOW = 50
+_TOUCHED_QUOTA = 5
+
+
 def verification_order(
     greens: dict[str, int] | None = None,
     touched: set[str] | None = None,
@@ -442,7 +454,20 @@ def verification_order(
             return (0, 0, 0, idx)  # never externally green
         return (1, greens[name], 0 if name in touched else 1, idx)
 
-    return [n for _, n in sorted(enumerate(QUERIES), key=rank)]
+    order = [n for _, n in sorted(enumerate(QUERIES), key=rank)]
+    # Bounded touched-entry quota (see _TOUCHED_QUOTA note above): promote
+    # up to that many code-touched entries from outside the driver window
+    # into its tail, displacing the window's LEAST-stale rows. Promotions
+    # keep their own staleness order; displaced rows slide just past the
+    # window so they lead the next round's candidates.
+    window, rest = order[:_DRIVER_WINDOW], order[_DRIVER_WINDOW:]
+    promoted = [n for n in rest if n in touched][:_TOUCHED_QUOTA]
+    if promoted:
+        k = len(promoted)
+        displaced = window[-k:]
+        window = window[:-k] + promoted
+        rest = displaced + [n for n in rest if n not in set(promoted)]
+    return window + rest
 
 
 def ordered_queries() -> dict[str, QueryFn]:

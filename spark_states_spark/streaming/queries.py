@@ -2026,6 +2026,23 @@ def _funnel_drained(spark: SparkSession, sf_dir: str):
     return sink, ckpt
 
 
+# Shared-drain memo registry: memo tag -> (memo dict, the entries that read
+# it). bench.py's best-of-N uses this to clear a memo on RE-RUNS only of a
+# PARTICIPATING entry (so a shared-drain entry re-pays its own ingest
+# instead of timing a read of an already-materialized sink), while leaving
+# it intact across other entries' re-runs — clearing on every entry made
+# the pair's series order-dependent: whichever intervening CORE entry ran
+# best-of-3 between the pair wiped the memo, so the second reader always
+# re-paid a full drain (ADVICE r06, contradicting BASELINE.md's documented
+# one-ingest-two-readers accounting).
+SHARED_DRAIN_MEMOS: dict[str, tuple[dict, frozenset]] = {
+    "funnel": (
+        _FUNNEL_DRAIN_MEMO,
+        frozenset({"streaming_funnel_stages", "funnel_state_scan"}),
+    ),
+}
+
+
 _SEQ_ORDER_CHECKED: set = set()
 
 
@@ -2079,8 +2096,11 @@ def _assert_event_id_ts_monotone(
         # fully parallel window — and (2) bucket summaries don't overlap:
         # max(us) of bucket b ≤ min(us) of bucket b+1, a window over one
         # tiny aggregated row per bucket. (1) ∧ (2) ⟺ global monotone,
-        # since event_id buckets are contiguous ranges.
-        bucket = (F.col("event_id") / F.lit(65536)).cast("long")
+        # since event_id buckets are contiguous ranges. Arithmetic shift =
+        # exact floor division by 2^16 in long arithmetic for EVERY int64
+        # (ADVICE r06: the old double division lost exactness past 2^53,
+        # where a boundary id could land in the wrong bucket).
+        bucket = F.shiftright(F.col("event_id"), 16)
         b = us_eid.withColumn("bucket", bucket)
         w_in = Window.partitionBy("bucket").orderBy("event_id")
         bad_within = (

@@ -55,27 +55,38 @@ def owner_pid(dirname: str) -> int | None:
     return int(m.group(1)) if m else None
 
 
-def sweep_stale_dirs(parent: str, mtime_cutoff_s: float = 6 * 3600) -> None:
+def sweep_stale_dirs(
+    parent: str,
+    mtime_cutoff_s: float = 6 * 3600,
+    live_owner_cutoff_s: float = 7 * 24 * 3600,
+) -> None:
     """Remove sibling dirs under ``parent`` owned by dead processes.
 
     PID-tagged dirs are removed as soon as their owner is gone; untagged
-    (legacy / foreign) dirs only when older than ``mtime_cutoff_s``. Live
-    owners are always skipped, however old the dir.
+    (legacy / foreign) dirs only when older than ``mtime_cutoff_s``. A dir
+    whose owner LOOKS alive still falls to a generous secondary cutoff
+    (``live_owner_cutoff_s``): the PID probe can't distinguish a recycled
+    PID (or a foreign process seen through a shared /tmp across PID
+    namespaces) from the real owner, so without it a dead session's
+    checkpoint could leak forever (ADVICE r06). A week is far beyond any
+    real session here (the dir mtime is its creation time — rounds run
+    hours), so the secondary cutoff only ever reaps recycled-PID leaks.
     """
     try:
         entries = os.listdir(parent)
     except OSError:
         return
-    cutoff = time.time() - mtime_cutoff_s
+    now = time.time()
+    cutoff = now - mtime_cutoff_s
+    live_cutoff = now - live_owner_cutoff_s
     for d in entries:
         path = os.path.join(parent, d)
         pid = owner_pid(d)
-        if pid is not None:
-            if not pid_alive(pid):
-                shutil.rmtree(path, ignore_errors=True)
-            continue
         try:
-            if os.path.getmtime(path) < cutoff:
+            if pid is not None:
+                if not pid_alive(pid) or os.path.getmtime(path) < live_cutoff:
+                    shutil.rmtree(path, ignore_errors=True)
+            elif os.path.getmtime(path) < cutoff:
                 shutil.rmtree(path, ignore_errors=True)
         except OSError:
             pass

@@ -167,6 +167,44 @@ def test_staleness_outranks_touched_within_order(monkeypatch):
     assert order == ["never", "stale_old", "touched_new", "plain_new"]
 
 
+def test_touched_quota_promotes_into_window_tail(monkeypatch):
+    """ADVICE r06: a code-touched entry that staleness alone would leave
+    outside the driver window gets one of the bounded reserved tail slots;
+    displaced fresh entries slide to just past the window, and no more than
+    the quota of stale rows is ever displaced."""
+    monkeypatch.setattr(catalog, "_DRIVER_WINDOW", 4)
+    monkeypatch.setattr(catalog, "_TOUCHED_QUOTA", 2)
+    # 6 green entries: rounds 1..6; touched = the two freshest (rounds 5, 6),
+    # which staleness-first would rank LAST (outside the 4-slot window).
+    greens = {f"e{r}": r for r in range(1, 7)}
+    monkeypatch.setattr(
+        catalog, "QUERIES", {f"e{r}": None for r in range(1, 7)}
+    )
+    order = catalog.verification_order(
+        greens=greens, touched={"e5", "e6"}
+    )
+    # Window: two most-stale keep their slots, then the promoted touched
+    # pair (own staleness order); displaced e3/e4 lead the remainder.
+    assert order == ["e1", "e2", "e5", "e6", "e3", "e4"]
+
+
+def test_touched_quota_is_bounded(monkeypatch):
+    """An infra-wide touch marking every fresh entry must displace at most
+    _TOUCHED_QUOTA stale rows from the window."""
+    monkeypatch.setattr(catalog, "_DRIVER_WINDOW", 4)
+    monkeypatch.setattr(catalog, "_TOUCHED_QUOTA", 1)
+    greens = {f"e{r}": r for r in range(1, 9)}
+    monkeypatch.setattr(
+        catalog, "QUERIES", {f"e{r}": None for r in range(1, 9)}
+    )
+    order = catalog.verification_order(
+        greens=greens, touched={"e5", "e6", "e7", "e8"}
+    )
+    # Only ONE slot is ceded (e4 -> e5); the rest of the stale tail holds.
+    assert order[:4] == ["e1", "e2", "e3", "e5"]
+    assert order[4] == "e4"
+
+
 def test_infra_change_marks_dependent_entries_touched_end_to_end(tmp_path):
     """ADVICE r05 end-to-end: in a synthetic repo, editing a module that
     registers nothing (infra) marks touched the entries of the registering

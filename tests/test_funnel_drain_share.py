@@ -35,6 +35,27 @@ def test_memo_key_carries_fixture_content_identity(spark, sf_dir_small):
     assert key[2] == _source_identity(table_path(sf_dir_small, "events"))
 
 
+def test_bench_memo_clear_scoped_to_participating_entries():
+    """ADVICE r06: bench best-of-N re-runs must clear a shared-drain memo
+    only for entries that READ it — an intervening entry's re-runs wiping
+    the funnel memo made the pair's series order-dependent (the second
+    reader re-paid a full drain instead of the documented checkpoint
+    read)."""
+    import bench
+
+    sq._FUNNEL_DRAIN_MEMO["sentinel"] = ("sink", "ckpt")
+    bench._clear_entry_memos("q1_pricing_summary")  # non-participant
+    assert sq._FUNNEL_DRAIN_MEMO, "non-participant re-run wiped the memo"
+    bench._clear_entry_memos("funnel_state_scan")  # participant
+    assert not sq._FUNNEL_DRAIN_MEMO
+
+
+def test_registry_lists_both_funnel_entries():
+    memo, entries = sq.SHARED_DRAIN_MEMOS["funnel"]
+    assert memo is sq._FUNNEL_DRAIN_MEMO
+    assert {"streaming_funnel_stages", "funnel_state_scan"} <= set(entries)
+
+
 def test_both_entries_describe_one_pipeline(spark, sf_dir_small):
     """stage counts derived from the sink must agree with the state scan's
     records: n_users at stage s == number of state rows with slot s set."""

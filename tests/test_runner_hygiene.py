@@ -17,11 +17,21 @@ def _mk(parent, name, age_s=0.0):
     return d
 
 
-def test_sweep_keeps_live_pid_dirs_however_old(tmp_path):
+def test_sweep_keeps_live_pid_dirs_past_untagged_cutoff(tmp_path):
     parent = str(tmp_path)
     live = _mk(parent, f"ckpt_x_pid{os.getpid()}_abc", age_s=10 * 3600)
     runner.sweep_stale_dirs(parent)
     assert os.path.isdir(live)
+
+
+def test_sweep_reaps_live_pid_dirs_past_secondary_cutoff(tmp_path):
+    """ADVICE r06: a recycled PID (or a foreign process through a shared
+    /tmp) must not keep a dead session's checkpoint forever — live-looking
+    owners still fall to a generous week-scale mtime cutoff."""
+    parent = str(tmp_path)
+    ancient = _mk(parent, f"ckpt_x_pid{os.getpid()}_abc", age_s=8 * 24 * 3600)
+    runner.sweep_stale_dirs(parent)
+    assert not os.path.exists(ancient)
 
 
 def test_sweep_removes_dead_pid_dirs_immediately(tmp_path):
