@@ -8,13 +8,23 @@ Usage: python scalecheck.py [round_number]   (writes SCALECHECK_r{NN}.json)
 
 Same compare as tests/test_oracle.py::test_oracle_differential_sf01 — this
 script exists so the gate leaves a per-round artifact instead of only a
-transient pytest pass.
+transient pytest pass. Two side artifacts (VERDICT r06 #5-6):
+
+- the per-entry ``entry_spark_s`` series is diffed against the previous
+  round's artifact and >2× regressions are WARNED (never failed — wall
+  seconds on a shared box are advisory; correctness rows are the gate);
+- PARITY.md's scale-up paragraph is regenerated from the artifact at write
+  time, between PARITY_MARK markers, so the doc cannot cite a stale round
+  (two consecutive rounds of that staleness class — VERDICT r05 #5/r06 #1).
 """
 
 from __future__ import annotations
 
+import datetime
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -25,6 +35,98 @@ from spark_states_spark.session import build_session  # noqa: E402
 from tests.oracle_utils import compare, duckdb_con  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SCALECHECK_DIR", "/root/testdata/sf0.1")
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+PARITY_MARK = ("<!-- scalecheck:begin -->", "<!-- scalecheck:end -->")
+# Per-entry regression floor: below this many Spark seconds, a 2× swing is
+# scheduler noise, not a plan change.
+_REGRESSION_FLOOR_S = 0.5
+_REGRESSION_RATIO = 2.0
+
+
+def previous_artifact(rnd: int, root: str = _ROOT) -> dict | None:
+    """The newest SCALECHECK_r{M}.json with M < rnd (None if none)."""
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(root, "SCALECHECK_r*.json")):
+        m = re.search(r"SCALECHECK_r(\d+)\.json$", p)
+        if m and (rnd <= 0 or int(m.group(1)) < rnd):
+            if best is None or int(m.group(1)) > best[0]:
+                best = (int(m.group(1)), p)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as fh:
+            data = json.load(fh)
+        data["_round"] = best[0]
+        return data
+    except (OSError, ValueError):
+        return None
+
+
+def spark_regressions(
+    current: dict[str, float], prev: dict | None
+) -> list[dict]:
+    """Entries whose Spark share grew >2× vs the previous artifact (both
+    sides above the noise floor check on the CURRENT side)."""
+    if not prev:
+        return []
+    prev_s = prev.get("entry_spark_s", {})
+    out = []
+    for name, cur in sorted(current.items()):
+        old = prev_s.get(name)
+        if (
+            old is not None
+            and cur >= _REGRESSION_FLOOR_S
+            and old > 0
+            and cur / old > _REGRESSION_RATIO
+        ):
+            out.append(
+                {"entry": name, "prev_s": old, "now_s": cur,
+                 "ratio": round(cur / old, 2)}
+            )
+    return sorted(out, key=lambda r: -r["ratio"])
+
+
+def parity_paragraph(result: dict, rnd: int) -> str:
+    """The PARITY.md scale-up note, generated from the artifact it cites."""
+    today = datetime.date.today().isoformat()
+    status = (
+        "all green" if not result["failures"]
+        else f"{len(result['failures'])} FAILURES"
+    )
+    return (
+        "Scale-up differential: beyond the driver's sf0.01 gate, the ENTIRE "
+        f"catalog\n({result['n_entries']} entries — every oracle-paired "
+        "entry plus the rows-only stateful\nlifecycles) was "
+        "value-hash-verified against DuckDB at **sf0.1** — 10× the\n"
+        f"correctness scale — {status} (`SCALECHECK_r{rnd:02d}.json`, "
+        f"{today}, {result['elapsed_s']:,.0f} s\non local[32]); repeatable "
+        "via `python scalecheck.py` or\n"
+        "`SPARK_GRAFT_SF01_DIFF=1 python -m pytest tests/test_oracle.py -k sf01`."
+    )
+
+
+def refresh_parity_note(result: dict, rnd: int, root: str = _ROOT) -> bool:
+    """Rewrite PARITY.md's marker-delimited scale-up paragraph in place.
+
+    Returns True if the file was updated; False (best-effort, never raises)
+    when the file or markers are missing — the artifact is the ground truth
+    either way."""
+    path = os.path.join(root, "PARITY.md")
+    try:
+        with open(path) as fh:
+            text = fh.read()
+    except OSError:
+        return False
+    begin, end = PARITY_MARK
+    if begin not in text or end not in text:
+        return False
+    head, rest = text.split(begin, 1)
+    _, tail = rest.split(end, 1)
+    new = f"{head}{begin}\n{parity_paragraph(result, rnd)}\n{end}{tail}"
+    if new != text:
+        with open(path, "w") as fh:
+            fh.write(new)
+    return True
 
 
 def main() -> int:
@@ -59,16 +161,17 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — record, keep sweeping
             failures[name] = f"error: {exc}"
         # Coarse per-entry wall seconds (VERDICT r05 #7): total includes the
-        # DuckDB oracle (which dominates entries with expensive oracles,
-        # e.g. recursive-CTE connected components); spark_s isolates the
-        # plan-build + collect side — the engine's own regression series
-        # for the ~70 catalog entries outside the bench headline set. NOT
-        # comparable to bench.py's best-of-N noop-sink numbers.
+        # DuckDB oracle; spark_s isolates the plan-build + collect side —
+        # the engine's own regression series for the ~70 catalog entries
+        # outside the bench headline set. NOT comparable to bench.py's
+        # best-of-N noop-sink numbers.
         entry_s[name] = round(time.perf_counter() - te, 2)
         if "spark_s" in tm:
             entry_spark_s[name] = round(tm["spark_s"], 2)
         status = "FAIL" if name in failures else "ok"
         print(f"[{i}/{len(ORACLES)}] {name}: {status} {entry_s[name]}s", flush=True)
+    prev = previous_artifact(rnd)
+    regressions = spark_regressions(entry_spark_s, prev)
     result = {
         "sf_dir": SF_DIR,
         "n_entries": len(ORACLES),
@@ -77,16 +180,31 @@ def main() -> int:
         "elapsed_s": round(time.time() - t0, 1),
         "entry_wall_s_incl_oracle": dict(sorted(entry_s.items())),
         "entry_spark_s": dict(sorted(entry_spark_s.items())),
+        # Round-over-round Spark-seconds tripwire (VERDICT r06 #6): >2×
+        # per-entry growth vs the previous artifact, WARN-only.
+        "spark_regressions_vs_prev": regressions,
+        "prev_round": prev.get("_round") if prev else None,
     }
     out = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        f"SCALECHECK_r{rnd:02d}.json" if rnd else "SCALECHECK.json",
+        _ROOT, f"SCALECHECK_r{rnd:02d}.json" if rnd else "SCALECHECK.json"
     )
     with open(out, "w") as fh:
         json.dump(result, fh, indent=1)
     con.close()
     spark.stop()
-    print(json.dumps({k: v for k, v in result.items() if k != "failures"}))
+    if regressions:
+        print(f"WARN: {len(regressions)} entries regressed >2x vs "
+              f"r{prev['_round']:02d} (spark seconds):")
+        print(f"{'entry':45s} {'prev_s':>8s} {'now_s':>8s} {'ratio':>6s}")
+        for r in regressions:
+            print(f"{r['entry']:45s} {r['prev_s']:8.2f} {r['now_s']:8.2f} "
+                  f"{r['ratio']:6.2f}")
+    if rnd and refresh_parity_note(result, rnd):
+        print("refreshed PARITY.md scale-up note")
+    print(json.dumps({
+        k: v for k, v in result.items()
+        if k not in ("failures", "entry_wall_s_incl_oracle", "entry_spark_s")
+    }))
     print(f"wrote {out}; failures: {sorted(failures)}")
     return 1 if failures else 0
 

@@ -113,6 +113,50 @@ def duck_minhash_sig(shingle_hashes: str, n_perm: int) -> str:
     )
 
 
+def duck_minhash_cte(
+    n_perm: int, n_bands: int, rows_per_band: int, shingle_k: int
+) -> str:
+    """Shared DuckDB CTE chain ``tok → sh → hs → sig → bands`` over the
+    ``documents`` view — the oracle twin of the explode-then-min Spark
+    shape (functions/dedup.py::_minhash_sig_df).
+
+    Deliberately row-oriented, NOT per-row list comprehensions: DuckDB 1.0
+    inlines non-recursive CTEs at every reference, so an oracle that
+    references ``sig``/``bands`` several times re-runs the whole chain —
+    the comprehension form cost ~17 s per reference at sf0.1 (135 s for
+    the pairs oracle, ~400 s under each connected-components closure);
+    this vectorized form costs ~0.7 s per reference with bit-identical
+    output (VERDICT r06 #1). Empty-token docs drop at the unnest (an
+    empty list yields no rows), matching the old ``len(sh) > 0`` filter;
+    duplicate shingles need no dedup — ``min`` is duplicate-insensitive.
+    """
+    toks = DUCK_TOKS.format(col="text")
+    mins = ", ".join(
+        f"min(({PERM_A[j]} * h + {PERM_B[j]}) % {MINHASH_P}) AS m{j}"
+        for j in range(n_perm)
+    )
+    sig_arr = "[" + ", ".join(f"m{j}" for j in range(n_perm)) + "]"
+    return f"""
+    tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, unnest([array_to_string(toks[i + 1 : i + {shingle_k}], ' ')
+                             for i in range(greatest(len(toks) - {shingle_k - 1}, 0))]) AS s
+      FROM tok
+    ),
+    hs AS (SELECT doc_id, {duck_h32('s')} AS h FROM sh),
+    sig AS (
+      SELECT doc_id, {sig_arr} AS sig
+      FROM (SELECT doc_id, {mins} FROM hs GROUP BY doc_id)
+    ),
+    bands AS (
+      SELECT doc_id, unnest(
+        [md5(b || '|' || array_to_string(
+             sig[b * {rows_per_band} + 1 : b * {rows_per_band} + {rows_per_band}],
+             ',')) for b in range({n_bands})]) AS bh
+      FROM sig
+    )"""
+
+
 def hyperplane_weights(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-1, 1], from the same
     md5 family — precomputed so query plans carry plain double literals

@@ -304,11 +304,27 @@ def agg_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE aggregation over two dimensions."""
+    """CUBE aggregation over two dimensions.
+
+    Pre-aggregated before the cube (VERDICT r06 #3): ``cube`` plans an
+    Expand that multiplies its input 4× (one copy per grouping set), so
+    cubing the raw fact table replays the whole scan through Expand —
+    the catalog's slowest Spark entry at sf0.1 (4.99 s). Collapsing to
+    one row per (status, priority) pair first (a map-side-combinable
+    groupBy; ~15 rows here, bounded by the dim-value product at any
+    scale) leaves Expand × 4 on the collapsed frame. Decimal sums are
+    associative-exact, so re-aggregating partial sums is bit-identical
+    to the direct cube — at 100 TB this two-level shape is mandatory,
+    not an optimization.
+    """
     o = load_table(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        dsum(dec2("o_totalprice")).alias("total"),
-        F.count("*").alias("n_orders"),
+    pre = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.sum(dec2("o_totalprice")).alias("pre_total"),
+        F.count("*").alias("pre_n"),
+    )
+    return pre.cube("o_orderstatus", "o_orderpriority").agg(
+        F.sum("pre_total").cast("double").alias("total"),
+        F.sum("pre_n").alias("n_orders"),
     )
 
 

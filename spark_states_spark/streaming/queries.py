@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import register
-from ..functions.hashes import DUCK_TOKS, SPARK_TOKS
+from ..functions.hashes import DUCK_TOKS, SPARK_TOKS, duck_minhash_cte
 from ..sources import load_table, read_stream
 from .runner import run_stream_to_table
 from .windows import streaming_hourly_agg
@@ -1328,6 +1328,110 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One wall-clock drain serving both wallclock TTL entries (VERDICT r06 #7,
+# the funnel-pair pattern): the two entries drive the SAME production kernel
+# family (_make_wallclock_kernel) at different TTL bindings — infinite
+# (never arms a timeout) and finite-strict (arms ProcessingTimeTimeout at
+# 1 day) — over the same op stream, so running two full
+# processing-time-trigger drains duplicated pure micro-batch infrastructure
+# (query start/stop, trailing-empty-batch wait, poll latency). The shared
+# drain EXPLODES each op row into two binding-tagged copies ('inf|'/'fin|'
+# key prefixes) and dispatches each key group to its binding's untouched
+# production kernel, so per-(binding, key) lifecycle — fold order, timeout
+# arming, strict read-side expiry — is exactly what a solo drain runs;
+# total kernel invocations are unchanged, only the drain fixed cost is
+# paid once. Memo contract identical to _FUNNEL_DRAIN_MEMO.
+_WALLCLOCK_DRAIN_MEMO: dict = {}
+_WALLCLOCK_BINDINGS = ("inf", "fin")
+
+
+def _wallclock_kv_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain both wall-clock TTL bindings once per (session, fixture
+    generation); returns the combined sink with 'inf|'/'fin|'-prefixed keys.
+    """
+    import os as _os
+
+    from ..config import resolve_ttl
+    from ..sources.tables import _source_identity, table_path
+    from .runner import run_stream_drain_wallclock
+    from .ttl import (
+        WALL_OUTPUT_SCHEMA,
+        WALL_STATE_SCHEMA,
+        GroupStateTimeout,
+        _make_wallclock_kernel,
+    )
+
+    key = (
+        spark.sparkContext.applicationId,
+        _os.path.abspath(sf_dir),
+        _source_identity(table_path(sf_dir, "events")),
+    )
+    hit = _WALLCLOCK_DRAIN_MEMO.get(key)
+    if hit is not None:
+        return hit
+    ttls = {
+        "inf": resolve_ttl({}, "events_kv_wall_inf"),  # default -1
+        "fin": resolve_ttl(
+            {
+                "spark.sql.streaming.stateStore.stateExpirySecs": str(
+                    _WALL_FINITE_TTL_SECS
+                ),
+                "spark.sql.streaming.stateStore.strictExpire": "true",
+            },
+            "events_kv_wall_finite",
+        ),
+    }
+    kernels = {b: _make_wallclock_kernel(t) for b, t in ttls.items()}
+
+    def dual_kernel(key, pdfs, state):
+        # Dispatch on the binding prefix; the row keys already carry it,
+        # so the production kernel's emitted keys stay consistent.
+        yield from kernels[key[0].split("|", 1)[0]](key, pdfs, state)
+
+    ops = _event_kv_ops(spark, sf_dir)
+    tagged = ops.select(
+        F.explode(
+            F.array(*[F.lit(b) for b in _WALLCLOCK_BINDINGS])
+        ).alias("binding"),
+        "key", "op", "value", "ts_s", "seq",
+    ).select(
+        F.concat("binding", F.lit("|"), "key").alias("key"),
+        "op", "value", "ts_s", "seq",
+    )
+    stream = tagged.groupBy("key").applyInPandasWithState(
+        dual_kernel,
+        outputStructType=WALL_OUTPUT_SCHEMA,
+        stateStructType=WALL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    # numInputRows is a SOURCE metric — it counts rows before the
+    # binding-explode doubles them, so the drain target is the raw count.
+    n_rows = load_table(spark, sf_dir, "events").count()
+    out = _with_state_parts(
+        spark,
+        16,
+        lambda: run_stream_drain_wallclock(
+            stream, n_input_rows=n_rows, output_mode="append"
+        ),
+    )
+    _WALLCLOCK_DRAIN_MEMO[key] = out
+    return out
+
+
+def _wallclock_binding_outcomes(
+    spark: SparkSession, sf_dir: str, binding: str
+) -> DataFrame:
+    """One binding's get outcomes from the shared drain, prefix stripped."""
+    out = _wallclock_kv_drained(spark, sf_dir)
+    prefix = binding + "|"
+    return out.filter(F.col("key").startswith(prefix)).select(
+        F.expr(f"substring(key, {len(prefix) + 1})").alias("key"),
+        "found",
+        "value",
+    )
+
+
 @register(
     "keyed_state_wallclock_infinite",
     # The PRODUCTION clock binding (ProcessingTimeTimeout kernel) gets a
@@ -1344,20 +1448,15 @@ def keyed_state_wallclock_infinite(spark: SparkSession, sf_dir: str) -> DataFram
     served iff the latest preceding op for its key in ``seq`` order is a
     put. Finite wall-clock TTLs stay pinned by local clock-controlled
     tests (tests/test_ttl.py), where elapsed real time is observable.
-    """
-    from ..config import resolve_ttl
-    from .runner import run_stream_drain_wallclock
-    from .ttl import ttl_kv_ops_wallclock
 
+    Runs on the shared dual-binding drain (``_wallclock_kv_drained``): the
+    'inf' key groups execute the UNCHANGED infinite-TTL production kernel
+    (never arms a timeout), batch-for-batch what a solo drain runs.
+    """
     _assert_event_id_ts_monotone(spark, sf_dir, scope="global")
-    ttl = resolve_ttl({}, "events_kv_wall_inf")  # default -1 = infinite
-    n_rows = load_table(spark, sf_dir, "events").count()
-    out = run_stream_drain_wallclock(
-        ttl_kv_ops_wallclock(_event_kv_ops(spark, sf_dir), ttl),
-        n_input_rows=n_rows,
-        output_mode="append",
+    return _get_outcome_summary(
+        _wallclock_binding_outcomes(spark, sf_dir, "inf")
     )
-    return _get_outcome_summary(out)
 
 
 # --- TTL bounds oracles (VERDICT r04 #3-4) ----------------------------------
@@ -1563,36 +1662,20 @@ def keyed_state_wallclock_finite_bounds(
     the oracle comment), every get event must surface, and no key may be
     lost. One summary row; violations must be 0. Upgrades PARITY row 19's
     finite wall-clock path from slow local test to driver-pinned.
+
+    Runs on the shared dual-binding drain (``_wallclock_kv_drained``): the
+    'fin' key groups execute the UNCHANGED finite-strict production kernel
+    — ``setTimeoutDuration`` armed at 1 day on every access, strict
+    read-side elapsed check, ``ProcessingTimeTimeout`` conf — exactly the
+    lifecycle a solo drain runs; only the drain's fixed micro-batch
+    infrastructure is shared. 16 state partitions (VERDICT r05 #4): this
+    drain's cost is per-key Python kernel invocations, not data — 16
+    parts beat 4 by parallelizing the kernel calls.
     """
-    from ..config import resolve_ttl
-    from .runner import run_stream_drain_wallclock
-    from .ttl import ttl_kv_ops_wallclock
-
     _assert_event_id_ts_monotone(spark, sf_dir, scope="global")
-
-    conf = {
-        "spark.sql.streaming.stateStore.stateExpirySecs": str(
-            _WALL_FINITE_TTL_SECS
-        ),
-        "spark.sql.streaming.stateStore.strictExpire": "true",
-    }
-    ttl = resolve_ttl(conf, "events_kv_wall_finite")
-    n_rows = load_table(spark, sf_dir, "events").count()
-    # 16 state partitions (VERDICT r05 #4): this drain's cost is per-key
-    # Python kernel invocations, not data — the same key population as the
-    # lazy-bounds entry, where 16 parts beat 4 by parallelizing the kernel
-    # calls (group-skew serialization at 4). Trigger cadence was NOT the
-    # bottleneck (100 ms vs 200 ms moved nothing at sf0.1).
-    out = _with_state_parts(
-        spark,
-        16,
-        lambda: run_stream_drain_wallclock(
-            ttl_kv_ops_wallclock(_event_kv_ops(spark, sf_dir), ttl),
-            n_input_rows=n_rows,
-            output_mode="append",
-        ),
+    wall = _get_outcome_summary(
+        _wallclock_binding_outcomes(spark, sf_dir, "fin")
     )
-    wall = _get_outcome_summary(out)
     fold = _batch_kv_fold_bounds(spark, sf_dir, _WALL_FINITE_TTL_SECS, ["seq"])
     j = wall.join(fold, "key", "full_outer")
     violated = F.coalesce(
@@ -1628,36 +1711,12 @@ def streaming_global_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_minhash_band_dedup",
-    oracle="""
-    WITH tok AS (
-      SELECT doc_id,
-             CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
-                  THEN [] ELSE string_split(trim(regexp_replace(lower(text),
-                       '[^a-z0-9]+', ' ', 'g')), ' ') END AS toks
-      FROM documents
-    ),
-    shingled AS (
-      SELECT doc_id,
-             list_distinct([array_to_string(toks[i + 1 : i + 3], ' ')
-                            for i in range(greatest(len(toks) - 2, 0))]) AS sh
-      FROM tok
-    ),
-    hashed AS (
-      SELECT doc_id, [('0x'||substr(md5(s),1,8))::BIGINT for s in sh] AS shh
-      FROM shingled WHERE len(sh) > 0
-    ),
-    sig AS (
-      SELECT doc_id,
-             [list_min([([91805,79135,395861,882147,756745,377433,1001667,959661,424241,504119,554677,39929,768061,879945,29457,975161][j + 1] * h + [921974,286831,445969,674445,581542,976812,676154,961058,911115,30387,272016,236537,571168,418037,551780,336780][j + 1]) % 4294967311
-                        for h in shh]) for j in range(16)] AS sig
-      FROM hashed
-    ),
-    bands AS (
-      SELECT unnest([md5(b || '|' || array_to_string(
-                 sig[b * 4 + 1 : b * 4 + 4], ',')) for b in range(4)]) AS band_hash
-      FROM sig
-    )
-    SELECT DISTINCT band_hash FROM bands
+    # Shared fast CTE (hashes.py::duck_minhash_cte — same signature family
+    # as the batch dedup oracles; the old inline comprehension form cost
+    # ~33 s at sf0.1, VERDICT r06 #1).
+    oracle=f"""
+    WITH {duck_minhash_cte(16, 4, 4, 3)}
+    SELECT DISTINCT bh AS band_hash FROM bands
     """,
 )
 def streaming_minhash_band_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2039,6 +2098,15 @@ SHARED_DRAIN_MEMOS: dict[str, tuple[dict, frozenset]] = {
     "funnel": (
         _FUNNEL_DRAIN_MEMO,
         frozenset({"streaming_funnel_stages", "funnel_state_scan"}),
+    ),
+    "wallclock_kv": (
+        _WALLCLOCK_DRAIN_MEMO,
+        frozenset(
+            {
+                "keyed_state_wallclock_infinite",
+                "keyed_state_wallclock_finite_bounds",
+            }
+        ),
     ),
 }
 

@@ -56,6 +56,40 @@ def test_registry_lists_both_funnel_entries():
     assert {"streaming_funnel_stages", "funnel_state_scan"} <= set(entries)
 
 
+def test_wallclock_entries_share_one_drain(spark, sf_dir_small):
+    """VERDICT r06 #7: the two wall-clock TTL entries run on ONE dual-
+    binding drain; each binding's production kernel is unchanged, so with
+    ttl >> drain wall time both bindings' per-key outcomes equal the
+    infinite fold — and each other."""
+    sq._WALLCLOCK_DRAIN_MEMO.clear()
+    try:
+        fin = sq.keyed_state_wallclock_finite_bounds(
+            spark, sf_dir_small
+        ).collect()
+        sq.keyed_state_wallclock_infinite(spark, sf_dir_small).collect()
+        assert len(sq._WALLCLOCK_DRAIN_MEMO) == 1, "entries must share a drain"
+        assert fin[0]["n_violation_keys"] == 0
+        # collected compare (exceptAll on two filters of the same memory
+        # sink view trips a Spark self-reference analyzer conflict)
+        a = sorted(
+            map(tuple, sq._wallclock_binding_outcomes(
+                spark, sf_dir_small, "inf").collect())
+        )
+        b = sorted(
+            map(tuple, sq._wallclock_binding_outcomes(
+                spark, sf_dir_small, "fin").collect())
+        )
+        assert a == b and a, "bindings must agree (ttl >> drain wall time)"
+        (memo, entries) = sq.SHARED_DRAIN_MEMOS["wallclock_kv"]
+        assert memo is sq._WALLCLOCK_DRAIN_MEMO
+        assert entries == {
+            "keyed_state_wallclock_infinite",
+            "keyed_state_wallclock_finite_bounds",
+        }
+    finally:
+        sq._WALLCLOCK_DRAIN_MEMO.clear()
+
+
 def test_both_entries_describe_one_pipeline(spark, sf_dir_small):
     """stage counts derived from the sink must agree with the state scan's
     records: n_users at stage s == number of state rows with slot s set."""

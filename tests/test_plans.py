@@ -231,6 +231,23 @@ def test_rollup_cascade_reaggregates_not_rescans(spark, sf_dir):
     assert n_aggs >= 4, f"missing a partial/final pair ({n_aggs} aggs):\n{p}"
 
 
+def test_cube_expands_preaggregated_frame_not_scan(spark, sf_dir):
+    """CUBE's Expand multiplies its input 4× (one copy per grouping set),
+    so it must consume the PRE-AGGREGATED (status, priority) frame, never
+    the raw orders scan (VERDICT r06 #3: cubing the fact table directly
+    was the catalog's slowest Spark entry at sf0.1). In the formatted
+    plan the scan-side HashAggregate pair must sit BELOW Expand."""
+    p = plan(QUERIES["agg_cube_orders"](spark, sf_dir))
+    m = re.search(r"\(\d+\) Expand", p)
+    assert m, f"cube plan lost its Expand:\n{p}"
+    # formatted explain prints the tree leaves-first in the detail section:
+    # the pre-aggregate pair must appear BEFORE (= below) the Expand node.
+    pre = p[: m.start()]
+    assert len(re.findall(r"\(\d+\) HashAggregate", pre)) >= 2, (
+        f"Expand consumes the raw scan — pre-aggregate before cube:\n{p}"
+    )
+
+
 def test_bucketed_join_has_no_join_side_shuffle(spark, sf_dir):
     """The bucketed orders ⋈ lineitem must read both sides' buckets
     co-located: zero Exchange anywhere under the sort-merge join, both

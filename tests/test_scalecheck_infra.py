@@ -1,0 +1,107 @@
+"""scalecheck.py side-machinery (VERDICT r06 #5-6): the round-over-round
+Spark-seconds regression tripwire and the self-refreshing PARITY.md
+scale-up note (two consecutive rounds saw that paragraph cite a stale
+artifact — it is now generated at artifact-write time and pinned here)."""
+
+import json
+import os
+
+import scalecheck
+
+
+def _write_artifact(root, rnd, spark_s, elapsed=100.0, n=168):
+    data = {
+        "sf_dir": "/x",
+        "n_entries": n,
+        "n_pass": n,
+        "failures": {},
+        "elapsed_s": elapsed,
+        "entry_spark_s": spark_s,
+    }
+    with open(os.path.join(root, f"SCALECHECK_r{rnd:02d}.json"), "w") as fh:
+        json.dump(data, fh)
+    return data
+
+
+def test_previous_artifact_picks_newest_below_round(tmp_path):
+    root = str(tmp_path)
+    _write_artifact(root, 5, {"a": 1.0})
+    _write_artifact(root, 6, {"a": 2.0})
+    prev = scalecheck.previous_artifact(7, root=root)
+    assert prev["_round"] == 6
+    # never reads the round being written (a crashed re-run would self-diff)
+    prev = scalecheck.previous_artifact(6, root=root)
+    assert prev["_round"] == 5
+    assert scalecheck.previous_artifact(5, root=root) is None
+
+
+def test_previous_artifact_none_cases(tmp_path):
+    assert scalecheck.previous_artifact(7, root=str(tmp_path)) is None
+    bad = tmp_path / "SCALECHECK_r03.json"
+    bad.write_text("{not json")
+    assert scalecheck.previous_artifact(7, root=str(tmp_path)) is None
+
+
+def test_spark_regressions_flags_only_real_growth():
+    prev = {"entry_spark_s": {"fast": 0.1, "slow": 2.0, "gone": 1.0}}
+    cur = {
+        "fast": 0.4,   # 4x but under the 0.5 s floor -> noise, not flagged
+        "slow": 5.0,   # 2.5x above floor -> flagged
+        "new": 9.0,    # no prior value -> not flagged
+    }
+    out = scalecheck.spark_regressions(cur, prev)
+    assert [r["entry"] for r in out] == ["slow"]
+    assert out[0]["ratio"] == 2.5
+    assert scalecheck.spark_regressions(cur, None) == []
+
+
+def test_refresh_parity_note_rewrites_marker_block(tmp_path):
+    root = str(tmp_path)
+    (tmp_path / "PARITY.md").write_text(
+        "# head\n\n<!-- scalecheck:begin -->\nstale text r05\n"
+        "<!-- scalecheck:end -->\n\ntail\n"
+    )
+    result = {"n_entries": 168, "failures": {}, "elapsed_s": 321.5}
+    assert scalecheck.refresh_parity_note(result, 7, root=root)
+    text = (tmp_path / "PARITY.md").read_text()
+    assert "SCALECHECK_r07.json" in text
+    assert "stale text" not in text
+    assert "all green" in text
+    assert text.startswith("# head")
+    assert text.rstrip().endswith("tail")
+
+
+def test_refresh_parity_note_best_effort_without_markers(tmp_path):
+    (tmp_path / "PARITY.md").write_text("no markers here\n")
+    result = {"n_entries": 1, "failures": {}, "elapsed_s": 1.0}
+    assert not scalecheck.refresh_parity_note(result, 7, root=str(tmp_path))
+    assert (tmp_path / "PARITY.md").read_text() == "no markers here\n"
+    assert not scalecheck.refresh_parity_note(result, 7, root=str(tmp_path / "x"))
+
+
+def test_parity_paragraph_reports_failures_loudly():
+    bad = {"n_entries": 168, "failures": {"q": "boom"}, "elapsed_s": 10.0}
+    assert "1 FAILURES" in scalecheck.parity_paragraph(bad, 7)
+
+
+def test_repo_parity_note_cites_newest_artifact_on_disk():
+    """Doc/artifact agreement (VERDICT r06 #1 wants this impossible to
+    drift): the round number cited inside PARITY.md's marker block must be
+    the newest SCALECHECK artifact present in the repo."""
+    import glob
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = [
+        int(re.search(r"SCALECHECK_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(root, "SCALECHECK_r*.json"))
+    ]
+    if not arts:
+        return
+    with open(os.path.join(root, "PARITY.md")) as fh:
+        text = fh.read()
+    begin, end = scalecheck.PARITY_MARK
+    block = text.split(begin, 1)[1].split(end, 1)[0]
+    cited = re.search(r"SCALECHECK_r(\d+)\.json", block)
+    assert cited, "PARITY scale-up note lost its artifact citation"
+    assert int(cited.group(1)) == max(arts)
