@@ -161,6 +161,18 @@ HEADLINE = [
     "streaming_restart_recovery",
     # Two stateful operators in one query: hourly agg re-aggregated daily.
     "streaming_chained_agg_daily",
+    # round-7 additions (VERDICT r06 #4): the catalog's slowest Spark-side
+    # entries from the scalecheck series that the headline didn't cover —
+    # so "worst headline query" can no longer understate the catalog tail.
+    # They join the EXTENDED tier (single run); the 98-entry historical
+    # series stays intact as the prefix.
+    "agg_cube_orders",
+    "user_gap_median",
+    "scalar_math_funcs",
+    "window_rank_family",
+    "streaming_sliding_window_update",
+    "keyed_state_ttl_per_query",
+    "keyed_state_wallclock_infinite",
 ]
 
 # CORE = through the strict-TTL kernel (index of the r03-comparable set +

@@ -309,14 +309,26 @@ _SHINGLE_CAP = 4096
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH tok AS (SELECT doc_id, {DUCK_TOKS.format(col='text')} AS toks FROM documents),
-    sh AS (SELECT doc_id,
-                  [{duck_h60('s')} for s in {duck_shingles('toks', _SHINGLE_K)}] AS shs
-           FROM tok),
-    -- bottom-k sketch cap (engine's _SHINGLE_CAP rule, identical)
-    sized AS (SELECT doc_id, list_sort(shs)[1:{_SHINGLE_CAP}] AS shs,
-                     len(list_sort(shs)[1:{_SHINGLE_CAP}]) AS n
-              FROM sh WHERE len(shs) > 0),
-    inv AS (SELECT doc_id, unnest(shs) AS s FROM sh WHERE len(shs) > 0),
+    -- row-oriented shingle hashing (same rationale as duck_minhash_cte:
+    -- DuckDB re-inlines CTEs per reference, so a per-row comprehension
+    -- here re-ran for every downstream reader — VERDICT r06 #1); DISTINCT
+    -- over (doc_id, hash) matches the engine's exploded .distinct()
+    inv AS (
+      SELECT DISTINCT doc_id, {duck_h60('s')} AS s
+      FROM (SELECT doc_id,
+                   unnest([array_to_string(toks[i + 1 : i + {_SHINGLE_K}], ' ')
+                           for i in range(greatest(len(toks) - {_SHINGLE_K - 1}, 0))]) AS s
+            FROM tok)
+    ),
+    -- bottom-k sketch cap (engine's _SHINGLE_CAP rule, identical);
+    -- list() feeds list_intersect/len, which are order-insensitive
+    sized AS (
+      SELECT doc_id, list(s) AS shs, count(*) AS n
+      FROM (SELECT doc_id, s,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY s) AS rk
+            FROM inv)
+      WHERE rk <= {_SHINGLE_CAP} GROUP BY doc_id
+    ),
     rare AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= {_DF_CAP}),
     rinv AS (SELECT i.doc_id, i.s FROM inv i JOIN rare r ON i.s = r.s),
     cand AS (
