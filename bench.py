@@ -213,9 +213,9 @@ def _clear_entry_memos(name: str) -> None:
     still measures the intended cross-entry sharing.
     """
     try:
-        from spark_states_spark.streaming.queries import SHARED_DRAIN_MEMOS
+        from spark_states_spark.catalog import SHARED_MEMOS
 
-        for memo, entries in SHARED_DRAIN_MEMOS.values():
+        for memo, entries in SHARED_MEMOS.values():
             if name in entries:
                 memo.clear()
     except Exception:

@@ -138,6 +138,23 @@ def main() -> int:
     t0 = time.time()
     from bench import _unload_state_providers
 
+    # Warm-up, same rationale as bench.py: session init + codegen startup
+    # and the per-process fixture replay-order guard otherwise land on
+    # whichever entry sorts FIRST (agg_cube_orders carried ~5 s of session
+    # warm-up in the r07 series while measuring 0.6 s warm), corrupting the
+    # per-entry regression series this gate exists to produce.
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    try:
+        from spark_states_spark.streaming.queries import (
+            _assert_event_id_ts_monotone,
+        )
+
+        _assert_event_id_ts_monotone(spark, SF_DIR, scope="global")
+    except AssertionError:
+        raise
+    except Exception:
+        pass
+
     entry_s: dict[str, float] = {}
     entry_spark_s: dict[str, float] = {}
     for i, name in enumerate(sorted(ORACLES), 1):

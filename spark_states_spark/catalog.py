@@ -44,6 +44,22 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# Shared-result memo registry: memo tag -> (memo dict, the entries that read
+# it). Some catalog entries deliberately share one expensive materialization
+# (the funnel pair's single drain, the dual-binding wall-clock drain, the
+# CC-label reuse between clustering and keep-best) — a memo keyed on
+# (applicationId, fixture dir, fixture content identity) inside the owning
+# module. bench.py's best-of-N uses this registry to clear a memo on
+# RE-RUNS only of a PARTICIPATING entry, so a shared-result entry re-pays
+# its own materialization without other entries' re-runs wiping the share
+# (ADVICE r06). Modules register their memos at import time.
+SHARED_MEMOS: dict[str, tuple[dict, frozenset]] = {}
+
+
+def register_shared_memo(tag: str, memo: dict, entries: set[str]) -> None:
+    SHARED_MEMOS[tag] = (memo, frozenset(entries))
+
+
 # Import operator modules for their registration side effects.
 #
 # Registration order rotates between rounds so that any harness which samples

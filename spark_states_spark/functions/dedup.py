@@ -36,7 +36,6 @@ from .hashes import (
     duck_h32,
     duck_h60,
     duck_minhash_cte,
-    duck_shingles,
     spark_h32,
     spark_h60,
 )
@@ -420,6 +419,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_EST_THRESHOLD = 0.5
 _CC_MAX_ITERS = 20
 
+# One CC run serving both cluster entries (r07, the funnel-pair pattern):
+# dedup_cluster_keep_best is by design a composition over the clustering
+# kernel's labels, so recomputing the whole pairs chain + iterative loop per
+# entry duplicated ~4 s of identical work. connected_components returns an
+# EAGERLY localCheckpoint-materialized frame, so the memo hands the second
+# reader real materialized labels, not a lazy plan. Same key contract as
+# the streaming drain memos; registered in catalog.SHARED_MEMOS so bench
+# best-of-N re-runs of a participating entry re-pay the clustering.
+_CC_LABELS_MEMO: dict = {}
+
+
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from ..sources.tables import _source_identity, table_path
+
+    key = (
+        spark.sparkContext.applicationId,
+        _os.path.abspath(sf_dir),
+        _source_identity(table_path(sf_dir, "documents")),
+    )
+    hit = _CC_LABELS_MEMO.get(key)
+    if hit is None:
+        sim = (
+            dedup_minhash_lsh_pairs(spark, sf_dir)
+            .filter(F.col("est_jaccard") >= _CC_EST_THRESHOLD)
+            .select("doc_a", "doc_b")
+        )
+        hit = connected_components(sim)
+        _CC_LABELS_MEMO[key] = hit
+    return hit
+
+
+from ..catalog import register_shared_memo as _register_shared_memo  # noqa: E402
+
+_register_shared_memo(
+    "cc_labels",
+    _CC_LABELS_MEMO,
+    {"dedup_cluster_connected_components", "dedup_cluster_keep_best"},
+)
+
 
 @register(
     "dedup_cluster_connected_components",
@@ -473,12 +513,7 @@ def dedup_cluster_connected_components(
     uses a checkpoint dir for fault tolerance); the convergence probe is
     an EXISTS-style ``limit(1).count()``, not a full-table count.
     """
-    sim = (
-        dedup_minhash_lsh_pairs(spark, sf_dir)
-        .filter(F.col("est_jaccard") >= _CC_EST_THRESHOLD)
-        .select("doc_a", "doc_b")
-    )
-    labels = connected_components(sim)
+    labels = _cc_labels(spark, sf_dir)
     w = W.partitionBy("label")
     return labels.select(
         "doc_id",

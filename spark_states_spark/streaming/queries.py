@@ -533,8 +533,15 @@ def streaming_sliding_window_update(spark: SparkSession, sf_dir: str) -> DataFra
     from .windows import windowed_counts
 
     def run() -> DataFrame:
+        # 4 chunks (r07, the r06 halve-batches pattern): per-batch fixed
+        # cost dominates at fixture scale; the update-mode result is
+        # chunk-count-independent (the final max-per-window collapse below
+        # absorbs any update cadence) and 4 batches keep ≥3 real mid-stream
+        # watermark advances / state evictions.
         agg = windowed_counts(
-            chunked_stream(spark, sf_dir, "events"), "1 hour", slide="30 minutes"
+            chunked_stream(spark, sf_dir, "events", n_chunks=4),
+            "1 hour",
+            slide="30 minutes",
         )
         return run_stream_to_table(agg, output_mode="update")
 
@@ -652,7 +659,10 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     from ..sources import chunked_stream
 
     def run() -> DataFrame:
-        events = chunked_stream(spark, sf_dir, "events")
+        # 4 chunks (r07): the determinism argument below is chunk-count-
+        # independent (fewer boundaries only strengthen the 25 h in-state
+        # guarantee), and 4 batches keep real cross-batch seen-set state.
+        events = chunked_stream(spark, sf_dir, "events", n_chunks=4)
         keyed = events.select(
             "event_type", "user_id", "ts", F.to_date("ts").alias("day")
         )
@@ -1936,7 +1946,9 @@ def streaming_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import chunked_stream
 
     def run() -> DataFrame:
-        ev = chunked_stream(spark, sf_dir, "events")
+        # 4 chunks (r07): counters are monotone and the drained value is
+        # max-over-updates, so the result is chunk-count-independent.
+        ev = chunked_stream(spark, sf_dir, "events", n_chunks=4)
         checks = ev.select(
             F.when(F.col("value") < 0, 1).otherwise(0).alias("value_negative"),
             F.when(F.col("user_id").isNull(), 1).otherwise(0).alias("user_id_null"),
@@ -2085,30 +2097,25 @@ def _funnel_drained(spark: SparkSession, sf_dir: str):
     return sink, ckpt
 
 
-# Shared-drain memo registry: memo tag -> (memo dict, the entries that read
-# it). bench.py's best-of-N uses this to clear a memo on RE-RUNS only of a
-# PARTICIPATING entry (so a shared-drain entry re-pays its own ingest
-# instead of timing a read of an already-materialized sink), while leaving
-# it intact across other entries' re-runs — clearing on every entry made
-# the pair's series order-dependent: whichever intervening CORE entry ran
-# best-of-3 between the pair wiped the memo, so the second reader always
-# re-paid a full drain (ADVICE r06, contradicting BASELINE.md's documented
-# one-ingest-two-readers accounting).
-SHARED_DRAIN_MEMOS: dict[str, tuple[dict, frozenset]] = {
-    "funnel": (
-        _FUNNEL_DRAIN_MEMO,
-        frozenset({"streaming_funnel_stages", "funnel_state_scan"}),
-    ),
-    "wallclock_kv": (
-        _WALLCLOCK_DRAIN_MEMO,
-        frozenset(
-            {
-                "keyed_state_wallclock_infinite",
-                "keyed_state_wallclock_finite_bounds",
-            }
-        ),
-    ),
-}
+# Shared-drain memos live in the catalog-level registry (catalog.py::
+# SHARED_MEMOS — see the rationale there and ADVICE r06); the alias keeps
+# this module's historical name pointing at the same object.
+from ..catalog import SHARED_MEMOS as SHARED_DRAIN_MEMOS  # noqa: E402
+from ..catalog import register_shared_memo as _register_shared_memo  # noqa: E402
+
+_register_shared_memo(
+    "funnel",
+    _FUNNEL_DRAIN_MEMO,
+    {"streaming_funnel_stages", "funnel_state_scan"},
+)
+_register_shared_memo(
+    "wallclock_kv",
+    _WALLCLOCK_DRAIN_MEMO,
+    {
+        "keyed_state_wallclock_infinite",
+        "keyed_state_wallclock_finite_bounds",
+    },
+)
 
 
 _SEQ_ORDER_CHECKED: set = set()
