@@ -199,6 +199,30 @@ def _unload_state_providers(spark) -> None:
         pass
 
 
+def warm_up(spark, sf_dir: str) -> None:
+    """Absorb session/codegen startup + the per-process fixture
+    replay-order guard BEFORE any per-entry timing loop (bench and
+    scalecheck share this; duplicated copies drifted once already). The
+    guard is an integrity ASSERTION on the driver-regenerated fixtures,
+    not query work — a production deployment validates an input's
+    ordering contract once at ingest, amortized over every query relying
+    on it. Without this, whichever entry runs first absorbs ~4-5 s of
+    warm-up into its timed run (scalecheck r07: agg_cube_orders measured
+    5.9 s cold-first vs 0.6 s warm).
+    """
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    try:
+        from spark_states_spark.streaming.queries import (
+            _assert_event_id_ts_monotone,
+        )
+
+        _assert_event_id_ts_monotone(spark, sf_dir, scope="global")
+    except AssertionError:
+        raise
+    except Exception:
+        pass  # guard warm-up is best-effort; entries re-run it if needed
+
+
 def _clear_entry_memos(name: str) -> None:
     """Clear shared-drain memos that ``name`` itself participates in.
 
@@ -249,24 +273,7 @@ def main() -> None:
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     headline = [q for q in HEADLINE if q in subset.split(",")] if subset else HEADLINE
     spark = build_session(app_name="spark_states_bench")
-    # Warm-up: session init + codegen paths, not counted.
-    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
-    # Also run the fixture replay-order guards once (memoized per process):
-    # they are integrity ASSERTIONS on the driver-regenerated fixtures, not
-    # query work — a production deployment validates an input's ordering
-    # contract once at ingest, amortized over every query that relies on
-    # it. Without this, whichever streaming entry happens to call a guard
-    # first absorbs its full cost into that entry's single timed run.
-    try:
-        from spark_states_spark.streaming.queries import (
-            _assert_event_id_ts_monotone,
-        )
-
-        _assert_event_id_ts_monotone(spark, SF_DIR, scope="global")
-    except AssertionError:
-        raise
-    except Exception:
-        pass  # guard warm-up is best-effort; entries re-run it if needed
+    warm_up(spark, SF_DIR)  # session init + codegen + replay-order guard
 
     timings: dict[str, float] = {}
     for name in headline:

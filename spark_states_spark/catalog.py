@@ -471,18 +471,31 @@ def verification_order(
         return (1, greens[name], 0 if name in touched else 1, idx)
 
     order = [n for _, n in sorted(enumerate(QUERIES), key=rank)]
-    # Bounded touched-entry quota (see _TOUCHED_QUOTA note above): promote
-    # up to that many code-touched entries from outside the driver window
-    # into its tail, displacing the window's LEAST-stale rows. Promotions
-    # keep their own staleness order; displaced rows slide just past the
-    # window so they lead the next round's candidates.
+    # Bounded touched-entry quota (see _TOUCHED_QUOTA note above): up to
+    # that many window-tail slots go to the code-touched outsiders with
+    # the NEWEST green round — precisely the entries the quota exists for
+    # (ADVICE r06: a this-round behavior change on a freshest-green entry
+    # otherwise waits the longest for an external look; a STALE touched
+    # outsider enters the window within a round or two on its own).
+    # Victims are the window's least-priority GREEN rows: never-verified
+    # entries keep their slots unconditionally (the tier-0 invariant
+    # above), staleness order within the window is untouched (victims
+    # come off the freshest end), and displaced rows slide just past the
+    # window so they lead the next round's candidates. The bounded
+    # staleness inversion at the boundary (a fresher touched outsider
+    # over the window's freshest row) is the quota's deliberate trade.
     window, rest = order[:_DRIVER_WINDOW], order[_DRIVER_WINDOW:]
-    promoted = [n for n in rest if n in touched][:_TOUCHED_QUOTA]
-    if promoted:
-        k = len(promoted)
-        displaced = window[-k:]
-        window = window[:-k] + promoted
-        rest = displaced + [n for n in rest if n not in set(promoted)]
+    promoted = sorted(
+        (n for n in rest if n in touched and n in greens),
+        key=lambda n: -greens[n],
+    )[:_TOUCHED_QUOTA]
+    green_window = [n for n in window if n in greens]
+    k = min(len(promoted), len(green_window))
+    if k:
+        promoted = promoted[:k]
+        victims = set(green_window[-k:])
+        window = [n for n in window if n not in victims] + promoted
+        rest = green_window[-k:] + [n for n in rest if n not in set(promoted)]
     return window + rest
 
 

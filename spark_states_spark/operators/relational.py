@@ -323,7 +323,7 @@ def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("pre_n"),
     )
     return pre.cube("o_orderstatus", "o_orderpriority").agg(
-        F.sum("pre_total").cast("double").alias("total"),
+        dsum(F.col("pre_total")).alias("total"),
         F.sum("pre_n").alias("n_orders"),
     )
 

@@ -55,6 +55,29 @@ def owner_pid(dirname: str) -> int | None:
     return int(m.group(1)) if m else None
 
 
+def pid_start_time(pid: int) -> float | None:
+    """Wall-clock start time of ``pid`` (Linux /proc), None if unknowable.
+
+    starttime is field 22 of /proc/<pid>/stat — in clock ticks since
+    boot, after the comm field, which is parenthesized and may contain
+    spaces, so parse from the LAST ')'. Boot time is /proc/stat's btime.
+    """
+    try:
+        with open(f"/proc/{pid}/stat") as fh:
+            stat = fh.read()
+        fields = stat[stat.rindex(")") + 2 :].split()
+        ticks = int(fields[19])  # starttime is the 22nd field overall
+        with open("/proc/stat") as fh:
+            btime = next(
+                int(line.split()[1])
+                for line in fh
+                if line.startswith("btime ")
+            )
+        return btime + ticks / os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError, IndexError, StopIteration):
+        return None
+
+
 def sweep_stale_dirs(
     parent: str,
     mtime_cutoff_s: float = 6 * 3600,
@@ -64,13 +87,16 @@ def sweep_stale_dirs(
 
     PID-tagged dirs are removed as soon as their owner is gone; untagged
     (legacy / foreign) dirs only when older than ``mtime_cutoff_s``. A dir
-    whose owner LOOKS alive still falls to a generous secondary cutoff
-    (``live_owner_cutoff_s``): the PID probe can't distinguish a recycled
-    PID (or a foreign process seen through a shared /tmp across PID
-    namespaces) from the real owner, so without it a dead session's
-    checkpoint could leak forever (ADVICE r06). A week is far beyond any
-    real session here (the dir mtime is its creation time — rounds run
-    hours), so the secondary cutoff only ever reaps recycled-PID leaks.
+    whose owner LOOKS alive still gets a secondary check past
+    ``live_owner_cutoff_s``: the signal-0 probe can't distinguish a
+    recycled PID (or a foreign process seen through a shared /tmp across
+    PID namespaces) from the real owner, so without it a dead session's
+    checkpoint could leak forever (ADVICE r06). Past that cutoff the dir
+    is removed only when the live process PROVABLY started after the dir
+    was created (/proc start time — a recycled PID, not the owner); when
+    start time is unknowable the dir is kept, because deleting a possibly
+    genuine >7-day session's live checkpoint is worse than a slow /tmp
+    leak on exotic platforms.
     """
     try:
         entries = os.listdir(parent)
@@ -84,8 +110,12 @@ def sweep_stale_dirs(
         pid = owner_pid(d)
         try:
             if pid is not None:
-                if not pid_alive(pid) or os.path.getmtime(path) < live_cutoff:
+                if not pid_alive(pid):
                     shutil.rmtree(path, ignore_errors=True)
+                elif os.path.getmtime(path) < live_cutoff:
+                    started = pid_start_time(pid)
+                    if started is not None and started > os.path.getmtime(path):
+                        shutil.rmtree(path, ignore_errors=True)
             elif os.path.getmtime(path) < cutoff:
                 shutil.rmtree(path, ignore_errors=True)
         except OSError:

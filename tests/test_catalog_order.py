@@ -168,10 +168,10 @@ def test_staleness_outranks_touched_within_order(monkeypatch):
 
 
 def test_touched_quota_promotes_into_window_tail(monkeypatch):
-    """ADVICE r06: a code-touched entry that staleness alone would leave
-    outside the driver window gets one of the bounded reserved tail slots;
-    displaced fresh entries slide to just past the window, and no more than
-    the quota of stale rows is ever displaced."""
+    """ADVICE r06: code-touched entries that staleness alone would leave
+    outside the driver window get the bounded reserved tail slots —
+    NEWEST green round first (those wait longest for an external look);
+    displaced fresh rows slide to just past the window."""
     monkeypatch.setattr(catalog, "_DRIVER_WINDOW", 4)
     monkeypatch.setattr(catalog, "_TOUCHED_QUOTA", 2)
     # 6 green entries: rounds 1..6; touched = the two freshest (rounds 5, 6),
@@ -184,13 +184,13 @@ def test_touched_quota_promotes_into_window_tail(monkeypatch):
         greens=greens, touched={"e5", "e6"}
     )
     # Window: two most-stale keep their slots, then the promoted touched
-    # pair (own staleness order); displaced e3/e4 lead the remainder.
-    assert order == ["e1", "e2", "e5", "e6", "e3", "e4"]
+    # pair newest-first; displaced e3/e4 lead the remainder.
+    assert order == ["e1", "e2", "e6", "e5", "e3", "e4"]
 
 
 def test_touched_quota_is_bounded(monkeypatch):
     """An infra-wide touch marking every fresh entry must displace at most
-    _TOUCHED_QUOTA stale rows from the window."""
+    _TOUCHED_QUOTA rows from the window."""
     monkeypatch.setattr(catalog, "_DRIVER_WINDOW", 4)
     monkeypatch.setattr(catalog, "_TOUCHED_QUOTA", 1)
     greens = {f"e{r}": r for r in range(1, 9)}
@@ -200,9 +200,31 @@ def test_touched_quota_is_bounded(monkeypatch):
     order = catalog.verification_order(
         greens=greens, touched={"e5", "e6", "e7", "e8"}
     )
-    # Only ONE slot is ceded (e4 -> e5); the rest of the stale tail holds.
-    assert order[:4] == ["e1", "e2", "e3", "e5"]
+    # Only ONE slot is ceded, to the NEWEST-green touched outsider (e8);
+    # the rest of the stale tail holds and displaced e4 leads the rest.
+    assert order[:4] == ["e1", "e2", "e3", "e8"]
     assert order[4] == "e4"
+
+
+def test_touched_quota_never_displaces_tier0_rows(monkeypatch):
+    """Never-externally-green entries keep their window slots
+    unconditionally — victims come only from GREEN window rows
+    (judge-review r07 finding)."""
+    monkeypatch.setattr(catalog, "_DRIVER_WINDOW", 3)
+    monkeypatch.setattr(catalog, "_TOUCHED_QUOTA", 2)
+    # window = [never1, never2, stale_green]; outsiders: two touched.
+    greens = {"stale_green": 2, "touched_a": 4, "touched_b": 5}
+    monkeypatch.setattr(catalog, "QUERIES", {
+        "never1": None, "never2": None,
+        "stale_green": None, "touched_a": None, "touched_b": None,
+    })
+    order = catalog.verification_order(
+        greens=greens, touched={"touched_a", "touched_b"}
+    )
+    # Only ONE green row is displaceable, so only one promotion fires
+    # (the newest-green touched); both tier-0 rows keep their slots.
+    assert order[:3] == ["never1", "never2", "touched_b"]
+    assert order[3] == "stale_green"
 
 
 def test_infra_change_marks_dependent_entries_touched_end_to_end(tmp_path):

@@ -24,14 +24,35 @@ def test_sweep_keeps_live_pid_dirs_past_untagged_cutoff(tmp_path):
     assert os.path.isdir(live)
 
 
-def test_sweep_reaps_live_pid_dirs_past_secondary_cutoff(tmp_path):
+def test_sweep_reaps_recycled_pid_dirs_past_secondary_cutoff(tmp_path):
     """ADVICE r06: a recycled PID (or a foreign process through a shared
-    /tmp) must not keep a dead session's checkpoint forever — live-looking
-    owners still fall to a generous week-scale mtime cutoff."""
+    /tmp) must not keep a dead session's checkpoint forever. Our own PID
+    stands in for the recycled one: this process started long after the
+    8-day-old dir, which is exactly the recycling signature."""
     parent = str(tmp_path)
     ancient = _mk(parent, f"ckpt_x_pid{os.getpid()}_abc", age_s=8 * 24 * 3600)
+    assert runner.pid_start_time(os.getpid()) is not None  # /proc available
     runner.sweep_stale_dirs(parent)
     assert not os.path.exists(ancient)
+
+
+def test_sweep_keeps_genuine_old_owner_and_unknowable_start(
+    tmp_path, monkeypatch
+):
+    """A PROVABLY-older-than-the-dir live owner (a genuine >7-day session)
+    keeps its checkpoint; so does a live owner whose start time is
+    unknowable (no /proc) — deleting a possibly live checkpoint is worse
+    than a slow leak."""
+    parent = str(tmp_path)
+    old_owner = _mk(parent, f"ckpt_x_pid{os.getpid()}_abc", age_s=8 * 24 * 3600)
+    monkeypatch.setattr(
+        runner, "pid_start_time", lambda pid: time.time() - 30 * 24 * 3600
+    )
+    runner.sweep_stale_dirs(parent)
+    assert os.path.isdir(old_owner)
+    monkeypatch.setattr(runner, "pid_start_time", lambda pid: None)
+    runner.sweep_stale_dirs(parent)
+    assert os.path.isdir(old_owner)
 
 
 def test_sweep_removes_dead_pid_dirs_immediately(tmp_path):

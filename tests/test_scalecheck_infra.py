@@ -43,15 +43,21 @@ def test_previous_artifact_none_cases(tmp_path):
 
 
 def test_spark_regressions_flags_only_real_growth():
-    prev = {"entry_spark_s": {"fast": 0.1, "slow": 2.0, "gone": 1.0}}
+    prev = {"entry_spark_s": {
+        "fast": 0.1, "slow": 2.0, "gone": 1.0, "tiny_prev": 0.01,
+        "real_jump": 0.3,
+    }}
     cur = {
-        "fast": 0.4,   # 4x but under the 0.5 s floor -> noise, not flagged
-        "slow": 5.0,   # 2.5x above floor -> flagged
-        "new": 9.0,    # no prior value -> not flagged
+        "fast": 0.4,       # 4x but under the 0.5 s floor -> noise
+        "slow": 5.0,       # 2.5x above floor -> flagged
+        "new": 9.0,        # no prior value -> not flagged
+        "tiny_prev": 0.9,  # 90x raw, but 1.8x vs the floored denominator
+        "real_jump": 5.0,  # 16.7x raw, 10x floored -> flagged
     }
     out = scalecheck.spark_regressions(cur, prev)
-    assert [r["entry"] for r in out] == ["slow"]
-    assert out[0]["ratio"] == 2.5
+    assert [r["entry"] for r in out] == ["real_jump", "slow"]
+    assert out[1]["ratio"] == 2.5
+    assert out[0]["ratio"] == 10.0
     assert scalecheck.spark_regressions(cur, None) == []
 
 
