@@ -227,6 +227,57 @@ def test_touched_quota_never_displaces_tier0_rows(monkeypatch):
     assert order[3] == "stale_green"
 
 
+def test_verification_order_quota_invariants_hold_on_random_histories(
+    monkeypatch,
+):
+    """Property check over random green/touched histories: the order is
+    always a permutation, never-verified entries always occupy the
+    leading slots they'd have without the quota, at most _TOUCHED_QUOTA
+    rows differ from the pure staleness order inside the window, and
+    every promoted row is green + touched."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    W, Q = 6, 2
+    monkeypatch.setattr(catalog, "_DRIVER_WINDOW", W)
+    monkeypatch.setattr(catalog, "_TOUCHED_QUOTA", Q)
+    names = [f"e{i}" for i in range(12)]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        greens=st.dictionaries(
+            st.sampled_from(names), st.integers(1, 6), max_size=12
+        ),
+        touched=st.sets(st.sampled_from(names), max_size=12),
+    )
+    def prop(greens, touched):
+        monkeypatch.setattr(catalog, "QUERIES", {n: None for n in names})
+        order = catalog.verification_order(greens=greens, touched=touched)
+        assert sorted(order) == sorted(names)  # permutation
+        never = [n for n in names if n not in greens]
+        # tier-0 rows always keep their window slots
+        window = order[:W]
+        assert set(never[: min(len(never), W)]) <= set(window)
+        # rows that entered the window versus the pure staleness order
+        # are bounded by the quota and are all green + touched
+        pure = [
+            n
+            for _, n in sorted(
+                enumerate({n: None for n in names}),
+                key=lambda it: (
+                    (0, 0, 0, it[0])
+                    if it[1] not in greens
+                    else (1, greens[it[1]], 0 if it[1] in touched else 1, it[0])
+                ),
+            )
+        ]
+        entered = [n for n in window if n not in pure[:W]]
+        assert len(entered) <= Q
+        assert all(n in greens and n in touched for n in entered)
+
+    prop()
+
+
 def test_infra_change_marks_dependent_entries_touched_end_to_end(tmp_path):
     """ADVICE r05 end-to-end: in a synthetic repo, editing a module that
     registers nothing (infra) marks touched the entries of the registering
