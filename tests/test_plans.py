@@ -231,20 +231,25 @@ def test_rollup_cascade_reaggregates_not_rescans(spark, sf_dir):
     assert n_aggs >= 4, f"missing a partial/final pair ({n_aggs} aggs):\n{p}"
 
 
-def test_cube_expands_preaggregated_frame_not_scan(spark, sf_dir):
-    """CUBE's Expand multiplies its input 4× (one copy per grouping set),
-    so it must consume the PRE-AGGREGATED (status, priority) frame, never
-    the raw orders scan (VERDICT r06 #3: cubing the fact table directly
-    was the catalog's slowest Spark entry at sf0.1). In the formatted
-    plan the scan-side HashAggregate pair must sit BELOW Expand."""
-    p = plan(QUERIES["agg_cube_orders"](spark, sf_dir))
+@pytest.mark.parametrize(
+    "name",
+    ["agg_cube_orders", "agg_rollup_returns", "agg_grouping_sets"],
+)
+def test_grouping_expand_consumes_preaggregated_frame(spark, sf_dir, name):
+    """CUBE/ROLLUP/GROUPING SETS plan an Expand that multiplies input by
+    the grouping-set count, so Expand must consume the PRE-AGGREGATED
+    full-key frame, never the raw fact scan (VERDICT r06 #3: cubing raw
+    orders was the catalog's slowest Spark entry at sf0.1). In the
+    formatted plan the scan-side HashAggregate pair must sit BELOW
+    Expand."""
+    p = plan(QUERIES[name](spark, sf_dir))
     m = re.search(r"\(\d+\) Expand", p)
-    assert m, f"cube plan lost its Expand:\n{p}"
+    assert m, f"{name} plan lost its Expand:\n{p}"
     # formatted explain prints the tree leaves-first in the detail section:
     # the pre-aggregate pair must appear BEFORE (= below) the Expand node.
     pre = p[: m.start()]
     assert len(re.findall(r"\(\d+\) HashAggregate", pre)) >= 2, (
-        f"Expand consumes the raw scan — pre-aggregate before cube:\n{p}"
+        f"{name}: Expand consumes the raw scan — pre-aggregate first:\n{p}"
     )
 
 
