@@ -32,6 +32,21 @@ def test_entry_module_shape():
     assert all(isinstance(sql, str) and sql.strip() for sql in os_.values())
 
 
+def test_bench_headline_is_well_formed():
+    """Every headline entry must resolve in the catalog (a renamed entry
+    would crash the official bench run), no duplicates, and the CORE
+    best-of-3 tier must stay the historical comparable prefix."""
+    sys.path.insert(0, REPO)
+    import bench
+    from spark_states_spark.catalog import QUERIES
+
+    missing = [q for q in bench.HEADLINE if q not in QUERIES]
+    assert not missing, f"headline names not in catalog: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+    assert 0 < bench.N_CORE < len(bench.HEADLINE)
+    assert bench.HEADLINE[bench.N_CORE - 1] == "keyed_state_ttl_strict"
+
+
 def test_entry_returns_rows(spark, sf_dir_small):
     mod = _load_entry()
     df = mod.entry(spark)
