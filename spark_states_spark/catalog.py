@@ -45,19 +45,46 @@ def register(name: str, oracle: str | None = None):
 
 
 # Shared-result memo registry: memo tag -> (memo dict, the entries that read
-# it). Some catalog entries deliberately share one expensive materialization
-# (the funnel pair's single drain, the dual-binding wall-clock drain, the
-# CC-label reuse between clustering and keep-best) — a memo keyed on
-# (applicationId, fixture dir, fixture content identity) inside the owning
+# it, optional cleanup). Some catalog entries deliberately share one expensive
+# materialization (the funnel pair's single drain, the dual-binding wall-clock
+# drain, the CC-label reuse between clustering and keep-best) — a memo keyed
+# on (applicationId, fixture dir, fixture content identity) inside the owning
 # module. bench.py's best-of-N uses this registry to clear a memo on
 # RE-RUNS only of a PARTICIPATING entry, so a shared-result entry re-pays
 # its own materialization without other entries' re-runs wiping the share
-# (ADVICE r06). Modules register their memos at import time.
-SHARED_MEMOS: dict[str, tuple[dict, frozenset]] = {}
+# (ADVICE r06). ``cleanup``, when given, releases the cluster-side resources
+# the memo values pin (localCheckpoint RDD blocks, memory-sink tables) and is
+# invoked by clear_shared_memos BEFORE the dict is emptied — without it,
+# best-of-N re-runs accumulate orphaned blocks for the session lifetime
+# (ADVICE r07). Modules register their memos at import time.
+SHARED_MEMOS: dict[str, tuple[dict, frozenset, Callable[[], None] | None]] = {}
 
 
-def register_shared_memo(tag: str, memo: dict, entries: set[str]) -> None:
-    SHARED_MEMOS[tag] = (memo, frozenset(entries))
+def register_shared_memo(
+    tag: str,
+    memo: dict,
+    entries: set[str],
+    cleanup: Callable[[], None] | None = None,
+) -> None:
+    SHARED_MEMOS[tag] = (memo, frozenset(entries), cleanup)
+
+
+def clear_shared_memos(entry: str) -> None:
+    """Release and clear every shared memo ``entry`` participates in.
+
+    Cleanup runs first (best-effort — a failed block release must not turn
+    a timing re-run into an error) so the memoized DataFrames' pinned
+    resources are freed while the handles still exist; then the memo dict
+    is emptied so the next participating call re-materializes.
+    """
+    for memo, entries, cleanup in SHARED_MEMOS.values():
+        if entry in entries:
+            if cleanup is not None:
+                try:
+                    cleanup()
+                except Exception:
+                    pass
+            memo.clear()
 
 
 # Import operator modules for their registration side effects.

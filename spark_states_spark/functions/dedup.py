@@ -452,13 +452,61 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit
 
 
+def _cc_labels_cleanup() -> None:
+    """Free the localCheckpoint blocks behind every memoized label frame.
+
+    ADVICE r07: clearing the memo dict alone only drops the Python handle —
+    the checkpointed RDD blocks stay pinned in the block manager until the
+    JVM-side weak-reference cleaner gets around to them, so bench best-of-N
+    re-runs accumulated one orphaned label frame per re-run for the session
+    lifetime. connected_components tags its return frame with the ids it
+    checkpointed; releasing those here makes the clear deterministic.
+    """
+    for df in _CC_LABELS_MEMO.values():
+        ids = getattr(df, "_local_ckpt_rdd_ids", None)
+        if ids:
+            _unpersist_rdd_ids(df.sparkSession, ids)
+
+
 from ..catalog import register_shared_memo as _register_shared_memo  # noqa: E402
 
 _register_shared_memo(
     "cc_labels",
     _CC_LABELS_MEMO,
     {"dedup_cluster_connected_components", "dedup_cluster_keep_best"},
+    cleanup=_cc_labels_cleanup,
 )
+
+
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of every RDD currently pinned in the block manager.
+
+    ``localCheckpoint`` persists MEMORY_AND_DISK under the hood, so the
+    checkpointed label frames show up here; diffing snapshots around a
+    checkpoint isolates exactly the blocks it pinned. Best-effort (the
+    JavaSparkContext map walk is public API but still a JVM round-trip):
+    an empty set degrades to the pre-r08 leave-it-to-GC behavior.
+    """
+    try:
+        out: set[int] = set()
+        it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+        while it.hasNext():
+            out.add(int(it.next()))
+        return out
+    except Exception:
+        return set()
+
+
+def _unpersist_rdd_ids(spark: SparkSession, ids) -> None:
+    """Non-blocking unpersist of the given pinned RDD ids (best-effort)."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in ids:
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+    except Exception:
+        pass
 
 
 @register(
@@ -559,12 +607,20 @@ def connected_components(pairs: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
     saved_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
+        # Each round's labels are localCheckpoint-materialized; the PREVIOUS
+        # round's blocks are dead the moment the new frame exists, so they
+        # are released eagerly (snapshot-diff of the pinned-RDD set around
+        # each checkpoint) instead of waiting on the JVM weak-ref cleaner —
+        # at 100 TB the superseded frames are corpus-label-sized and an
+        # O(rounds) pileup is real memory pressure (ADVICE r07).
+        ids_pre = _persistent_rdd_ids(spark)
         labels = (
             edges.select(F.col("u").alias("doc_id"))
             .distinct()
             .withColumn("label", F.col("doc_id"))
             .localCheckpoint(eager=True)
         )
+        live_ids = _persistent_rdd_ids(spark) - ids_pre
         # Labels only ever decrease (every update is a least()), so the
         # label sum strictly decreases each round until the fixpoint —
         # a one-aggregate convergence probe, no self-join needed.
@@ -587,6 +643,7 @@ def connected_components(pairs: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
             lmap = stepped.select(
                 F.col("doc_id").alias("l_id"), F.col("label").alias("l_label")
             )
+            ids_pre = _persistent_rdd_ids(spark)
             labels = (
                 stepped.join(lmap, stepped.label == lmap.l_id, "left")
                 .select(
@@ -595,18 +652,25 @@ def connected_components(pairs: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
                 )
                 .localCheckpoint(eager=True)
             )
+            new_ids = _persistent_rdd_ids(spark) - ids_pre
+            _unpersist_rdd_ids(spark, live_ids)  # superseded round's blocks
+            live_ids = new_ids
             new_sum = labels.agg(F.sum("label")).collect()[0][0]
             if new_sum == prev_sum:
                 break
             prev_sum = new_sum
         else:
             edges.unpersist()
+            _unpersist_rdd_ids(spark, live_ids)
             raise RuntimeError(
                 f"connected components did not converge in {max_iters} rounds"
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_parts)
     edges.unpersist()
+    # Tag the frame with its pinned block ids so a memo cleanup (or any
+    # caller done with the labels) can release them deterministically.
+    labels._local_ckpt_rdd_ids = frozenset(live_ids)
     return labels
 
 

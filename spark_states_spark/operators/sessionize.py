@@ -232,3 +232,55 @@ def user_gap_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return events.groupBy("user_id").applyInPandas(per_user, _GAP_SCHEMA)
+
+
+@register(
+    "user_gap_median_builtin",
+    # Same oracle as user_gap_median — the two entries are semantically
+    # identical by construction; only the execution surface differs.
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_ns(ts) // 1000
+               - lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+                                                 ORDER BY epoch_ns(ts) // 1000,
+                                                          event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id, median(gap_us) AS median_gap_us,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def user_gap_median_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``user_gap_median`` spelled entirely in JVM built-ins (VERDICT r06
+    #4 / r07 #5): gaps via a ``lag`` window, medians via Spark's exact
+    ``percentile`` — no Python worker, no Arrow crossing. Benchmarked next
+    to the grouped-Pandas demo above, the pair quantifies the crossing
+    cost of the `applyInPandas` surface on identical semantics (the
+    measured delta is recorded in BASELINE.md).
+
+    Value parity is exact, not approximate: for an even gap count all
+    three engines take the midpoint of two int64 microsecond values —
+    numpy's midpoint rule, Spark percentile's ``lower + (upper-lower)*0.5``
+    and DuckDB ``median``'s interpolation all hit the same exactly-
+    representable double (integers < 2^52, halves exact).
+
+    100 TB shape: one shuffle on user_id shared by the window and the
+    aggregation; exact ``percentile`` buffers one user's gaps, so memory
+    is O(events per user) — same bound the Arrow batch already imposed on
+    the sibling. A global exact median would instead use the two-pass
+    operators/orderstats.py approach.
+    """
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.unix_micros("ts").alias("ts_us"), "event_id")
+        .withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return gaps.groupBy("user_id").agg(
+        F.expr("percentile(gap_us, 0.5)").alias("median_gap_us"),
+        F.count("*").cast("bigint").alias("n_gaps"),
+    )

@@ -173,9 +173,14 @@ def run_stream_to_table(
         .start()
     )
     query.awaitTermination()
+    out = spark.table(name)
+    # Tag the sink's temp-view name so a holder that outlives its use (the
+    # shared-drain memos) can drop the view and release the driver-side
+    # MemorySink buffer on cleanup (ADVICE r07).
+    out._sss_sink_table = name
     if with_progress:
-        return spark.table(name), list(query.recentProgress)
-    return spark.table(name)
+        return out, list(query.recentProgress)
+    return out
 
 
 def run_stream_drain_wallclock(
@@ -245,4 +250,6 @@ def run_stream_drain_wallclock(
             )
     finally:
         query.stop()
-    return spark.table(name)
+    out = spark.table(name)
+    out._sss_sink_table = name  # see run_stream_to_table's tag note
+    return out

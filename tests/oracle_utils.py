@@ -124,7 +124,25 @@ def compare(
             r[0]: r[1] for r in con.execute(f"DESCRIBE {oracle_sql}").fetchall()
         }
     except Exception:
-        ora_types = {}
+        # Fallback (ADVICE r07): a DESCRIBE failure must not silently skip
+        # the integer-vs-float fidelity check — the one protection the
+        # fetchall value-compare below cannot provide. Re-execute via the
+        # pre-r07 ``.df()`` dtype inspection (one extra oracle run, but only
+        # on this rare path); a float-ish pandas dtype maps onto the same
+        # _DUCK_FLOATY branch the DESCRIBE names would have taken.
+        try:
+            odf = con.execute(oracle_sql).df()
+            ora_types = {
+                c: ("DOUBLE" if str(odf[c].dtype).startswith("float")
+                    else str(odf[c].dtype).upper())
+                for c in odf.columns
+            }
+        except Exception:
+            ora_types = {}
+            problems.append(
+                "driver-fidelity dtype check skipped: DESCRIBE and .df() "
+                "both failed on the oracle SQL"
+            )
     null_cols = {
         ora_cols[i]
         for i in range(len(ora_cols))

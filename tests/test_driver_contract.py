@@ -45,6 +45,61 @@ def test_bench_headline_is_well_formed():
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
     assert 0 < bench.N_CORE < len(bench.HEADLINE)
     assert bench.HEADLINE[bench.N_CORE - 1] == "keyed_state_ttl_strict"
+    # The comparable round-over-round series is the 98-entry historical
+    # prefix (BASELINE.md's split); moving the boundary silently would
+    # corrupt every prev-vs-now total the artifact reports.
+    assert bench.N_PREFIX == 98
+    assert bench.HEADLINE[bench.N_PREFIX] == "agg_cube_orders"
+
+
+def test_bench_drain_groups_mark_carrier_and_sum():
+    """VERDICT r07 #1/#2: the artifact must say which entry carried a
+    shared drain and what the group sum is — with every participant
+    present, the carrier is the first in run order."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    timings = {q: 1.0 for q in bench.HEADLINE}
+    groups = bench._drain_groups(timings)
+    assert set(groups) == {"funnel", "wallclock_kv", "cc_labels", "virtual_kv"}
+    wc = groups["wallclock_kv"]
+    assert wc["carrier"] == "keyed_state_wallclock_finite_bounds"
+    assert wc["sum_s"] == 2.0
+    assert groups["funnel"]["carrier"] == "streaming_funnel_stages"
+    # The virtual-clock drain's carrier is whichever participant runs
+    # first in headline order — lazy_bounds sits in the r05 block, before
+    # the r07 EXTENDED tail's per_query entry.
+    assert groups["virtual_kv"]["carrier"] == "keyed_state_ttl_lazy_bounds"
+    # A subset run with only one participant present records no group
+    # (nothing shared to adjudicate).
+    solo = bench._drain_groups({"funnel_state_scan": 1.0})
+    assert "funnel" not in solo
+
+
+def test_bench_regression_tripwire_floors_and_ratio():
+    sys.path.insert(0, REPO)
+    import bench
+
+    prev = {"a": 1.0, "b": 0.01, "c": 3.0, "d": 1.0}
+    now = {"a": 2.5, "b": 0.4, "c": 3.2, "d": 1.9, "e": 9.9}
+    rows = bench._regressions_vs_prev(now, prev)
+    # a: 2.5/1.0 = 2.5x -> flagged; b: below the 0.5s floor now-side;
+    # c: 1.07x; d: 1.9x < 2x; e: no previous measurement.
+    assert [r["entry"] for r in rows] == ["a"]
+    assert rows[0]["ratio"] == 2.5
+
+
+def test_bench_prev_baseline_reads_round_artifacts():
+    """_prev_bench must pick up the newest BENCH_r{N}.json round number and
+    fall back to bench_result.json for totals the compact line predates."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    prev = bench._prev_bench()
+    assert prev["round"] is not None and prev["round"] >= 7
+    # The repo carries a committed full map, so totals must resolve.
+    assert prev["core_total"] and prev["prefix_total"]
+    assert prev["prefix_total"] >= prev["core_total"]
 
 
 def test_entry_returns_rows(spark, sf_dir_small):
@@ -84,6 +139,11 @@ def test_bench_emits_json_line(tmp_path):
     assert payload["value"] > 0
     assert payload["n_queries"] == 2
     assert set(payload["queries"]) == {"q6_forecast_revenue", "dedup_exact_keep_first"}
+    # Self-adjudication keys (VERDICT r07 #1/#2) ride the compact line so
+    # the driver-recorded BENCH artifact carries them.
+    for key in ("core_total", "prefix_total", "prev_core_total",
+                "prev_prefix_total", "drain_sums", "n_regressions"):
+        assert key in payload, f"compact line lost {key}"
     # The FULL per-query map lands in the file.
     full = json.loads(bench_out.read_text())
     assert set(full["queries"]) == {"q6_forecast_revenue", "dedup_exact_keep_first"}

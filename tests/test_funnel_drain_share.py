@@ -51,9 +51,24 @@ def test_bench_memo_clear_scoped_to_participating_entries():
 
 
 def test_registry_lists_both_funnel_entries():
-    memo, entries = sq.SHARED_DRAIN_MEMOS["funnel"]
+    memo, entries, cleanup = sq.SHARED_DRAIN_MEMOS["funnel"]
     assert memo is sq._FUNNEL_DRAIN_MEMO
     assert {"streaming_funnel_stages", "funnel_state_scan"} <= set(entries)
+    assert callable(cleanup)
+
+
+def test_memo_cleanup_drops_sink_views(spark, sf_dir_small):
+    """ADVICE r07: clearing a drain memo must also drop the memory-sink
+    temp view so the driver-side buffer is collectable, and the cleanup
+    must run BEFORE the dict is emptied (clear_shared_memos contract)."""
+    from spark_states_spark.catalog import clear_shared_memos
+
+    sink, _ckpt = sq._funnel_drained(spark, sf_dir_small)
+    name = sink._sss_sink_table
+    assert any(t.name == name for t in spark.catalog.listTables())
+    clear_shared_memos("funnel_state_scan")
+    assert not sq._FUNNEL_DRAIN_MEMO
+    assert not any(t.name == name for t in spark.catalog.listTables())
 
 
 def test_wallclock_entries_share_one_drain(spark, sf_dir_small):
@@ -80,7 +95,7 @@ def test_wallclock_entries_share_one_drain(spark, sf_dir_small):
                 spark, sf_dir_small, "fin").collect())
         )
         assert a == b and a, "bindings must agree (ttl >> drain wall time)"
-        (memo, entries) = sq.SHARED_DRAIN_MEMOS["wallclock_kv"]
+        (memo, entries, _cleanup) = sq.SHARED_DRAIN_MEMOS["wallclock_kv"]
         assert memo is sq._WALLCLOCK_DRAIN_MEMO
         assert entries == {
             "keyed_state_wallclock_infinite",

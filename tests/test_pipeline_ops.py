@@ -34,6 +34,36 @@ def test_connected_components_on_path_graph(spark):
     assert set(labels.values()) == {0}
 
 
+def test_connected_components_releases_superseded_checkpoints(spark):
+    """ADVICE r07: each pointer-jumping round localCheckpoints a new label
+    frame; superseded rounds' blocks must be released eagerly (not left to
+    the JVM weak-ref cleaner), and the RETURNED frame's blocks — tagged on
+    the frame — must be released by the cc_labels memo cleanup path."""
+    from spark_states_spark.functions.dedup import (
+        _persistent_rdd_ids,
+        _unpersist_rdd_ids,
+    )
+
+    before = _persistent_rdd_ids(spark)
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels = connected_components(pairs)
+    labels.count()
+    live = _persistent_rdd_ids(spark) - before
+    tagged = set(labels._local_ckpt_rdd_ids)
+    assert tagged, "returned frame must carry its checkpoint block ids"
+    # Only the FINAL frame's blocks may remain pinned: a 64-node path takes
+    # several pointer-jumping rounds, each of which checkpointed a frame.
+    assert live <= tagged, f"superseded checkpoint blocks leaked: {live - tagged}"
+    _unpersist_rdd_ids(spark, tagged)
+    assert not (_persistent_rdd_ids(spark) - before)
+    # NOTE: the frame is NOT readable after this (localCheckpoint truncates
+    # lineage) — which is exactly why cleanup only runs when a memo is
+    # being discarded.
+
+
 def test_connected_components_disjoint_cliques(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (1, 3), (10, 11), (20, 21), (21, 22)],
