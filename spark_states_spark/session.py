@@ -27,6 +27,12 @@ ROCKSDB_PROVIDER = (
 # overridden per-deployment. Shuffle partitions should be ~2-3× total cores.
 _LOCAL_DEFAULTS = {
     "spark.sql.shuffle.partitions": "32",
+    # Local mode runs every task in the driver JVM: 32 concurrent tasks on
+    # spark-submit's 1 GiB default heap is GC-bound (the 10x scale probe
+    # flat-out dies on it). 8 GiB on the 128 GiB harness box; applies only
+    # when this process launches the JVM (ignored by getOrCreate on a live
+    # session, so tests sharing a session are unaffected mid-run).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -1,0 +1,97 @@
+"""scaleprobe.py infrastructure checks (VERDICT r07 #6): the probe's entry
+list must resolve in the catalog, the scaled-fixture construction must
+preserve the contracts the probed entries assert (replay-order global
+monotonicity, key-cardinality scaling, zero cross-copy shingle sharing),
+and the plan fingerprint must be invariant to ids/literals but sensitive
+to operator-shape changes."""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import scaleprobe  # noqa: E402
+
+
+def test_probe_entries_resolve():
+    from spark_states_spark.catalog import QUERIES
+
+    missing = [q for q in scaleprobe.PROBE_ENTRIES if q not in QUERIES]
+    assert not missing
+    assert len(set(scaleprobe.PROBE_ENTRIES)) == len(scaleprobe.PROBE_ENTRIES)
+
+
+def test_plan_fingerprint_ignores_ids_but_sees_shape(spark):
+    a = spark.range(100).filter(F.col("id") > 5).groupBy().count()
+    b = spark.range(200).filter(F.col("id") > 99).groupBy().count()
+    assert scaleprobe.plan_fingerprint(a) == scaleprobe.plan_fingerprint(b)
+    c = spark.range(100).groupBy().count()  # no Filter node
+    assert scaleprobe.plan_fingerprint(a) != scaleprobe.plan_fingerprint(c)
+    assert "Filter" in scaleprobe.plan_fingerprint(a)
+
+
+def test_plan_delta_classifier():
+    same = "FileScan>Filter>HashAggregate"
+    flip = "FileScan>Filter>Exchange>Sort>SortMergeJoin>HashAggregate"
+    base = "FileScan>Filter>BroadcastExchange>BroadcastHashJoin>HashAggregate"
+    structural = "FileScan>HashAggregate"  # Filter vanished
+    assert scaleprobe.plan_delta_kind(same, same) == "same"
+    assert scaleprobe.plan_delta_kind(base, flip) == "join_strategy"
+    assert scaleprobe.plan_delta_kind(same, structural) == "structural"
+    # A documented adaptive-tier entry's delta is labeled, not alarmed.
+    assert (
+        scaleprobe.plan_delta_kind(base, structural, "dedup_minhash_lsh_pairs")
+        == "adaptive_tier"
+    )
+    assert set(scaleprobe.ADAPTIVE_PLAN_ENTRIES) <= set(scaleprobe.PROBE_ENTRIES)
+
+
+def test_scaled_fixtures_preserve_contracts(spark, sf_dir_small, tmp_path):
+    """Build a 3x replica of the SMALL fixtures and check the invariants the
+    10x probe run relies on (same construction code, cheaper scale)."""
+    out = str(tmp_path / "scaled")
+    scaleprobe.build_scaled_dir(spark, sf_dir_small, out, 3)
+
+    from spark_states_spark.sources.tables import load_table
+    from spark_states_spark.streaming.queries import _assert_event_id_ts_monotone
+
+    base_ev = load_table(spark, sf_dir_small, "events")
+    ev = load_table(spark, out, "events")
+    assert ev.count() == 3 * base_ev.count()
+    # Key cardinality scales with the factor (state-store pressure is real).
+    assert (
+        ev.select("user_id").distinct().count()
+        == 3 * base_ev.select("user_id").distinct().count()
+    )
+    # The replay-order contract the streaming entries assert must hold on
+    # the synthetic fixture at GLOBAL scope (the strongest the guard has).
+    _assert_event_id_ts_monotone(spark, out, scope="global")
+
+    # Documents: per-copy token rename is bijective — each copy's shingle
+    # sets are isomorphic (intra-copy pair structure replicated exactly)
+    # and share nothing across copies.
+    docs = load_table(spark, out, "documents")
+    base_docs = load_table(spark, sf_dir_small, "documents")
+    assert docs.count() == 3 * base_docs.count()
+    from spark_states_spark.functions.dedup import dedup_minhash_lsh_pairs
+
+    base_pairs = dedup_minhash_lsh_pairs(spark, sf_dir_small).count()
+    scaled = dedup_minhash_lsh_pairs(spark, out)
+    d_stride = base_docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    # THE construction invariant: every pair is copy-local (zero fabricated
+    # cross-copy near-dups). Counts are only ~3x, not exactly: the token
+    # rename changes shingle hashes, so the 16-perm est_jaccard estimate of
+    # each pair's unchanged true Jaccard re-rolls per copy around the
+    # threshold.
+    cross = scaled.filter(
+        (F.col("doc_a") / d_stride).cast("long")
+        != (F.col("doc_b") / d_stride).cast("long")
+    ).count()
+    assert cross == 0
+    assert scaled.count() >= base_pairs  # every copy contributes structure
+
+    li = load_table(spark, out, "lineitem")
+    assert li.count() == 3 * load_table(spark, sf_dir_small, "lineitem").count()
