@@ -72,6 +72,14 @@ PROBE_ENTRIES = [
     "user_gap_median_builtin",
 ]
 
+# Optional subset filter, e.g. for a 100x decade where entries with a
+# PROCESSING-TIME drain deadline (run_stream_drain_wallclock's 180 s —
+# keyed_state_wallclock_finite_bounds) would trip the harness timeout the
+# engine doesn't own. availableNow drains have no wall deadline and stay in.
+_subset = os.environ.get("SPARK_GRAFT_SCALEPROBE_ENTRIES")
+if _subset:
+    PROBE_ENTRIES = [q for q in PROBE_ENTRIES if q in _subset.split(",")]
+
 
 def build_scaled_dir(spark, base_dir: str, out_dir: str, factor: int) -> None:
     from pyspark.sql import functions as F
@@ -282,8 +290,12 @@ def main() -> int:
         "n_join_strategy_flips": n_flips,
         "n_structural_plan_changes": n_structural,
     }
+    # The canonical per-round artifact is the 10x run; other decades get a
+    # factor-suffixed name so they never clobber it.
+    tag = "" if FACTOR == 10 else f"{FACTOR}x"
     out = os.path.join(
-        _ROOT, f"SCALEPROBE_r{rnd:02d}.json" if rnd else "SCALEPROBE.json"
+        _ROOT,
+        f"SCALEPROBE{tag}_r{rnd:02d}.json" if rnd else f"SCALEPROBE{tag}.json",
     )
     with open(out, "w") as fh:
         json.dump(result, fh, indent=1)

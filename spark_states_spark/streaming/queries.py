@@ -2093,15 +2093,6 @@ def streaming_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The event_id < 10^6 assumption is ENFORCED, not assumed (ADVICE r04): the
 # inline assert_true fails the job loudly if an event_id ever bleeds into
 # the next second's keyspace instead of silently corrupting replay order.
-# assert_true returns NULL when the predicate holds, so the coalesce term
-# is a codegen'd no-op 0 on the happy path.
-_FUNNEL_K = (
-    "unix_timestamp(ts) * 1000000 + event_id + coalesce(cast(assert_true("
-    "event_id >= 0 AND event_id < 1000000, "
-    "'funnel composite key: event_id outside [0, 1e6) breaks (ts, event_id) "
-    "replay ordering — widen _FUNNEL_K to a struct key') AS BIGINT), 0)"
-)
-
 _FUNNEL_STAGES = {"view": 1, "signup": 2, "purchase": 3}
 
 
@@ -2113,11 +2104,17 @@ FUNNEL_OUT_SCHEMA = _T.StructType(
         _T.StructField("stage", _T.IntegerType()),
     ]
 )
+# Per-slot arrival keys as UNCAPPED (t, e) = (epoch seconds, event_id)
+# pairs, ordered lexicographically. Through r07 each slot packed the pair
+# into one bigint (t*1e6 + e), which caps event_id at 1e6 — the r08 100x
+# scale probe tripped that assert on its first run (10 M synthetic ids),
+# and production snowflake-style ids (~1e18) never fit any packing. The
+# kernel now compares pairs; nothing about the arrival-order contract
+# changes (see the replay-order guard note on _funnel_transitions).
 FUNNEL_STATE_SCHEMA = _T.StructType(
     [
-        _T.StructField("k1", _T.LongType()),
-        _T.StructField("k2", _T.LongType()),
-        _T.StructField("k3", _T.LongType()),
+        _T.StructField(f, _T.LongType())
+        for f in ("t1", "e1", "t2", "e2", "t3", "e3")
     ]
 )
 
@@ -2130,12 +2127,11 @@ def _funnel_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_chunks, filter, key spelling and partitioning included).
 
     Replay-order guard: the kernel's cross-batch "first eligible" fold is
-    correct iff composite-key order equals the chunked (ts, event_id)
-    arrival order — which, the key having only SECOND resolution, requires
-    event_id to be ts-monotone WITHIN each second. The fixtures satisfy
-    this; _assert_event_id_ts_monotone fails loudly if a regeneration
-    stops satisfying it (the range assert inside _FUNNEL_K cannot see
-    this)."""
+    correct iff lexicographic (t, e) order equals the chunked (ts,
+    event_id) arrival order — which, t having only SECOND resolution,
+    requires event_id to be ts-monotone WITHIN each second. The fixtures
+    satisfy this; _assert_event_id_ts_monotone fails loudly if a
+    regeneration stops satisfying it."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ..sources import chunked_stream
@@ -2144,7 +2140,12 @@ def _funnel_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = (
         chunked_stream(spark, sf_dir, "events", n_chunks=2)
         .where(F.col("event_type").isin(*_FUNNEL_STAGES))
-        .select("user_id", "event_type", F.expr(_FUNNEL_K).alias("k"))
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("t"),
+            F.col("event_id").alias("e"),
+        )
     )
     return events.groupBy("user_id").applyInPandasWithState(
         funnel_kernel,
@@ -2259,8 +2260,8 @@ def _assert_event_id_ts_monotone(
 
     - ``scope="within_second"``: within each second, event_id order must
       match micros order. Suffices for folds whose replay key carries the
-      second — the funnel's ``sec*1e6 + event_id`` composite key and the
-      lazy-TTL bounds' (ts_s, seq) fold — and HOLDS on the adversarial
+      second — the funnel's lexicographic (sec, event_id) slot keys and
+      the lazy-TTL bounds' (ts_s, seq) fold — and HOLDS on the adversarial
       funnel fixture, whose ids interleave across seconds but never invert
       within one.
     - ``scope="global"``: event_id must be ts-monotone over the whole
@@ -2333,17 +2334,19 @@ def _assert_event_id_ts_monotone(
 
 
 def funnel_kernel(key, pdfs, state):
-    """Per-user funnel stage record: (k1, k2, k3) composite-key slots, each
-    filling at most once, in arrival-key order — shared by the catalog
-    entry and the checkpoint-recovery test (tests/test_recovery.py).
+    """Per-user funnel stage record: three (t, e) arrival-key slots, each
+    filling at most once, in lexicographic-key order — shared by the
+    catalog entry and the checkpoint-recovery test (tests/test_recovery.py).
 
-    Vectorized (VERDICT r04 #5): each slot is a masked numpy min over the
-    batch's composite keys instead of a per-row Python fold — the fold's
-    sequential dependency survives as three ordered fills (a later slot's
-    candidates are filtered by the earlier slot's key), which is exactly
-    the min-over-k chain the DuckDB oracle runs. No sort needed: min is
-    order-free, and the k > prev filters encode the arrival-order contract
-    under the time-ordered chunked replay.
+    Vectorized (VERDICT r04 #5): each slot is a masked numpy lexicographic
+    min over the batch's (t, e) pairs instead of a per-row Python fold —
+    the fold's sequential dependency survives as three ordered fills (a
+    later slot's candidates are filtered strictly-after the earlier slot's
+    pair), which is exactly the min-over-k chain the DuckDB oracle runs.
+    No sort needed: min is order-free, and the strictly-after filters
+    encode the arrival-order contract under the time-ordered chunked
+    replay. Pairs, not a packed bigint (r08): packing capped event_id at
+    1e6 — the 100x scale probe tripped it; int64 pairs hold any id.
 
     Per-call overhead trimmed (VERDICT r05 #4 — the entry's cost is per-key
     kernel invocations, not kernel arithmetic): a COMPLETE funnel (all
@@ -2354,33 +2357,49 @@ def funnel_kernel(key, pdfs, state):
     """
     import pandas as _pd
 
-    k1, k2, k3 = state.get if state.exists else (None, None, None)
-    if k3 is not None:
+    t1, e1, t2, e2, t3, e3 = (
+        state.get if state.exists else (None,) * 6
+    )
+    if t3 is not None:
         # Nothing can ever be emitted again; keep the record as-is.
-        state.update((k1, k2, k3))
+        state.update((t1, e1, t2, e2, t3, e3))
         return
     out = []
     chunks = list(pdfs)
     rows = chunks[0] if len(chunks) == 1 else _pd.concat(chunks)
     uid = int(key[0])
     et = rows["event_type"].to_numpy()
-    ks = rows["k"].to_numpy()
-    if k1 is None:
-        v = ks[et == "view"]
-        if v.size:
-            k1 = int(v.min())
+    ts = rows["t"].to_numpy()
+    es = rows["e"].to_numpy()
+
+    def lexmin(mask):
+        """Lexicographic min (t, e) among masked rows, or None."""
+        if not mask.any():
+            return None
+        tm, em = ts[mask], es[mask]
+        t_min = tm.min()
+        return int(t_min), int(em[tm == t_min].min())
+
+    def after(mask, t0, e0):
+        """Strictly after (t0, e0) in lexicographic order."""
+        return mask & ((ts > t0) | ((ts == t0) & (es > e0)))
+
+    if t1 is None:
+        got = lexmin(et == "view")
+        if got is not None:
+            t1, e1 = got
             out.append((uid, 1))
-    if k1 is not None and k2 is None:
-        s = ks[(et == "signup") & (ks > k1)]
-        if s.size:
-            k2 = int(s.min())
+    if t1 is not None and t2 is None:
+        got = lexmin(after(et == "signup", t1, e1))
+        if got is not None:
+            t2, e2 = got
             out.append((uid, 2))
-    if k2 is not None and k3 is None:
-        p = ks[(et == "purchase") & (ks > k2)]
-        if p.size:
-            k3 = int(p.min())
+    if t2 is not None and t3 is None:
+        got = lexmin(after(et == "purchase", t2, e2))
+        if got is not None:
+            t3, e3 = got
             out.append((uid, 3))
-    state.update((k1, k2, k3))
+    state.update((t1, e1, t2, e2, t3, e3))
     if out:
         yield _pd.DataFrame(out, columns=["user_id", "stage"])
 
@@ -2589,14 +2608,29 @@ def funnel_state_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     second entry reads the already-committed state instead of re-running
     the stream, which is exactly how an offline state inspection behaves
     against a production checkpoint.
+
+    Output encoding: the ENGINE state is uncapped (t, e) pairs (r08,
+    FUNNEL_STATE_SCHEMA note); this scan reports each slot in the
+    oracle's packed spelling t*1e6 + e, which is faithful exactly when
+    event_id < 1e6 — true of every driver fixture, and asserted loudly in
+    the projection so an out-of-range id can never silently corrupt the
+    comparison (a deployment inspecting arbitrary-id state reads the
+    pairs directly instead).
     """
     from .state_reader import read_state
 
     _sink, ckpt = _funnel_drained(spark, sf_dir)
     st = read_state(spark, ckpt)
+
+    def packed(slot: int):
+        t, e = f"value.groupState.t{slot}", f"value.groupState.e{slot}"
+        return F.expr(
+            f"{t} * 1000000 + {e} + coalesce(cast(assert_true("
+            f"{e} IS NULL OR ({e} >= 0 AND {e} < 1000000), "
+            f"'funnel scan packed-key display: event_id outside [0, 1e6); "
+            f"read the (t, e) state pairs directly') AS BIGINT), 0)"
+        ).alias(f"k{slot}")
+
     return st.select(
-        F.col("key.user_id").alias("user_id"),
-        F.col("value.groupState.k1").alias("k1"),
-        F.col("value.groupState.k2").alias("k2"),
-        F.col("value.groupState.k3").alias("k3"),
+        F.col("key.user_id").alias("user_id"), packed(1), packed(2), packed(3)
     )

@@ -131,7 +131,8 @@ class _FakeGroupState:
 
 
 def _sequential_fold(seq):
-    """Reference: one pass over (event_type, k) in arrival (k) order."""
+    """Reference: one pass over (event_type, (t, e)) in arrival order —
+    tuple comparison IS the lexicographic order the kernel implements."""
     k1 = k2 = k3 = None
     emits = []
     for et, k in seq:
@@ -141,7 +142,8 @@ def _sequential_fold(seq):
             k2, _ = k, emits.append(2)
         elif k2 is not None and k3 is None and et == "purchase" and k > k2:
             k3, _ = k, emits.append(3)
-    return (k1, k2, k3), emits
+    flat = lambda p: (None, None) if p is None else p  # noqa: E731
+    return (*flat(k1), *flat(k2), *flat(k3)), emits
 
 
 @settings(max_examples=200, deadline=None)
@@ -160,10 +162,13 @@ def test_funnel_kernel_matches_sequential_fold(data, keys, cuts):
     slots filled across batch boundaries and several slots filled inside
     one batch. This is the exact invariant the replay-order guard protects:
     time-ordered chunk delivery makes real micro-batches contiguous
-    ascending-k, and under that precondition min-over-eligible per batch
-    must reproduce arrival order. Emit-once rides along: each stage must
-    surface exactly once, in the batch containing its filling event."""
-    ks = sorted(keys)[: len(data)]
+    ascending-key, and under that precondition lexicographic-min-over-
+    eligible per batch must reproduce arrival order. Emit-once rides
+    along: each stage must surface exactly once, in the batch containing
+    its filling event. Keys are (t, e) pairs (r08, uncapped slots);
+    divmod by 1000 maps the generated ascending ints onto pairs with
+    plenty of same-t ties, exercising the e tiebreak."""
+    ks = [divmod(k, 1000) for k in sorted(keys)[: len(data)]]
     seq = list(zip(data[: len(ks)], ks))
     bounds = sorted({c for c in cuts if c < len(seq)})
     batches = []
@@ -178,12 +183,13 @@ def test_funnel_kernel_matches_sequential_fold(data, keys, cuts):
         pdf = pd.DataFrame(
             {
                 "event_type": [et for et, _ in batch],
-                "k": pd.array([k for _, k in batch], dtype="int64"),
+                "t": pd.array([t for _, (t, _e) in batch], dtype="int64"),
+                "e": pd.array([e for _, (_t, e) in batch], dtype="int64"),
             }
         )
         for out in funnel_kernel((7,), iter([pdf]), state):
             emitted.extend(out["stage"].tolist())
             assert (out["user_id"] == 7).all()
     expect_state, expect_emits = _sequential_fold(seq)
-    assert (state.get if state.exists else (None, None, None)) == expect_state
+    assert (state.get if state.exists else (None,) * 6) == expect_state
     assert emitted == expect_emits

@@ -102,6 +102,33 @@ def test_bench_prev_baseline_reads_round_artifacts():
     assert prev["prefix_total"] >= prev["core_total"]
 
 
+def test_bench_prev_baseline_prefers_round_artifact_totals(tmp_path):
+    """Once the compact line carries totals (r08+), the per-round artifact
+    outranks the re-run-overwritable full map; the full map still supplies
+    the per-entry queries for the tripwire."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    (tmp_path / "bench_result.json").write_text(json.dumps({
+        "queries": {"q1_pricing_summary": 1.0, "keyed_state_ttl_strict": 2.0}
+    }))
+    (tmp_path / "BENCH_r08.json").write_text(json.dumps({
+        "core_total": 41.5, "prefix_total": 119.25
+    }))
+    (tmp_path / "BENCH_r07.json").write_text(json.dumps({}))
+    prev = bench._prev_bench(str(tmp_path))
+    assert prev["round"] == 8
+    assert prev["core_total"] == 41.5
+    assert prev["prefix_total"] == 119.25
+    assert prev["source"] == "BENCH_r08.json"
+    assert prev["queries"] == {
+        "q1_pricing_summary": 1.0, "keyed_state_ttl_strict": 2.0
+    }
+    # Missing everything degrades cleanly.
+    empty = bench._prev_bench(str(tmp_path / "nope"))
+    assert empty["round"] is None and empty["queries"] == {}
+
+
 def test_entry_returns_rows(spark, sf_dir_small):
     mod = _load_entry()
     df = mod.entry(spark)

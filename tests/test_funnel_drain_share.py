@@ -105,6 +105,50 @@ def test_wallclock_entries_share_one_drain(spark, sf_dir_small):
         sq._WALLCLOCK_DRAIN_MEMO.clear()
 
 
+def test_virtual_drain_bindings_equal_solo_drains(spark, sf_dir_small):
+    """VERDICT r07 #4: the shared triple-binding virtual-clock drain must
+    reproduce each binding's SOLO drain outcomes exactly — the strict
+    kernels despite the chunked replay (the documented invariance argument)
+    and the lazy kernel's whole bounds row. Solo references run the same
+    production kernels through the pre-share _run_ttl_summary path."""
+    sq._VIRTUAL_DRAIN_MEMO.clear()
+    try:
+        # Shared-drain outcomes, per strict binding.
+        shared = {
+            name: sorted(
+                map(
+                    tuple,
+                    sq._get_outcome_summary(
+                        sq._virtual_binding_outcomes(spark, sf_dir_small, name)
+                    ).collect(),
+                )
+            )
+            for name in sq._PER_QUERY_TTLS
+        }
+        assert len(sq._VIRTUAL_DRAIN_MEMO) == 1, "bindings must share a drain"
+        # Solo single-batch drains with the same resolved TTLs.
+        for name, ttl_s in sq._PER_QUERY_TTLS.items():
+            conf = {
+                "spark.sql.streaming.stateStore.strictExpire": "true",
+                f"spark.sql.streaming.stateStore.stateExpirySecs.{name}": str(ttl_s),
+            }
+            solo = sorted(
+                map(tuple, sq._run_ttl_summary(spark, sf_dir_small, conf, name).collect())
+            )
+            assert shared[name] == solo and solo, name
+        # The lazy binding's bounds sandwich must hold on the shared drain.
+        row = sq.keyed_state_ttl_lazy_bounds(spark, sf_dir_small).collect()[0]
+        assert row["n_violation_keys"] == 0
+        (memo, entries, _cleanup) = sq.SHARED_DRAIN_MEMOS["virtual_kv"]
+        assert memo is sq._VIRTUAL_DRAIN_MEMO
+        assert entries == {
+            "keyed_state_ttl_per_query",
+            "keyed_state_ttl_lazy_bounds",
+        }
+    finally:
+        sq._VIRTUAL_DRAIN_MEMO.clear()
+
+
 def test_both_entries_describe_one_pipeline(spark, sf_dir_small):
     """stage counts derived from the sink must agree with the state scan's
     records: n_users at stage s == number of state rows with slot s set."""
