@@ -72,10 +72,9 @@ PROBE_ENTRIES = [
     "user_gap_median_builtin",
 ]
 
-# Optional subset filter, e.g. for a 100x decade where entries with a
-# PROCESSING-TIME drain deadline (run_stream_drain_wallclock's 180 s —
-# keyed_state_wallclock_finite_bounds) would trip the harness timeout the
-# engine doesn't own. availableNow drains have no wall deadline and stay in.
+# Optional subset filter for partial decades (the wall-clock drain's stall
+# deadline scales with input size since r08, so the full list runs at any
+# factor; the knob remains for quick targeted probes).
 _subset = os.environ.get("SPARK_GRAFT_SCALEPROBE_ENTRIES")
 if _subset:
     PROBE_ENTRIES = [q for q in PROBE_ENTRIES if q in _subset.split(",")]

@@ -1531,11 +1531,18 @@ def _wallclock_kv_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # numInputRows is a SOURCE metric — it counts rows before the
     # binding-explode doubles them, so the drain target is the raw count.
     n_rows = load_table(spark, sf_dir, "events").count()
+    # The drain deadline is a STALL detector, not a size cap: scale it
+    # with the input so a healthy 10-100x run (observed kernel throughput
+    # ~10^5 rows/s) never trips it — the floor rate here is ~2K rows/s,
+    # ~50x slower than healthy, so a genuine stall still fails fast
+    # relative to the workload size (r08; the 100x probe needs this).
+    timeout_s = max(180.0, n_rows / 2000.0)
     out = _with_state_parts(
         spark,
         16,
         lambda: run_stream_drain_wallclock(
-            stream, n_input_rows=n_rows, output_mode="append"
+            stream, n_input_rows=n_rows, output_mode="append",
+            timeout_s=timeout_s,
         ),
     )
     _WALLCLOCK_DRAIN_MEMO[key] = out

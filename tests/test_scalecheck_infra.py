@@ -61,6 +61,15 @@ def test_spark_regressions_flags_only_real_growth():
     assert scalecheck.spark_regressions(cur, None) == []
 
 
+def test_isolated_spark_s_measures_build_plus_collect(spark, sf_dir_small):
+    """VERDICT r07 #3: the auto-adjudication path must produce a sane
+    best-of-N (build + collect) number for any catalog entry, with the
+    bench memo contract (run 1 keeps memo state, later runs clear the
+    entry's own memos) — pinned on a cheap batch entry."""
+    s = scalecheck.isolated_spark_s(spark, "q6_forecast_revenue", sf_dir_small, 2)
+    assert 0.0 < s < 60.0
+
+
 def test_refresh_parity_note_rewrites_marker_block(tmp_path):
     root = str(tmp_path)
     (tmp_path / "PARITY.md").write_text(
