@@ -413,10 +413,12 @@ def main() -> None:
     # each flagged entry best-of-3 at the END of the sweep — after the
     # session tail's provider/memo churn — and record both numbers, so the
     # noise-vs-real adjudication lives in the artifact, not a commit
-    # message. Skipped when the flagged count is absurd (systemic slowdown:
-    # re-running everything would double the wall clock for no signal).
-    for r in regressions[:8]:
-        r["isolated_s"] = round(run_query(spark, r["entry"], SF_DIR, 3), 3)
+    # message. Skipped entirely past 8 flags (same guard as scalecheck):
+    # that many is a systemic environment slowdown, where per-entry
+    # re-runs add wall clock without signal.
+    if len(regressions) <= 8:
+        for r in regressions:
+            r["isolated_s"] = round(run_query(spark, r["entry"], SF_DIR, 3), 3)
     # Streaming throughput vs the BASELINE.md >= 10K events/s target: the
     # streaming_hourly_agg timing is a full drain (availableNow) of the
     # events fixture through the RocksDB-backed stateful aggregation.
