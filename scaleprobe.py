@@ -24,6 +24,11 @@ Scaled-fixture construction (deterministic, never touches /root/testdata):
   fabricated quadratic cross-copy near-dup blowup that would fail the
   linearity assertion for reasons the engine doesn't own).
 - ``lineitem`` x10: copy k shifts l_orderkey; measures scan+agg linearity.
+- ``embeddings`` x10: copy k shifts vec_id and multiplies each dimension by
+  a deterministic per-(copy, dim) sign — an exact ISOMETRY (every
+  intra-copy cosine, norm, LSH-bucket structure is preserved up to the
+  hyperplane draw) while cross-copy cosines collapse to ~N(0, 1/sqrt(d)),
+  so no fabricated cross-copy near-dups reach any similarity threshold.
 - every other table is symlinked unscaled (dimension tables don't grow 10x
   when a corpus does).
 """
@@ -53,7 +58,7 @@ FACTOR = int(os.environ.get("SPARK_GRAFT_SCALEPROBE_FACTOR", "10"))
 # under 2x that. Anything past it is flagged superlinear.
 SLACK = 2.0
 
-SCALED_TABLES = ("events", "documents", "lineitem")
+SCALED_TABLES = ("events", "documents", "lineitem", "embeddings")
 
 # The heaviest Spark-cost entries from the scalecheck series (one per
 # distinct execution shape): iterative CC, the LSH pair generators, the
@@ -70,6 +75,15 @@ PROBE_ENTRIES = [
     "keyed_state_ttl_lazy_bounds",
     "user_gap_median",
     "user_gap_median_builtin",
+    # vector-search family: bounded-query brute force vs a growing corpus.
+    # dedup_embedding_cosine is deliberately NOT probed: at its 0.4
+    # cosine threshold in 64 dims, UNRELATED vectors collide in the
+    # distribution tail at rate ~N^2 x P(cos >= 0.4), so the operator's
+    # OUTPUT is inherently quadratic-ish in corpus size — replicas showed
+    # exactly that (sign-flip isometry copies, 301 tail pairs across
+    # copies at 3x small-fixture scale). A linearity assertion there
+    # would measure the threshold semantics, not the engine.
+    "similarity_cosine_topk",
 ]
 
 # Optional subset filter for partial decades (the wall-clock drain's stall
@@ -142,6 +156,32 @@ def build_scaled_dir(spark, base_dir: str, out_dir: str, factor: int) -> None:
     for c in copies[1:]:
         out = out.unionByName(c)
     out.write.parquet(table_path(out_dir, "documents"))
+
+    emb = spark.read.parquet(table_path(base_dir, "embeddings"))
+    v_stride = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    copies = []
+    for k in range(factor):
+        flipped = (
+            F.col("embedding")
+            if k == 0
+            # Per-(copy, dim) Rademacher sign via hash parity: exact
+            # intra-copy isometry, ~zero cross-copy cosine (docstring).
+            else F.expr(
+                f"transform(embedding, (x, i) -> CASE WHEN "
+                f"pmod(hash(i, {k}), 2) = 0 THEN x ELSE -x END)"
+            )
+        )
+        copies.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(k * v_stride)).alias("vec_id"),
+                flipped.alias("embedding"),
+                "label",
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.parquet(table_path(out_dir, "embeddings"))
 
     li = spark.read.parquet(table_path(base_dir, "lineitem"))
     l_stride = li.agg(F.max("l_orderkey")).collect()[0][0] + 1

@@ -95,3 +95,17 @@ def test_scaled_fixtures_preserve_contracts(spark, sf_dir_small, tmp_path):
 
     li = load_table(spark, out, "lineitem")
     assert li.count() == 3 * load_table(spark, sf_dir_small, "lineitem").count()
+
+    # Embeddings: per-copy sign flips are an exact isometry (intra-copy
+    # cosines unchanged); cross-copy cosines collapse toward 0 but their
+    # TAIL still crosses low thresholds — which is why the near-dup entry
+    # stays out of PROBE_ENTRIES (see the note there). The probed top-k
+    # entry's contract: the query set is the bounded copy-0 prefix, so the
+    # OUTPUT is factor-independent while the scanned corpus grows.
+    emb = load_table(spark, out, "embeddings")
+    base_emb = load_table(spark, sf_dir_small, "embeddings")
+    assert emb.count() == 3 * base_emb.count()
+    from spark_states_spark.functions.similarity import similarity_cosine_topk
+
+    base_topk = similarity_cosine_topk(spark, sf_dir_small).count()
+    assert similarity_cosine_topk(spark, out).count() == base_topk
