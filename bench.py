@@ -168,7 +168,11 @@ HEADLINE = [
     # They join the EXTENDED tier (single run); the 98-entry historical
     # series stays intact as the prefix.
     "agg_cube_orders",
-    "user_gap_median",
+    # r09: `user_gap_median` (the grouped-Pandas spelling) is demoted from
+    # the headline (VERDICT r08 #2/#4): its purpose — measuring the Arrow-
+    # crossing cost against `user_gap_median_builtin` — is fulfilled and
+    # recorded (BASELINE.md r09 notes). It stays a catalog entry, verified
+    # by scalecheck and the driver's correctness window.
     "scalar_math_funcs",
     "window_rank_family",
     "streaming_sliding_window_update",
@@ -193,6 +197,12 @@ _ROOT = os.path.dirname(os.path.abspath(__file__))
 # noise whatever the ratio).
 _REGRESSION_FLOOR_S = 0.5
 _REGRESSION_RATIO = 2.0
+# Past this many tripwire flags the slowdown is systemic (a contended box,
+# not N independent plan regressions) — adjudicated by a BOUNDED probe
+# instead of per-entry re-runs (VERDICT r08 #1: the old skip-entirely guard
+# shipped the one driver run that needed adjudication without one).
+_SYSTEMIC_FLAGS = 8
+_CANARY = "q1_pricing_summary"
 
 
 def _prev_bench(root: str = _ROOT) -> dict:
@@ -292,6 +302,77 @@ def _regressions_vs_prev(
     return sorted(out, key=lambda r: -r["ratio"])
 
 
+def _adjudicate_tripwires(
+    regressions: list[dict],
+    rerun,
+    prev_queries: dict[str, float],
+    canary: str | None = _CANARY,
+) -> dict | None:
+    """Stamp isolated re-run numbers into tripwire rows so the artifact
+    carries its own noise-vs-real verdict (VERDICT r07 #3 / r08 #1).
+
+    - ``len(regressions) <= _SYSTEMIC_FLAGS``: every flagged row gets an
+      ``isolated_s`` (best-of-N, memos cleared); returns None — per-row
+      numbers ARE the adjudication.
+    - more flags than that = a systemic environment slowdown. Per-entry
+      re-runs of every row add wall clock without signal, but SKIPPING
+      adjudication shipped the r08 driver artifact with 9 unexplained
+      flags. Instead: a BOUNDED probe — the 3 worst flagged entries plus a
+      fixed fast canary — best-of-N each, and a stamped verdict:
+      ``systemic_contention`` is true iff every probed flagged entry lands
+      back at previous levels (isolated ratio <= the tripwire threshold) OR
+      the canary itself is slow at probe time (the box is still contended,
+      so nothing can be concluded against the engine).
+
+    ``rerun(name) -> seconds`` does the isolated best-of-N measurement;
+    split out so a synthetic slow-run test can exercise the verdict logic
+    without a Spark session.
+    """
+    if len(regressions) <= _SYSTEMIC_FLAGS:
+        for r in regressions:
+            r["isolated_s"] = rerun(r["entry"])
+        return None
+    probe: dict[str, dict] = {}
+    for r in regressions[:3]:  # already sorted worst-ratio-first
+        r["isolated_s"] = rerun(r["entry"])
+        probe[r["entry"]] = {
+            "role": "flagged",
+            "prev_s": r["prev_s"],
+            "swept_s": r["now_s"],
+            "isolated_s": r["isolated_s"],
+            "isolated_ratio": round(
+                r["isolated_s"] / max(r["prev_s"], _REGRESSION_FLOOR_S), 2
+            ),
+        }
+    canary_slow = False
+    if canary and canary not in probe:
+        row: dict = {"role": "canary", "isolated_s": rerun(canary)}
+        prev = prev_queries.get(canary)
+        if prev is not None:
+            row["prev_s"] = prev
+            row["isolated_ratio"] = round(
+                row["isolated_s"] / max(prev, _REGRESSION_FLOOR_S), 2
+            )
+            # A historically sub-second canary only testifies to contention
+            # when its isolated number clears the noise floor outright.
+            canary_slow = (
+                row["isolated_s"] >= _REGRESSION_FLOOR_S
+                and row["isolated_ratio"] > _REGRESSION_RATIO
+            )
+        probe[canary] = row
+    flagged_cleared = all(
+        row["isolated_ratio"] <= _REGRESSION_RATIO
+        for row in probe.values()
+        if row["role"] == "flagged"
+    )
+    return {
+        "systemic_contention": flagged_cleared or canary_slow,
+        "flagged_cleared": flagged_cleared,
+        "canary_slow": canary_slow,
+        "probe": probe,
+    }
+
+
 def _unload_state_providers(spark) -> None:
     """Drop every loaded state-store provider and its maintenance thread.
 
@@ -359,7 +440,10 @@ def _clear_entry_memos(name: str) -> None:
         pass
 
 
-def run_query(spark, name: str, sf_dir: str, n_runs: int = 3) -> float:
+def run_query(
+    spark, name: str, sf_dir: str, n_runs: int = 3,
+    clear_memos_first: bool = False,
+) -> float:
     """Steady-state latency: best of ``n_runs``, cache cleared before each.
 
     The first execution of a plan shape absorbs JVM codegen/JIT warm-up
@@ -367,12 +451,20 @@ def run_query(spark, name: str, sf_dir: str, n_runs: int = 3) -> float:
     intermediates from turning the second run into a cache read. Best-of-3
     (was 2) damps run-environment noise — the BENCH_r02-vs-r01 +34% swing
     on untouched queries was machine noise, not code (VERDICT r02).
+
+    ``clear_memos_first`` also clears the entry's shared-drain memos before
+    run 1 (ADVICE r08): at the END of a full sweep every memo is warm, so
+    an isolated ADJUDICATION re-run of a drain CARRIER would otherwise time
+    a near-zero memo read on run 1 and best-of-N would record that —
+    mislabeling a genuine carrier regression as session noise. The official
+    full-sweep mode keeps run 1's memo state (cross-entry sharing is the
+    thing being measured there).
     """
     best = float("inf")
     for i in range(n_runs):
         spark.catalog.clearCache()
         _unload_state_providers(spark)
-        if i > 0:
+        if i > 0 or clear_memos_first:
             _clear_entry_memos(name)
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
@@ -409,16 +501,21 @@ def main() -> None:
     core_total = round(sum(timings[q] for q in core), 3)
     prefix_total = round(sum(timings[q] for q in prefix), 3)
     regressions = _regressions_vs_prev(timings, prev["queries"])
-    # Auto isolated re-run for tripwire hits (VERDICT r07 #3): re-measure
-    # each flagged entry best-of-3 at the END of the sweep — after the
-    # session tail's provider/memo churn — and record both numbers, so the
-    # noise-vs-real adjudication lives in the artifact, not a commit
-    # message. Skipped entirely past 8 flags (same guard as scalecheck):
-    # that many is a systemic environment slowdown, where per-entry
-    # re-runs add wall clock without signal.
-    if len(regressions) <= 8:
-        for r in regressions:
-            r["isolated_s"] = round(run_query(spark, r["entry"], SF_DIR, 3), 3)
+    # Auto isolated re-run for tripwire hits (VERDICT r07 #3 / r08 #1):
+    # re-measure flagged entries best-of-3 at the END of the sweep — after
+    # the session tail's provider/memo churn — so the noise-vs-real
+    # adjudication lives in the artifact, not a commit message. Past
+    # _SYSTEMIC_FLAGS, a bounded probe (worst 3 + canary) stamps a
+    # systemic_contention verdict instead (the r08 driver run flagged 9
+    # and the old skip guard shipped it unadjudicated).
+    contention = _adjudicate_tripwires(
+        regressions,
+        rerun=lambda name: round(
+            run_query(spark, name, SF_DIR, 3, clear_memos_first=True), 3
+        ),
+        prev_queries=prev["queries"],
+        canary=_CANARY if _CANARY in timings else None,
+    )
     # Streaming throughput vs the BASELINE.md >= 10K events/s target: the
     # streaming_hourly_agg timing is a full drain (availableNow) of the
     # events fixture through the RocksDB-backed stateful aggregation.
@@ -437,6 +534,8 @@ def main() -> None:
         "drain_groups": _drain_groups(timings),
         "regressions_vs_prev": regressions,
     }
+    if contention is not None:
+        result["contention"] = contention
     # Throughput reflects the PRODUCTION recipe (update-mode, watermark-
     # evicting state — VERDICT r03 #4), falling back to the complete-mode
     # harness only if the update entry was excluded from a subset run.
@@ -487,19 +586,33 @@ def main() -> None:
         "queries": slowest,
         "queries_full": os.path.basename(out_path),
     }
+    if contention is not None:
+        # The systemic-slowdown verdict must ride the driver-recorded line
+        # (the probe detail lives in the full artifact).
+        compact["systemic_contention"] = contention["systemic_contention"]
     for k in ("streaming_events_per_sec", "streaming_events_per_sec_query"):
         if k in result:
             compact[k] = result[k]
     # <1 KB line contract (the driver keeps a bounded stdout tail): shrink
     # instead of asserting (ADVICE r07's scalecheck finding applies here
-    # too) — drop slowest-map entries, then the pointer keys.
+    # too) — drop slowest-map entries, then the pointer keys, and finally
+    # (ADVICE r08: the drops alone had no guarantee) fall back to a minimal
+    # fixed-key core whose size is bounded by construction.
     line = json.dumps(compact)
     while len(line) >= 1000 and compact["queries"]:
         compact["queries"].popitem()
         line = json.dumps(compact)
     if len(line) >= 1000:
         compact.pop("queries_full", None)
+        compact.pop("drain_sums", None)
         line = json.dumps(compact)
+    if len(line) >= 1000:
+        minimal_keys = (
+            "metric", "value", "unit", "sf", "n_queries", "worst_sec",
+            "core_total", "prefix_total", "n_regressions",
+            "systemic_contention",
+        )
+        line = json.dumps({k: compact[k] for k in minimal_keys if k in compact})
     # Unload providers BEFORE stop: most of the shutdown stderr flood that
     # ate BENCH_r04 was provider-unload churn racing the dying RpcEnv.
     _unload_state_providers(spark)

@@ -96,20 +96,21 @@ def isolated_spark_s(spark, name: str, sf_dir: str, n_runs: int = 3) -> float:
 
     VERDICT r07 #2/#3: when the sweep's tripwire flags an entry, the
     adjudication (is it plan regression or session-tail noise?) must land
-    in the artifact, not a commit message. Same memo contract as
-    bench.run_query: run 1 keeps memo state (a shared-drain reader stays a
-    reader), later runs clear the entry's OWN memos so best-of-N can't
-    degenerate to timing a memo read for the drain carrier."""
+    in the artifact, not a commit message. Memo contract (ADVICE r08):
+    this re-run is explicitly ISOLATED, so the entry's shared-drain memos
+    are cleared before EVERY run including the first — at the end of the
+    sweep all memos are warm, and keeping run 1's state would let a drain
+    carrier's best-of-N degenerate to timing a memo read, mislabeling a
+    genuine carrier regression as session noise."""
     import time as _time
 
     from bench import _clear_entry_memos, _unload_state_providers
 
     best = float("inf")
-    for i in range(n_runs):
+    for _ in range(n_runs):
         spark.catalog.clearCache()
         _unload_state_providers(spark)
-        if i > 0:
-            _clear_entry_memos(name)
+        _clear_entry_memos(name)
         t0 = _time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
         df.collect()
@@ -208,19 +209,27 @@ def main() -> int:
         print(f"[{i}/{len(ORACLES)}] {name}: {status} {entry_s[name]}s", flush=True)
     prev = previous_artifact(rnd)
     regressions = spark_regressions(entry_spark_s, prev)
-    # Auto-adjudicate tripwire hits (VERDICT r07 #3): re-run each flagged
-    # entry isolated best-of-3 at the sweep's end and record both numbers
-    # in the regression row. Bounded at 8 — more flags than that is a
-    # systemic environment slowdown, where per-entry re-runs add wall time
-    # without signal (the r07 +6.7% across-the-board case).
-    if len(regressions) <= 8:
-        for r in regressions:
-            try:
-                r["isolated_s"] = round(
-                    isolated_spark_s(spark, r["entry"], SF_DIR), 2
-                )
-            except Exception as exc:  # noqa: BLE001 — advisory only
-                r["isolated_err"] = str(exc)[:200]
+    # Auto-adjudicate tripwire hits (VERDICT r07 #3 / r08 #1): re-run each
+    # flagged entry isolated best-of-3 at the sweep's end and record both
+    # numbers in the regression row. Past bench._SYSTEMIC_FLAGS, a bounded
+    # probe (worst 3 + the q1 canary) stamps a systemic_contention verdict
+    # instead of skipping adjudication outright — the r08 skip shipped the
+    # one run that needed it unadjudicated.
+    from bench import _adjudicate_tripwires
+
+    def _rerun(name: str) -> float:
+        return round(isolated_spark_s(spark, name, SF_DIR), 2)
+
+    contention = None
+    try:
+        contention = _adjudicate_tripwires(
+            regressions, _rerun,
+            prev_queries=prev.get("entry_spark_s", {}) if prev else {},
+            canary="q1_pricing_summary" if "q1_pricing_summary" in ORACLES
+            else None,
+        )
+    except Exception as exc:  # noqa: BLE001 — adjudication is advisory
+        print(f"WARN: tripwire adjudication failed: {exc}")
     result = {
         "sf_dir": SF_DIR,
         "n_entries": len(ORACLES),
@@ -234,6 +243,8 @@ def main() -> int:
         "spark_regressions_vs_prev": regressions,
         "prev_round": prev.get("_round") if prev else None,
     }
+    if contention is not None:
+        result["contention"] = contention
     out = os.path.join(
         _ROOT, f"SCALECHECK_r{rnd:02d}.json" if rnd else "SCALECHECK.json"
     )
@@ -268,12 +279,22 @@ def main() -> int:
         for k, v in result.items()
         if k not in ("failures", "entry_wall_s_incl_oracle", "entry_spark_s")
     }
+    if contention is not None:
+        # The verdict bool rides the line; the probe detail stays in the
+        # artifact (the full dict could push the line past the tail cap).
+        summary["contention"] = contention["systemic_contention"]
     line = json.dumps(summary)
     for drop in ("sf_dir", "prev_round", "elapsed_s"):
         if len(line) < 1000:
             break
         summary.pop(drop, None)
         line = json.dumps(summary)
+    if len(line) >= 1000:
+        # Bounded-by-construction core (ADVICE r08: the drop list alone had
+        # no final guarantee against a pathological key combination).
+        minimal_keys = ("n_entries", "n_pass", "spark_regressions_vs_prev",
+                        "contention")
+        line = json.dumps({k: summary[k] for k in minimal_keys if k in summary})
     print(line)
     return 1 if failures else 0
 

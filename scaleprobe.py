@@ -73,18 +73,35 @@ PROBE_ENTRIES = [
     "streaming_funnel_stages",
     "keyed_state_wallclock_finite_bounds",
     "keyed_state_ttl_lazy_bounds",
-    "user_gap_median",
+    # r09: the grouped-Pandas `user_gap_median` no longer occupies a probe
+    # slot (VERDICT r08 #2: its crossing-cost measurement vs the builtin
+    # sibling is recorded — 26× at 100×, BASELINE.md); the JVM spelling
+    # keeps the decade coverage for the gap-median shape.
     "user_gap_median_builtin",
-    # vector-search family: bounded-query brute force vs a growing corpus.
-    # dedup_embedding_cosine is deliberately NOT probed: at its 0.4
-    # cosine threshold in 64 dims, UNRELATED vectors collide in the
-    # distribution tail at rate ~N^2 x P(cos >= 0.4), so the operator's
-    # OUTPUT is inherently quadratic-ish in corpus size — replicas showed
-    # exactly that (sign-flip isometry copies, 301 tail pairs across
-    # copies at 3x small-fixture scale). A linearity assertion there
-    # would measure the threshold semantics, not the engine.
+    # vector-search family (VERDICT r08 #2): bounded-query brute force,
+    # both ANN variants, and the near-dup pair generator vs a growing
+    # corpus. The top-k entries' query set is the bounded copy-0 prefix,
+    # so their OUTPUT is factor-independent while the scanned corpus
+    # grows; dedup_embedding_cosine's output is NOT — see
+    # SEMANTIC_OUTPUT_ENTRIES.
     "similarity_cosine_topk",
+    "similarity_lsh_ann",
+    "similarity_ivf_ann",
+    "dedup_embedding_cosine",
 ]
+
+# Entries whose OUTPUT cardinality is superlinear in corpus size by the
+# operator's own semantics, not by engine inefficiency: at a 0.4 cosine
+# threshold in 64 dims, UNRELATED vectors collide in the distribution tail
+# at rate ~N^2 x P(cos >= 0.4) (sign-flip isometry replicas measured 301
+# cross-copy tail pairs at 3x small-fixture scale — r08's reason for
+# excluding the entry outright). Probing it anyway (VERDICT r08 #2) with an
+# honest yardstick: engine work is Omega(output rows), so linearity is
+# judged against max(input growth, OUTPUT growth) x SLACK — time tracking
+# its own result size is the engine doing necessary work; time outgrowing
+# BOTH input and output is the real alarm. The measured rows ratio is
+# recorded so the artifact shows which basis applied.
+SEMANTIC_OUTPUT_ENTRIES = frozenset({"dedup_embedding_cosine"})
 
 # Optional subset filter for partial decades (the wall-clock drain's stall
 # deadline scales with input size since r08, so the full list runs at any
@@ -109,7 +126,13 @@ def build_scaled_dir(spark, base_dir: str, out_dir: str, factor: int) -> None:
             continue
         os.symlink(table_path(base_dir, name), table_path(out_dir, name))
 
-    ev = spark.read.parquet(table_path(base_dir, "events"))
+    # Normalize ts through with_event_time (ADVICE r08): under the legacy
+    # TIMESTAMP(NANOS)+nanosAsLong layout ts reads as int64 nanoseconds, and
+    # a raw long→timestamp cast interprets it as SECONDS — garbage strides
+    # for every copy. with_event_time branches on the layout.
+    from spark_states_spark.sources.tables import with_event_time
+
+    ev = with_event_time(spark.read.parquet(table_path(base_dir, "events")))
     stats = ev.agg(
         F.max("event_id").alias("max_id"),
         F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("lo_us"),
@@ -301,7 +324,10 @@ def main() -> int:
     for name in PROBE_ENTRIES:
         b, s = base[name], scaled[name]
         ratio = round(s["s"] / max(b["s"], 0.05), 2)
-        linear_ok = ratio <= FACTOR * SLACK
+        basis = float(FACTOR)
+        if name in SEMANTIC_OUTPUT_ENTRIES:
+            basis = max(basis, s["rows"] / max(b["rows"], 1))
+        linear_ok = ratio <= basis * SLACK
         kind = plan_delta_kind(b["plan"], s["plan"], name)
         n_super += 0 if linear_ok else 1
         n_structural += 1 if kind == "structural" else 0
@@ -311,6 +337,16 @@ def main() -> int:
             "base_rows": b["rows"], "scaled_rows": s["rows"],
             "linear_ok": linear_ok, "plan_delta": kind,
         }
+        if name in SEMANTIC_OUTPUT_ENTRIES:
+            rows[name]["linearity_basis"] = round(basis, 2)
+            rows[name]["rows_ratio"] = round(
+                s["rows"] / max(b["rows"], 1), 2
+            )
+            rows[name]["semantic_output_note"] = (
+                "output cardinality is superlinear by threshold-tail "
+                "semantics (see SEMANTIC_OUTPUT_ENTRIES); linearity judged "
+                "vs max(factor, rows_ratio)"
+            )
         if kind == "adaptive_tier":
             rows[name]["plan_delta_note"] = ADAPTIVE_PLAN_ENTRIES[name]
         if kind != "same":

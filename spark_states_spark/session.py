@@ -27,12 +27,6 @@ ROCKSDB_PROVIDER = (
 # overridden per-deployment. Shuffle partitions should be ~2-3× total cores.
 _LOCAL_DEFAULTS = {
     "spark.sql.shuffle.partitions": "32",
-    # Local mode runs every task in the driver JVM: 32 concurrent tasks on
-    # spark-submit's 1 GiB default heap is GC-bound (the 10x scale probe
-    # flat-out dies on it). 8 GiB on the 128 GiB harness box; applies only
-    # when this process launches the JVM (ignored by getOrCreate on a live
-    # session, so tests sharing a session are unaffected mid-run).
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -81,6 +75,18 @@ def build_session(
     builder = SparkSession.builder.appName(app_name).master(master or f"local[{cpus}]")
     for k, v in _LOCAL_DEFAULTS.items():
         builder = builder.config(k, v)
+    # Local mode runs every task in the driver JVM: 32 concurrent tasks on
+    # spark-submit's 1 GiB default heap is GC-bound (the 10x scale probe
+    # flat-out dies on it). 8 GiB on the 128 GiB harness box; applies only
+    # when this process launches the JVM (ignored by getOrCreate on a live
+    # session, so tests sharing a session are unaffected mid-run). Read at
+    # CALL time, not import time — a caller (scaleprobe) that sets
+    # SPARK_GRAFT_DRIVER_MEM in main() after importing this module must
+    # still get its heap (ADVICE r08: the import-time read silently ran
+    # the 24g probe on 8g).
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    )
     if rocksdb_state:
         builder = use_rocksdb_state_store(builder)
     for k, v in (extra_conf or {}).items():

@@ -89,6 +89,87 @@ def test_bench_regression_tripwire_floors_and_ratio():
     assert rows[0]["ratio"] == 2.5
 
 
+def _synthetic_flags(n, prev_s=1.0, now_s=3.0):
+    return [
+        {"entry": f"e{i}", "prev_s": prev_s, "now_s": now_s, "ratio": 3.0}
+        for i in range(n)
+    ]
+
+
+def test_bench_adjudication_rerulls_all_rows_when_few_flag():
+    """<= _SYSTEMIC_FLAGS: every flagged row gets isolated_s, no verdict
+    block (the per-row numbers ARE the adjudication)."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    rows = _synthetic_flags(3)
+    reran = []
+    out = bench._adjudicate_tripwires(
+        rows, rerun=lambda n: (reran.append(n), 1.1)[1],
+        prev_queries={}, canary=None,
+    )
+    assert out is None
+    assert reran == ["e0", "e1", "e2"]
+    assert all(r["isolated_s"] == 1.1 for r in rows)
+
+
+def test_bench_adjudication_systemic_when_probe_clears():
+    """VERDICT r08 #1 (the synthetic slow-run case): 9+ flags no longer
+    skip adjudication — the worst 3 + canary are probed and the artifact
+    carries systemic_contention=true when they land at previous levels."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    rows = _synthetic_flags(9)
+    reran = []
+
+    def rerun(n):
+        reran.append(n)
+        return 0.3 if n == "q1_pricing_summary" else 1.1
+
+    out = bench._adjudicate_tripwires(
+        rows, rerun=rerun, prev_queries={"q1_pricing_summary": 0.3},
+    )
+    # Bounded: exactly worst-3 + the canary, not all nine.
+    assert reran == ["e0", "e1", "e2", "q1_pricing_summary"]
+    assert out["systemic_contention"] is True
+    assert out["flagged_cleared"] is True and out["canary_slow"] is False
+    assert out["probe"]["e0"]["isolated_ratio"] == 1.1
+    assert out["probe"]["q1_pricing_summary"]["role"] == "canary"
+    # Probed rows also carry isolated_s in the regression list itself.
+    assert rows[0]["isolated_s"] == 1.1 and "isolated_s" not in rows[3]
+
+
+def test_bench_adjudication_real_regression_when_probe_stays_slow():
+    sys.path.insert(0, REPO)
+    import bench
+
+    rows = _synthetic_flags(9)
+    # Flagged entries stay 3x slow isolated; the sub-second canary stays
+    # fast — the box is quiet, so the regressions are real.
+    out = bench._adjudicate_tripwires(
+        rows, rerun=lambda n: 0.3 if n == "q1_pricing_summary" else 3.0,
+        prev_queries={"q1_pricing_summary": 0.3},
+    )
+    assert out["systemic_contention"] is False
+    assert out["flagged_cleared"] is False and out["canary_slow"] is False
+
+
+def test_bench_adjudication_canary_slow_means_still_contended():
+    """Flagged entries still slow AND the canary slow => the box is still
+    contended at probe time; nothing can be concluded against the engine."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    rows = _synthetic_flags(9)
+    out = bench._adjudicate_tripwires(
+        rows, rerun=lambda n: 3.0, prev_queries={"q1_pricing_summary": 0.3},
+    )
+    assert out["canary_slow"] is True
+    assert out["systemic_contention"] is True
+    assert out["flagged_cleared"] is False
+
+
 def test_bench_prev_baseline_reads_round_artifacts():
     """_prev_bench must pick up the newest BENCH_r{N}.json round number and
     fall back to bench_result.json for totals the compact line predates."""

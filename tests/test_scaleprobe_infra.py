@@ -22,6 +22,16 @@ def test_probe_entries_resolve():
     missing = [q for q in scaleprobe.PROBE_ENTRIES if q not in QUERIES]
     assert not missing
     assert len(set(scaleprobe.PROBE_ENTRIES)) == len(scaleprobe.PROBE_ENTRIES)
+    # VERDICT r08 #2: the vector/similarity family must hold probe slots.
+    assert {
+        "similarity_cosine_topk", "similarity_lsh_ann", "similarity_ivf_ann",
+        "dedup_embedding_cosine",
+    } <= set(scaleprobe.PROBE_ENTRIES)
+    assert scaleprobe.SEMANTIC_OUTPUT_ENTRIES <= set(scaleprobe.PROBE_ENTRIES)
+    # The demoted grouped-Pandas spelling stays out (VERDICT r08 #2/#4);
+    # its JVM sibling carries the gap-median shape's decade coverage.
+    assert "user_gap_median" not in scaleprobe.PROBE_ENTRIES
+    assert "user_gap_median_builtin" in scaleprobe.PROBE_ENTRIES
 
 
 def test_plan_fingerprint_ignores_ids_but_sees_shape(spark):
@@ -99,9 +109,10 @@ def test_scaled_fixtures_preserve_contracts(spark, sf_dir_small, tmp_path):
     # Embeddings: per-copy sign flips are an exact isometry (intra-copy
     # cosines unchanged); cross-copy cosines collapse toward 0 but their
     # TAIL still crosses low thresholds — which is why the near-dup entry
-    # stays out of PROBE_ENTRIES (see the note there). The probed top-k
-    # entry's contract: the query set is the bounded copy-0 prefix, so the
-    # OUTPUT is factor-independent while the scanned corpus grows.
+    # is probed against an OUTPUT-growth-aware basis (r09,
+    # SEMANTIC_OUTPUT_ENTRIES). The probed top-k entries' contract: the
+    # query set is the bounded copy-0 prefix, so the OUTPUT is
+    # factor-independent while the scanned corpus grows.
     emb = load_table(spark, out, "embeddings")
     base_emb = load_table(spark, sf_dir_small, "embeddings")
     assert emb.count() == 3 * base_emb.count()
