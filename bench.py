@@ -247,6 +247,14 @@ def _prev_bench(root: str = _ROOT) -> dict:
         try:
             with open(best[1]) as fh:
                 rec = json.load(fh)
+            # The DRIVER-recorded artifact wraps the compact line under
+            # "parsed" ({"n": N, "rc": .., "tail": .., "parsed": {...}});
+            # builder-side copies are the bare line. Accept both — a fresh
+            # checkout has ONLY the driver wrapper (bench_result.json is
+            # gitignored), and without this the baseline silently resolves
+            # to nothing.
+            if isinstance(rec.get("parsed"), dict):
+                rec = rec["parsed"]
             out["round"] = best[0]
             # Per-round artifacts outrank the (re-run-overwritable) full
             # map for the totals once they carry them.
@@ -254,6 +262,15 @@ def _prev_bench(root: str = _ROOT) -> dict:
                 if isinstance(rec.get(k), (int, float)):
                     out[k] = rec[k]
                     out["source"] = os.path.basename(best[1])
+            # Tripwire baseline fallback: when the full map is missing,
+            # the compact line's slowest-8 is a PARTIAL baseline — better
+            # than an empty one (entries absent from it just aren't
+            # tripwire-checked this run).
+            if not out["queries"] and isinstance(rec.get("queries"), dict):
+                out["queries"] = {
+                    k: v for k, v in rec["queries"].items()
+                    if isinstance(v, (int, float))
+                }
         except (OSError, ValueError):
             pass
     return out

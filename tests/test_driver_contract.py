@@ -210,6 +210,28 @@ def test_bench_prev_baseline_prefers_round_artifact_totals(tmp_path):
     assert empty["round"] is None and empty["queries"] == {}
 
 
+def test_bench_prev_baseline_reads_driver_wrapper(tmp_path):
+    """A fresh checkout carries ONLY the driver-recorded BENCH_r{N}.json,
+    which wraps the compact line under "parsed" (bench_result.json is
+    gitignored) — the baseline must resolve totals from the wrapper and use
+    its slowest-8 queries map as a PARTIAL tripwire baseline."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    (tmp_path / "BENCH_r08.json").write_text(json.dumps({
+        "n": 8, "rc": 0, "tail": "...",
+        "parsed": {
+            "core_total": 41.266, "prefix_total": 174.401,
+            "queries": {"streaming_topk_per_day": 14.902},
+        },
+    }))
+    prev = bench._prev_bench(str(tmp_path))
+    assert prev["round"] == 8
+    assert prev["core_total"] == 41.266
+    assert prev["prefix_total"] == 174.401
+    assert prev["queries"] == {"streaming_topk_per_day": 14.902}
+
+
 def test_entry_returns_rows(spark, sf_dir_small):
     mod = _load_entry()
     df = mod.entry(spark)
