@@ -816,6 +816,41 @@ def _with_state_parts(spark: SparkSession, n: int, fn):
         spark.conf.set("spark.sql.shuffle.partitions", saved)
 
 
+_KV_SCALE_ROWS = 400_000
+
+
+def _kv_state_parts(spark: SparkSession, n_rows: int) -> int:
+    """State-partition count for the keyed-state TTL drains, scaled with
+    input size (VERDICT r08 #3): the drains' cost is per-(binding, key)
+    Python kernel invocations, not bytes. At fixture scale (sf0.1 = 100K
+    events, 1.5K keys/binding) 16 parts beat both 4 (group-skew
+    serialization) and 32 (per-batch partition setup overhead — VERDICT
+    r05 #4); past ~4× that, kernel calls dominate setup and every core
+    should host a state partition (measured at the 100× decade, r09:
+    see BASELINE.md). On a real cluster this knob is
+    ``spark.sql.shuffle.partitions`` sized to executor cores, exactly as
+    here."""
+    if n_rows <= _KV_SCALE_ROWS:
+        return 16
+    return max(16, int(spark.sparkContext.defaultParallelism))
+
+
+def _kv_sink(n_rows: int) -> str:
+    """Sink choice for the keyed-state TTL drains, same threshold as
+    :func:`_kv_state_parts` (r09, VERDICT r08 #3): these drains emit one
+    row per get op, so output scales with input. At fixture scale the
+    memory sink's driver-side buffer is bounded (≤ ~180 K rows across
+    bindings) and ~0.7 s cheaper than a file-sink round trip; past the
+    threshold the memory sink collects tens of millions of rows to the
+    driver — at the 100× decade it was 65-80% of the measured entry time
+    (lazy 271 s → 63 s, wallclock 210 s → 51 s after the switch) and its
+    32-writer append contention scaled WORSE with more state partitions.
+    The parquet path is the production shape (distributed exactly-once
+    file sink) and is value-pinned by tests/test_streaming_modes.py's
+    sink-equivalence test at sf0.001."""
+    return "memory" if n_rows <= _KV_SCALE_ROWS else "parquet"
+
+
 # Shared CTE prefix: both outer/semi oracles reason about the final global
 # watermark — Spark's multi-watermark policy is MIN over inputs (each side's
 # watermark = max event time seen on that side − its 10-min delay), advanced
@@ -1295,10 +1330,15 @@ def _virtual_kv_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    n_rows = load_table(spark, sf_dir, "events").count()
     out = _with_state_parts(
         spark,
-        _LAZY_BOUNDS_STATE_PARTS,
-        lambda: run_stream_to_table(stream, output_mode="append"),
+        _kv_state_parts(spark, n_rows),
+        # Sink scales with input (see _kv_sink): past fixture scale the
+        # drain's per-get output must not collect to the driver.
+        lambda: run_stream_to_table(
+            stream, output_mode="append", sink=_kv_sink(n_rows)
+        ),
     )
     _VIRTUAL_DRAIN_MEMO[key] = out
     return out
@@ -1539,10 +1579,12 @@ def _wallclock_kv_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     timeout_s = max(180.0, n_rows / 2000.0)
     out = _with_state_parts(
         spark,
-        16,
+        _kv_state_parts(spark, n_rows),
+        # Sink scales with input (see _kv_sink): past fixture scale the
+        # drain's per-get output must not collect to the driver.
         lambda: run_stream_drain_wallclock(
             stream, n_input_rows=n_rows, output_mode="append",
-            timeout_s=timeout_s,
+            timeout_s=timeout_s, sink=_kv_sink(n_rows),
         ),
     )
     _WALLCLOCK_DRAIN_MEMO[key] = out
@@ -1616,11 +1658,12 @@ _LAZY_BOUNDS_TTL_SECS = 21600
 # bounds sandwich is proved for ANY time-ordered chunking, and one
 # mid-stream sweep boundary already makes lazily-expired keys genuinely
 # drop mid-stream (r05 sweep: 8 chunks 7.9 s, 3 chunks ~3.0 s kernel; r06
-# drops to 2 = the chained-agg halve-batches pattern, VERDICT r05 #4). 16
-# state partitions beat both 4 (group-skew serialization, 20.9 s) and 32
-# (setup overhead) for this key cardinality.
+# drops to 2 = the chained-agg halve-batches pattern, VERDICT r05 #4).
+# State partitions scale with input size via _kv_state_parts (r09): 16 at
+# fixture scale — beat both 4 (group-skew serialization, 20.9 s) and 32
+# (setup overhead) for this key cardinality — and one per core past the
+# threshold where kernel invocations dominate.
 _LAZY_BOUNDS_CHUNKS = 2
-_LAZY_BOUNDS_STATE_PARTS = 16
 
 
 def _batch_kv_fold_bounds(
@@ -1787,9 +1830,10 @@ def keyed_state_wallclock_finite_bounds(
     — ``setTimeoutDuration`` armed at 1 day on every access, strict
     read-side elapsed check, ``ProcessingTimeTimeout`` conf — exactly the
     lifecycle a solo drain runs; only the drain's fixed micro-batch
-    infrastructure is shared. 16 state partitions (VERDICT r05 #4): this
-    drain's cost is per-key Python kernel invocations, not data — 16
-    parts beat 4 by parallelizing the kernel calls.
+    infrastructure is shared. State partitions via ``_kv_state_parts``
+    (VERDICT r05 #4 / r08 #3): this drain's cost is per-key Python kernel
+    invocations, not data — 16 parts at fixture scale, one per core once
+    kernel calls dominate.
     """
     _assert_event_id_ts_monotone(spark, sf_dir, scope="global")
     wall = _get_outcome_summary(
@@ -2214,13 +2258,13 @@ from ..catalog import SHARED_MEMOS as SHARED_DRAIN_MEMOS  # noqa: E402
 from ..catalog import register_shared_memo as _register_shared_memo  # noqa: E402
 
 def _drop_memo_sink_tables(memo: dict) -> None:
-    """Drop the memory-sink temp views a drain memo's DataFrames read.
-
-    Once the memo is cleared the sink rows are unreachable anyway, so
-    dropping the view lets the driver-side MemorySink buffer be collected
-    instead of living for the session (ADVICE r07 — the runner docstring's
-    documented bounded cost, made deterministic for the memoized drains).
+    """Release the sink a drain memo's DataFrames read — drop the
+    memory-sink temp view (so the driver-side MemorySink buffer can be
+    collected instead of living for the session, ADVICE r07) or remove the
+    parquet-sink dir (r09 — the KV drains sink to files).
     """
+    import shutil as _shutil
+
     for v in list(memo.values()):
         for item in v if isinstance(v, tuple) else (v,):
             name = getattr(item, "_sss_sink_table", None)
@@ -2229,6 +2273,9 @@ def _drop_memo_sink_tables(memo: dict) -> None:
                     item.sparkSession.catalog.dropTempView(name)
                 except Exception:
                     pass
+            d = getattr(item, "_sss_sink_dir", None)
+            if d is not None:
+                _shutil.rmtree(d, ignore_errors=True)
 
 
 _register_shared_memo(

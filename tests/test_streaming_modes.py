@@ -230,3 +230,26 @@ def test_chained_agg_runs_two_stateful_operators(spark, sf_dir):
     for i in range(2):
         assert per_op_peak[i] > 0, f"operator {i} never held state"
         assert per_op_removed[i] > 0, f"operator {i} never evicted state"
+
+
+def test_parquet_sink_matches_memory_sink(spark, sf_dir_small):
+    """Sink equivalence for the KV drains' scale path (r09): past
+    _KV_SCALE_ROWS the TTL drains switch from the memory sink to a
+    distributed exactly-once parquet sink (_kv_sink) — the rows read back
+    from the file sink must be exactly the memory sink's, so the switch can
+    never change an oracle verdict at scale."""
+    from spark_states_spark.config import resolve_ttl
+    from spark_states_spark.streaming.queries import _kv_op_select
+    from spark_states_spark.sources import chunked_stream
+    from spark_states_spark.streaming.ttl import ttl_kv_ops
+
+    ttl = resolve_ttl(
+        {"spark.sql.streaming.stateStore.stateExpirySecs": "21600"}, "q"
+    )
+    outs = {}
+    for sink in ("memory", "parquet"):
+        ops = _kv_op_select(chunked_stream(spark, sf_dir_small, "events", n_chunks=2))
+        out = run_stream_to_table(ttl_kv_ops(ops, ttl), "append", sink=sink)
+        outs[sink] = sorted(tuple(r) for r in out.collect())
+    assert outs["memory"] == outs["parquet"]
+    assert len(outs["memory"]) > 0
