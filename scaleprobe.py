@@ -253,12 +253,26 @@ _STRATEGY_NODES = frozenset({
 # Entries whose OPERATOR code itself switches plan shape on data size — the
 # documented adaptive tiers, not Catalyst strategy churn. Their 1x-vs-10x
 # plan deltas are recorded and labeled, never counted structural.
+_KV_SINK_TIER_NOTE = (
+    "size-gated drain sink (streaming/queries.py::_kv_sink): past "
+    "_KV_SCALE_ROWS the per-get output sinks to a distributed exactly-once "
+    "parquet dir instead of a driver-side memory view (65-80% of entry "
+    "time at 100x, BASELINE.md r09), so the post-drain read flips "
+    "LocalTableScan -> FileScan — the documented scale tier activating; "
+    "sink equivalence is value-pinned in test_streaming_modes"
+)
 ADAPTIVE_PLAN_ENTRIES = {
     "dedup_minhash_lsh_pairs": (
         "two-tier salted_pair_join (functions/skew.py): past "
         "_BAND_BUCKET_CAP the hot-bucket probe pre-pass runs and the "
         "signature table is cached — the documented scale tier activating"
     ),
+    # (the non-probed drain siblings keyed_state_ttl_per_query /
+    # keyed_state_wallclock_infinite share the same tier via the shared
+    # drains; only probed entries are listed here — test_scaleprobe_infra
+    # pins ADAPTIVE_PLAN_ENTRIES ⊆ PROBE_ENTRIES)
+    "keyed_state_ttl_lazy_bounds": _KV_SINK_TIER_NOTE,
+    "keyed_state_wallclock_finite_bounds": _KV_SINK_TIER_NOTE,
 }
 
 
