@@ -273,6 +273,13 @@ ADAPTIVE_PLAN_ENTRIES = {
     # pins ADAPTIVE_PLAN_ENTRIES ⊆ PROBE_ENTRIES)
     "keyed_state_ttl_lazy_bounds": _KV_SINK_TIER_NOTE,
     "keyed_state_wallclock_finite_bounds": _KV_SINK_TIER_NOTE,
+    "dedup_embedding_cosine": (
+        "triangle-block salting (functions/skew.py::with_triangle_blocks): "
+        "past _GEMM_BUCKET_CAP the hot-cell count pre-pass + salted block "
+        "fan-out activate (extra Generate/Scan/Exchange), bounding the "
+        "per-task GEMM — the documented scale tier, same family as the "
+        "minhash tier (plus AQE broadcast→SMJ flips riding along)"
+    ),
 }
 
 
