@@ -124,3 +124,24 @@ def test_state_provider_unload_between_drains(spark, sf_dir_small, tmp_path):
     _unload_state_providers(spark)  # helper itself also runs clean
     # (b) providers re-load on demand; results identical:
     assert drain(str(tmp_path / "ckpt2")) == before
+
+
+def test_kv_scale_knobs_thresholds(spark):
+    """The TTL drains' deployment knobs switch together at _KV_SCALE_ROWS
+    (r09, VERDICT r08 #3): fixture scale keeps the measured optimum
+    (16 parts, memory sink); past it, one state partition per core and the
+    distributed parquet sink."""
+    from spark_states_spark.streaming.queries import (
+        _KV_SCALE_ROWS,
+        _kv_sink,
+        _kv_state_parts,
+    )
+
+    assert _kv_state_parts(spark, 100_000) == 16
+    assert _kv_sink(100_000) == "memory"
+    assert _kv_state_parts(spark, _KV_SCALE_ROWS) == 16
+    assert _kv_sink(_KV_SCALE_ROWS) == "memory"
+    big = _kv_state_parts(spark, _KV_SCALE_ROWS + 1)
+    assert big >= 16
+    assert big == max(16, spark.sparkContext.defaultParallelism)
+    assert _kv_sink(_KV_SCALE_ROWS + 1) == "parquet"
