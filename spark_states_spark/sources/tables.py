@@ -58,6 +58,23 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def parquet_row_count(path: str) -> int:
+    """Exact row count from parquet FOOTER metadata — no Spark job, no data
+    read (ADVICE r09: the KV drains ran a full ``load_table(...).count()``
+    scan per memo-miss solely to pick their sink/partition knobs). Handles
+    both a single fixture file and a directory of part files (the scale
+    probe's Spark-written replicas)."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(path).num_rows
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")

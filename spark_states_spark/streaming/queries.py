@@ -1290,7 +1290,11 @@ def _virtual_kv_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     from ..sources import chunked_stream
-    from ..sources.tables import _source_identity, table_path
+    from ..sources.tables import (
+        _source_identity,
+        parquet_row_count,
+        table_path,
+    )
     from .ttl import OUTPUT_SCHEMA, STATE_SCHEMA, GroupStateTimeout, _make_kernel
 
     key = (
@@ -1330,7 +1334,9 @@ def _virtual_kv_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    n_rows = load_table(spark, sf_dir, "events").count()
+    # Footer-metadata count (ADVICE r09): the knobs only need the input
+    # size; a full Spark count() scan per memo-miss was pure overhead.
+    n_rows = parquet_row_count(table_path(sf_dir, "events"))
     out = _with_state_parts(
         spark,
         _kv_state_parts(spark, n_rows),
@@ -1515,7 +1521,11 @@ def _wallclock_kv_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     from ..config import resolve_ttl
-    from ..sources.tables import _source_identity, table_path
+    from ..sources.tables import (
+        _source_identity,
+        parquet_row_count,
+        table_path,
+    )
     from .runner import run_stream_drain_wallclock
     from .ttl import (
         WALL_OUTPUT_SCHEMA,
@@ -1569,8 +1579,9 @@ def _wallclock_kv_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
     # numInputRows is a SOURCE metric — it counts rows before the
-    # binding-explode doubles them, so the drain target is the raw count.
-    n_rows = load_table(spark, sf_dir, "events").count()
+    # binding-explode doubles them, so the drain target is the raw count
+    # (footer metadata, not a scan — see _virtual_kv_drained).
+    n_rows = parquet_row_count(table_path(sf_dir, "events"))
     # The drain deadline is a STALL detector, not a size cap: scale it
     # with the input so a healthy 10-100x run (observed kernel throughput
     # ~10^5 rows/s) never trips it — the floor rate here is ~2K rows/s,

@@ -197,7 +197,11 @@ def run_stream_to_table(
             .start()
         )
         query.awaitTermination()
-        out = spark.read.parquet(out_dir)
+        # Explicit schema (ADVICE r09): a drained stream that committed
+        # ZERO output rows leaves an empty dir, and schema inference would
+        # raise AnalysisException where the memory sink returned an empty,
+        # correctly-typed frame — the runner API must not differ by sink.
+        out = spark.read.schema(stream_df.schema).parquet(out_dir)
         out._sss_sink_dir = out_dir
         if with_progress:
             return out, list(query.recentProgress)
@@ -300,7 +304,9 @@ def run_stream_drain_wallclock(
     finally:
         query.stop()
     if out_dir is not None:
-        out = spark.read.parquet(out_dir)
+        # Explicit schema: zero-output drains must return an empty typed
+        # frame, not an inference AnalysisException (see run_stream_to_table).
+        out = spark.read.schema(stream_df.schema).parquet(out_dir)
         out._sss_sink_dir = out_dir
         return out
     out = spark.table(name)

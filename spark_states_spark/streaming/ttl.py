@@ -123,8 +123,13 @@ def replay_virtual(
     keys = rows["key"].to_numpy()
     ops = rows["op"].to_numpy()
     vals = rows["value"].to_numpy()
-    ts = rows["ts_s"].to_numpy()
-    seq = rows["seq"].to_numpy()
+    # Pin the numeric dtypes (ADVICE r09): if the Arrow→pandas conversion
+    # ever yields nullable extension dtypes (e.g. Int64), a bare
+    # .to_numpy() produces OBJECT arrays and lexsort/argsort degrade or
+    # error. The op-stream schema is non-null, so the coercion is a no-op
+    # today — it makes the invariant explicit instead of implicit.
+    ts = rows["ts_s"].to_numpy(dtype="int64")
+    seq = rows["seq"].to_numpy(dtype="int64")
     # Deterministic replay order: virtual time, then sequence number.
     order = np.lexsort((seq, ts))
     end_now = 0
@@ -305,7 +310,8 @@ def _make_wallclock_kernel(ttl: TtlConfig):
         keys = rows["key"].to_numpy()
         ops = rows["op"].to_numpy()
         vals = rows["value"].to_numpy()
-        order = np.argsort(rows["seq"].to_numpy(), kind="stable")
+        # dtype pinned for the same reason as replay_virtual's ts/seq.
+        order = np.argsort(rows["seq"].to_numpy(dtype="int64"), kind="stable")
         for i in order:
             now_ms = int(time.time() * 1000)
             op = ops[i]
