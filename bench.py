@@ -302,6 +302,39 @@ def _drain_groups(timings: dict[str, float]) -> dict[str, dict]:
     return out
 
 
+def _ambient_ratio(
+    current: dict[str, float],
+    prev_queries: dict[str, float],
+    floor_s: float = 0.2,
+    min_common: int = 8,
+) -> float | None:
+    """Median per-entry ratio vs the previous round's FULL map — the
+    artifact's own box-noise deflator (VERDICT r09 #2).
+
+    Same-code runs on this box drift ±15-25% round-over-round with zero
+    per-entry tripwires (r08/r09 adjudications); totals and derived
+    throughput then look like regressions while every entry sits below the
+    2× threshold. The median ratio over the common entries is robust to the
+    handful of genuinely-changed entries (they're the tails) and to noise
+    on sub-floor timings (filtered), so it measures the AMBIENT shift:
+    ~1.0 on a quiet box, 1.27 on r09's contended one. Returns None when
+    fewer than ``min_common`` comparable entries exist (bootstrap rounds,
+    tiny subset runs) — a median of 3 entries measures those entries, not
+    the box."""
+    import statistics
+
+    ratios = [
+        cur / old
+        for name, cur in current.items()
+        if (old := prev_queries.get(name)) is not None
+        and cur >= floor_s
+        and old >= floor_s
+    ]
+    if len(ratios) < min_common:
+        return None
+    return round(statistics.median(ratios), 2)
+
+
 def _regressions_vs_prev(
     timings: dict[str, float], prev_queries: dict[str, float]
 ) -> list[dict]:
@@ -518,6 +551,11 @@ def main() -> None:
     core_total = round(sum(timings[q] for q in core), 3)
     prefix_total = round(sum(timings[q] for q in prefix), 3)
     regressions = _regressions_vs_prev(timings, prev["queries"])
+    # Ambient-noise deflator (VERDICT r09 #2): the r09 artifact's 28%
+    # "throughput collapse" and +74% core_total were a box-wide 1.27×
+    # median slowdown below every per-entry tripwire — real regressions
+    # hide in totals unless the artifact carries its own deflator.
+    ambient = _ambient_ratio(timings, prev["queries"])
     # Auto isolated re-run for tripwire hits (VERDICT r07 #3 / r08 #1):
     # re-measure flagged entries best-of-3 at the END of the sweep — after
     # the session tail's provider/memo churn — so the noise-vs-real
@@ -550,6 +588,7 @@ def main() -> None:
         "prev_source": prev["source"],
         "drain_groups": _drain_groups(timings),
         "regressions_vs_prev": regressions,
+        "ambient_ratio": ambient,
     }
     if contention is not None:
         result["contention"] = contention
@@ -565,6 +604,14 @@ def main() -> None:
         n_events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()
         result["streaming_events_per_sec"] = round(n_events / timings[tput_query])
         result["streaming_events_per_sec_query"] = tput_query
+        if ambient is not None:
+            # Raw throughput divided by a box running ambient× slow
+            # understates the engine by exactly that factor; the deflated
+            # number is the round-over-round comparable one (r09's raw
+            # 20.7 K was a quiet-box ~26 K).
+            result["streaming_events_per_sec_deflated"] = round(
+                result["streaming_events_per_sec"] * ambient
+            )
     full_line = json.dumps(result)
     # Artifact loss-proofing (VERDICT r04 #1): the driver captures a bounded
     # tail of stdout+stderr, and spark.stop() floods stderr with state-store
@@ -598,6 +645,10 @@ def main() -> None:
         "prev_prefix_total": prev["prefix_total"],
         "drain_sums": {t: g["sum_s"] for t, g in result["drain_groups"].items()},
         "n_regressions": len(regressions),
+        # The compact line must self-deflate (VERDICT r09 #2): totals and
+        # throughput are only comparable once the reader knows the box's
+        # ambient shift this run.
+        "ambient_ratio": ambient,
         # Only the slowest 8 make the printed line; the full map is in
         # bench_result.json (queries_full points the reader there).
         "queries": slowest,
@@ -607,7 +658,11 @@ def main() -> None:
         # The systemic-slowdown verdict must ride the driver-recorded line
         # (the probe detail lives in the full artifact).
         compact["systemic_contention"] = contention["systemic_contention"]
-    for k in ("streaming_events_per_sec", "streaming_events_per_sec_query"):
+    for k in (
+        "streaming_events_per_sec",
+        "streaming_events_per_sec_query",
+        "streaming_events_per_sec_deflated",
+    ):
         if k in result:
             compact[k] = result[k]
     # <1 KB line contract (the driver keeps a bounded stdout tail): shrink
@@ -627,7 +682,7 @@ def main() -> None:
         minimal_keys = (
             "metric", "value", "unit", "sf", "n_queries", "worst_sec",
             "core_total", "prefix_total", "n_regressions",
-            "systemic_contention",
+            "ambient_ratio", "systemic_contention",
         )
         line = json.dumps({k: compact[k] for k in minimal_keys if k in compact})
     # Unload providers BEFORE stop: most of the shutdown stderr flood that

@@ -209,6 +209,14 @@ def main() -> int:
         print(f"[{i}/{len(ORACLES)}] {name}: {status} {entry_s[name]}s", flush=True)
     prev = previous_artifact(rnd)
     regressions = spark_regressions(entry_spark_s, prev)
+    # Ambient-noise deflator (VERDICT r09 #2) — same contract as bench.py:
+    # the median per-entry Spark-seconds ratio vs the previous artifact, so
+    # a +26% series total on a hot box carries its own explanation.
+    from bench import _ambient_ratio
+
+    ambient = _ambient_ratio(
+        entry_spark_s, prev.get("entry_spark_s", {}) if prev else {}
+    )
     # Auto-adjudicate tripwire hits (VERDICT r07 #3 / r08 #1): re-run each
     # flagged entry isolated best-of-3 at the sweep's end and record both
     # numbers in the regression row. Past bench._SYSTEMIC_FLAGS, a bounded
@@ -241,6 +249,7 @@ def main() -> int:
         # Round-over-round Spark-seconds tripwire (VERDICT r06 #6): >2×
         # per-entry growth vs the previous artifact, WARN-only.
         "spark_regressions_vs_prev": regressions,
+        "ambient_ratio": ambient,
         "prev_round": prev.get("_round") if prev else None,
     }
     if contention is not None:
@@ -293,7 +302,7 @@ def main() -> int:
         # Bounded-by-construction core (ADVICE r08: the drop list alone had
         # no final guarantee against a pathological key combination).
         minimal_keys = ("n_entries", "n_pass", "spark_regressions_vs_prev",
-                        "contention")
+                        "ambient_ratio", "contention")
         line = json.dumps({k: summary[k] for k in minimal_keys if k in summary})
     print(line)
     return 1 if failures else 0

@@ -89,6 +89,34 @@ def test_bench_regression_tripwire_floors_and_ratio():
     assert rows[0]["ratio"] == 2.5
 
 
+def test_bench_ambient_ratio_is_robust_median():
+    """VERDICT r09 #2: the artifact's box-noise deflator is the MEDIAN
+    per-entry ratio vs the previous full map — robust to a handful of
+    genuinely-regressed tails and blind to sub-floor noise entries."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    prev = {f"e{i}": 1.0 for i in range(10)}
+    now = {f"e{i}": 1.27 for i in range(10)}
+    now["e0"] = 5.0  # one real regression must not move the ambient median
+    prev["tiny"], now["tiny"] = 0.05, 0.19  # both sides below the floor
+    now["new_entry"] = 2.0  # no previous measurement -> not comparable
+    assert bench._ambient_ratio(now, prev) == 1.27
+
+
+def test_bench_ambient_ratio_needs_enough_common_entries():
+    """A median over a handful of entries measures those entries, not the
+    box: bootstrap rounds and tiny subset runs get None, and the deflated
+    throughput key is simply absent."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    prev = {f"e{i}": 1.0 for i in range(7)}
+    now = dict(prev)
+    assert bench._ambient_ratio(now, prev) is None
+    assert bench._ambient_ratio({}, {}) is None
+
+
 def _synthetic_flags(n, prev_s=1.0, now_s=3.0):
     return [
         {"entry": f"e{i}", "prev_s": prev_s, "now_s": now_s, "ratio": 3.0}
