@@ -36,6 +36,13 @@ from tests.oracle_utils import compare, duckdb_con  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SCALECHECK_DIR", "/root/testdata/sf0.1")
 _ROOT = os.path.dirname(os.path.abspath(__file__))
+# Forced production-sink verification (VERDICT r09 #3): the KV drains'
+# size-gated sink means every sf0.01/sf0.1 gate run exercises the memory
+# sink, leaving the parquet path — the shape BASELINE.md calls production —
+# pinned only by one sf0.001 test and a one-off 100× A/B. Each scalecheck
+# round re-runs ONE TTL-drain oracle with SPARK_GRAFT_KV_SINK=parquet
+# (memo cleared both sides) and hash-verifies it at sf0.1.
+FORCED_SINK_ENTRY = "keyed_state_ttl_lazy_bounds"
 PARITY_MARK = ("<!-- scalecheck:begin -->", "<!-- scalecheck:end -->")
 # Per-entry regression floor: below this many Spark seconds, a 2× swing is
 # scheduler noise, not a plan change.
@@ -207,6 +214,46 @@ def main() -> int:
             entry_spark_s[name] = round(tm["spark_s"], 2)
         status = "FAIL" if name in failures else "ok"
         print(f"[{i}/{len(ORACLES)}] {name}: {status} {entry_s[name]}s", flush=True)
+    forced_sink = None
+    if FORCED_SINK_ENTRY in ORACLES:
+        from bench import _clear_entry_memos
+
+        os.environ["SPARK_GRAFT_KV_SINK"] = "parquet"
+        try:
+            _clear_entry_memos(FORCED_SINK_ENTRY)  # re-drain, forced sink
+            _unload_state_providers(spark)
+            tf = time.perf_counter()
+            tm = {}
+            df = QUERIES[FORCED_SINK_ENTRY](spark, SF_DIR)
+            tm["spark_s"] = time.perf_counter() - tf
+            problems = compare(df, con, ORACLES[FORCED_SINK_ENTRY], timings=tm)
+            forced_sink = {
+                "entry": FORCED_SINK_ENTRY,
+                "sink": "parquet",
+                "pass": not problems,
+                "spark_s": round(tm["spark_s"], 2),
+            }
+            if problems:
+                forced_sink["problems"] = "; ".join(problems)
+                failures[f"forced_sink:{FORCED_SINK_ENTRY}"] = "; ".join(
+                    problems
+                )
+        except Exception as exc:  # noqa: BLE001 — record, don't crash
+            forced_sink = {
+                "entry": FORCED_SINK_ENTRY, "sink": "parquet",
+                "pass": False, "problems": f"error: {exc}",
+            }
+            failures[f"forced_sink:{FORCED_SINK_ENTRY}"] = f"error: {exc}"
+        finally:
+            os.environ.pop("SPARK_GRAFT_KV_SINK", None)
+            # Don't leave a forced-sink drain memoized for later readers.
+            _clear_entry_memos(FORCED_SINK_ENTRY)
+        status = "ok" if forced_sink.get("pass") else "FAIL"
+        print(
+            f"[forced-sink] {FORCED_SINK_ENTRY} (parquet): {status} "
+            f"{forced_sink.get('spark_s', '?')}s",
+            flush=True,
+        )
     prev = previous_artifact(rnd)
     regressions = spark_regressions(entry_spark_s, prev)
     # Ambient-noise deflator (VERDICT r09 #2) — same contract as bench.py:
@@ -250,6 +297,7 @@ def main() -> int:
         # per-entry growth vs the previous artifact, WARN-only.
         "spark_regressions_vs_prev": regressions,
         "ambient_ratio": ambient,
+        "forced_sink": forced_sink,
         "prev_round": prev.get("_round") if prev else None,
     }
     if contention is not None:

@@ -11,6 +11,8 @@ rows-only checks.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -847,7 +849,15 @@ def _kv_sink(n_rows: int) -> str:
     32-writer append contention scaled WORSE with more state partitions.
     The parquet path is the production shape (distributed exactly-once
     file sink) and is value-pinned by tests/test_streaming_modes.py's
-    sink-equivalence test at sf0.001."""
+    sink-equivalence test at sf0.001.
+
+    ``SPARK_GRAFT_KV_SINK`` overrides the size gate (VERDICT r09 #3: every
+    sf0.01/sf0.1 gate run sits below the threshold, so the production
+    parquet path was continuously UNverified at the scales the driver
+    grades — scalecheck now forces one TTL oracle through it per round)."""
+    forced = os.environ.get("SPARK_GRAFT_KV_SINK")
+    if forced in ("memory", "parquet"):
+        return forced
     return "memory" if n_rows <= _KV_SCALE_ROWS else "parquet"
 
 

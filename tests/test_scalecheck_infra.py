@@ -120,3 +120,31 @@ def test_repo_parity_note_cites_newest_artifact_on_disk():
     cited = re.search(r"SCALECHECK_r(\d+)\.json", block)
     assert cited, "PARITY scale-up note lost its artifact citation"
     assert int(cited.group(1)) == max(arts)
+
+
+def test_forced_sink_entry_is_a_kv_drain_oracle():
+    """VERDICT r09 #3: the forced-parquet-sink check must target an entry
+    that (a) has an oracle (so the forced run is hash-verified, not
+    rows-only) and (b) actually participates in a KV drain memo (so the
+    SPARK_GRAFT_KV_SINK override reaches a real sink decision)."""
+    from spark_states_spark.catalog import ORACLES, SHARED_MEMOS
+
+    entry = scalecheck.FORCED_SINK_ENTRY
+    assert entry in ORACLES
+    assert any(entry in members for _, members, _ in SHARED_MEMOS.values())
+
+
+def test_kv_sink_env_override(monkeypatch):
+    """The size gate yields to the explicit override in BOTH directions and
+    ignores junk values."""
+    from spark_states_spark.streaming.queries import _KV_SCALE_ROWS, _kv_sink
+
+    monkeypatch.delenv("SPARK_GRAFT_KV_SINK", raising=False)
+    assert _kv_sink(10) == "memory"
+    assert _kv_sink(_KV_SCALE_ROWS + 1) == "parquet"
+    monkeypatch.setenv("SPARK_GRAFT_KV_SINK", "parquet")
+    assert _kv_sink(10) == "parquet"
+    monkeypatch.setenv("SPARK_GRAFT_KV_SINK", "memory")
+    assert _kv_sink(_KV_SCALE_ROWS + 1) == "memory"
+    monkeypatch.setenv("SPARK_GRAFT_KV_SINK", "bogus")
+    assert _kv_sink(10) == "memory"
