@@ -88,6 +88,15 @@ PROBE_ENTRIES = [
     "similarity_lsh_ann",
     "similarity_ivf_ann",
     "dedup_embedding_cosine",
+    # r10 (VERDICT r09 #1): the one stateful shape never measured at a
+    # decade — the stream-stream interval join buffers BOTH sides' state
+    # inside the watermark (the full-outer variant additionally tracks
+    # both null-extension frontiers), and the chained agg runs two
+    # stateful operators in one query. Events replicas scale key
+    # cardinality AND the time span, so join-state pressure and live
+    # windows both grow with the factor.
+    "streaming_interval_join_full_outer",
+    "streaming_chained_agg_daily",
 ]
 
 # Entries whose OUTPUT cardinality is superlinear in corpus size by the
@@ -273,6 +282,14 @@ ADAPTIVE_PLAN_ENTRIES = {
     # pins ADAPTIVE_PLAN_ENTRIES ⊆ PROBE_ENTRIES)
     "keyed_state_ttl_lazy_bounds": _KV_SINK_TIER_NOTE,
     "keyed_state_wallclock_finite_bounds": _KV_SINK_TIER_NOTE,
+    "streaming_interval_join_full_outer": (
+        "size-gated join sink (streaming/queries.py::_ij_sink, r10): the "
+        "interval joins' output is O(input rows), so past _KV_SCALE_ROWS "
+        "the drain sinks to a distributed exactly-once parquet dir instead "
+        "of a driver-side memory view (the same tier as _kv_sink, same "
+        "LocalTableScan -> FileScan flip in the post-drain read); state "
+        "partitions scale with input via _ij_state_parts"
+    ),
     "dedup_embedding_cosine": (
         "triangle-block salting (functions/skew.py::with_triangle_blocks): "
         "past _GEMM_BUCKET_CAP the hot-cell count pre-pass + salted block "

@@ -506,7 +506,11 @@ def streaming_chained_agg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return run_stream_to_table(daily, output_mode="append")
 
-    return _with_state_parts(spark, STATE_PARTS, run)
+    # Output is bounded (live days × event types) so the memory sink
+    # stays at every scale; state parallelism scales with input like the
+    # joins' (two stateful operators' buffered windows grow with the
+    # fixture's time span).
+    return _with_state_parts(spark, _ij_state_parts(spark, sf_dir), run)
 
 
 @register(
@@ -752,7 +756,9 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (state stays per-key partitioned; nothing here assumes 8).
     """
     return _with_state_parts(
-        spark, 8, lambda: _interval_join_run(spark, sf_dir)
+        spark,
+        _ij_state_parts(spark, sf_dir, fixture_parts=8),
+        lambda: _interval_join_run(spark, sf_dir),
     )
 
 
@@ -788,12 +794,45 @@ def _interval_join_sides(spark: SparkSession, sf_dir: str):
     return p, x, cond
 
 
+def _ij_sink(sf_dir: str) -> str:
+    """Sink for the stream-stream interval joins — the same size gate as
+    the KV drains (see ``_kv_sink``): join output is O(input rows)
+    (matches + null-extended unmatched sides), so past fixture scale the
+    memory sink's driver-side synchronized append would dominate the
+    entry time exactly as it did for the TTL drains at the 100× decade
+    (r09, BASELINE.md). Below the gate the memory sink stays (bounded
+    output, cheaper than a file round trip)."""
+    from ..sources.tables import parquet_row_count, table_path
+
+    return _kv_sink(parquet_row_count(table_path(sf_dir, "events")))
+
+
+def _ij_state_parts(
+    spark: SparkSession, sf_dir: str, fixture_parts: int | None = None
+) -> int:
+    """State partitions for the interval joins and other chunked-replay
+    stateful entries whose state scales with input: the fixture-tuned
+    count (per-batch store open/commit cost dominates at 8-batch replay
+    fixture scale) below the KV size gate, one per core above it —
+    buffered-both-sides join state at a decade needs the parallelism more
+    than it needs the low fixed cost."""
+    from ..sources.tables import parquet_row_count, table_path
+
+    base = STATE_PARTS if fixture_parts is None else fixture_parts
+    n_rows = parquet_row_count(table_path(sf_dir, "events"))
+    if n_rows <= _KV_SCALE_ROWS:
+        return base
+    return max(base, int(spark.sparkContext.defaultParallelism))
+
+
 def _interval_join_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     p, x, cond = _interval_join_sides(spark, sf_dir)
     joined = p.join(x, cond).select(
         "purchase_id", "error_id", F.col("p_user").alias("user_id")
     )
-    return run_stream_to_table(joined, output_mode="append")
+    return run_stream_to_table(
+        joined, output_mode="append", sink=_ij_sink(sf_dir)
+    )
 
 
 # Pinned state-partition count for every chunked-replay entry — the
@@ -918,9 +957,11 @@ def streaming_interval_join_left_outer(spark: SparkSession, sf_dir: str) -> Data
         joined = p.join(x, cond, "leftOuter").select(
             "purchase_id", "error_id", F.col("p_user").alias("user_id")
         )
-        return run_stream_to_table(joined, output_mode="append")
+        return run_stream_to_table(
+            joined, output_mode="append", sink=_ij_sink(sf_dir)
+        )
 
-    return _with_state_parts(spark, STATE_PARTS, run)
+    return _with_state_parts(spark, _ij_state_parts(spark, sf_dir), run)
 
 
 @register(
@@ -969,9 +1010,11 @@ def streaming_interval_join_full_outer(spark: SparkSession, sf_dir: str) -> Data
             "error_id",
             F.coalesce(F.col("p_user"), F.col("x_user")).alias("user_id"),
         )
-        return run_stream_to_table(joined, output_mode="append")
+        return run_stream_to_table(
+            joined, output_mode="append", sink=_ij_sink(sf_dir)
+        )
 
-    return _with_state_parts(spark, STATE_PARTS, run)
+    return _with_state_parts(spark, _ij_state_parts(spark, sf_dir), run)
 
 
 @register(
@@ -1007,9 +1050,11 @@ def streaming_interval_join_right_outer(spark: SparkSession, sf_dir: str) -> Dat
         joined = p.join(x, cond, "rightOuter").select(
             "purchase_id", "error_id", F.col("x_user").alias("user_id")
         )
-        return run_stream_to_table(joined, output_mode="append")
+        return run_stream_to_table(
+            joined, output_mode="append", sink=_ij_sink(sf_dir)
+        )
 
-    return _with_state_parts(spark, STATE_PARTS, run)
+    return _with_state_parts(spark, _ij_state_parts(spark, sf_dir), run)
 
 
 @register(
@@ -1037,9 +1082,11 @@ def streaming_interval_join_left_semi(spark: SparkSession, sf_dir: str) -> DataF
         joined = p.join(x, cond, "leftSemi").select(
             "purchase_id", F.col("p_user").alias("user_id")
         )
-        return run_stream_to_table(joined, output_mode="append")
+        return run_stream_to_table(
+            joined, output_mode="append", sink=_ij_sink(sf_dir)
+        )
 
-    return _with_state_parts(spark, STATE_PARTS, run)
+    return _with_state_parts(spark, _ij_state_parts(spark, sf_dir), run)
 
 
 def _kv_op_select(events: DataFrame) -> DataFrame:
