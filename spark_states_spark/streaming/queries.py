@@ -2256,12 +2256,23 @@ def _funnel_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import chunked_stream
 
     _assert_event_id_ts_monotone(spark, sf_dir)
+    # Stage id mapped to an int JVM-SIDE before the stateful operator
+    # (r10 100× profile, BASELINE.md): shipping a string event_type
+    # through Arrow made every per-group mask an object-dtype comparison
+    # and fattened the batches — the int mapping alone cut the 100× entry
+    # time 35.2 s → 25.9 s, and combined with input-scaled partitions
+    # 35.2 s → 18.0 s.
+    stage_col = F.lit(None).cast("int")
+    for name, stage in sorted(_FUNNEL_STAGES.items(), key=lambda kv: -kv[1]):
+        stage_col = F.when(F.col("event_type") == name, stage).otherwise(
+            stage_col
+        )
     events = (
         chunked_stream(spark, sf_dir, "events", n_chunks=2)
         .where(F.col("event_type").isin(*_FUNNEL_STAGES))
         .select(
             "user_id",
-            "event_type",
+            stage_col.alias("stage"),
             F.unix_timestamp("ts").alias("t"),
             F.col("event_id").alias("e"),
         )
@@ -2314,7 +2325,13 @@ def _funnel_drained(spark: SparkSession, sf_dir: str):
             checkpoint_location=ckpt,
         )
 
-    sink = _with_state_parts(spark, 16, run)
+    # 16 state partitions at fixture scale, one per core past the KV size
+    # gate (r10 100x profile: with the int-stage kernel, 32 parts cut the
+    # entry 25.9 s -> 18.0 s; with the old string kernel more partitions
+    # only added setup cost).
+    sink = _with_state_parts(
+        spark, _ij_state_parts(spark, sf_dir, fixture_parts=16), run
+    )
     _FUNNEL_DRAIN_MEMO[key] = (sink, ckpt)
     return sink, ckpt
 
@@ -2490,9 +2507,12 @@ def funnel_kernel(key, pdfs, state):
     chunks = list(pdfs)
     rows = chunks[0] if len(chunks) == 1 else _pd.concat(chunks)
     uid = int(key[0])
-    et = rows["event_type"].to_numpy()
-    ts = rows["t"].to_numpy()
-    es = rows["e"].to_numpy()
+    # Int stage ids (r10): the caller maps event_type -> stage JVM-side
+    # (_funnel_transitions); int masks beat object-dtype string compares
+    # ~26% on the whole 100x entry. dtype pinned like the TTL kernels'.
+    st = rows["stage"].to_numpy(dtype="int64")
+    ts = rows["t"].to_numpy(dtype="int64")
+    es = rows["e"].to_numpy(dtype="int64")
 
     def lexmin(mask):
         """Lexicographic min (t, e) among masked rows, or None."""
@@ -2507,17 +2527,17 @@ def funnel_kernel(key, pdfs, state):
         return mask & ((ts > t0) | ((ts == t0) & (es > e0)))
 
     if t1 is None:
-        got = lexmin(et == "view")
+        got = lexmin(st == 1)
         if got is not None:
             t1, e1 = got
             out.append((uid, 1))
     if t1 is not None and t2 is None:
-        got = lexmin(after(et == "signup", t1, e1))
+        got = lexmin(after(st == 2, t1, e1))
         if got is not None:
             t2, e2 = got
             out.append((uid, 2))
     if t2 is not None and t3 is None:
-        got = lexmin(after(et == "purchase", t2, e2))
+        got = lexmin(after(st == 3, t2, e2))
         if got is not None:
             t3, e3 = got
             out.append((uid, 3))

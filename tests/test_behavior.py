@@ -180,9 +180,16 @@ def test_funnel_kernel_matches_sequential_fold(data, keys, cuts):
     state = _FakeGroupState()
     emitted = []
     for batch in batches:
+        stage_of = {"view": 1, "signup": 2, "purchase": 3, "other": 0}
         pdf = pd.DataFrame(
             {
-                "event_type": [et for et, _ in batch],
+                # The kernel takes the int stage ids _funnel_transitions
+                # maps JVM-side (r10); "other" -> 0 keeps the adversarial
+                # non-stage rows in the batch (production filters them
+                # before the operator, the kernel must still ignore them).
+                "stage": pd.array(
+                    [stage_of[et] for et, _ in batch], dtype="int64"
+                ),
                 "t": pd.array([t for _, (t, _e) in batch], dtype="int64"),
                 "e": pd.array([e for _, (_t, e) in batch], dtype="int64"),
             }

@@ -361,9 +361,11 @@ def test_funnel_state_survives_checkpoint_restart(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
 
     def write_batch(name, rows):
+        # Stage ints, matching the JVM-side event_type -> stage mapping
+        # _funnel_transitions applies before the kernel (r10).
         p = os.path.join(src, name)
-        pd.DataFrame(rows, columns=["user_id", "event_type", "t", "e"]).astype(
-            {"user_id": "int64", "t": "int64", "e": "int64"}
+        pd.DataFrame(rows, columns=["user_id", "stage", "t", "e"]).astype(
+            {"user_id": "int64", "stage": "int32", "t": "int64", "e": "int64"}
         ).to_parquet(p)
         os.utime(p, (time.time(), time.time()))
 
@@ -399,11 +401,11 @@ def test_funnel_state_survives_checkpoint_restart(spark, tmp_path):
         q.awaitTermination()
         return {(r.user_id, r.stage) for r in collected}
 
-    write_batch("b0.parquet", [(7, "view", 0, 100)])
+    write_batch("b0.parquet", [(7, 1, 0, 100)])
     first = drain()
     assert first == {(7, 1)}
 
-    write_batch("b1.parquet", [(7, "signup", 0, 200)])
+    write_batch("b1.parquet", [(7, 2, 0, 200)])
     second = drain()  # same checkpoint: only the NEW batch is processed
     assert (7, 2) in second, "k1 slot lost across restart — no conversion"
     # and the recovered run must not re-emit stage 1
