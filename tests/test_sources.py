@@ -101,3 +101,38 @@ def test_chunked_stream_rejects_bad_arrival_order(spark, sf_dir_small):
         chunked_stream(
             spark, sf_dir_small, "events", n_chunks=3, arrival_order=(0, 1)
         )
+
+
+def test_parquet_row_count_matches_footer_metadata(tmp_path):
+    """parquet_row_count (ADVICE r09) must agree with the actual row count
+    for both a single file and a directory of part files, without a Spark
+    job (it reads footers only)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_states_spark.sources.tables import parquet_row_count
+
+    single = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"a": list(range(37))}), single)
+    assert parquet_row_count(single) == 37
+
+    d = tmp_path / "parts.parquet"
+    d.mkdir()
+    pq.write_table(pa.table({"a": [1, 2]}), str(d / "part-0.parquet"))
+    pq.write_table(pa.table({"a": [3, 4, 5]}), str(d / "part-1.parquet"))
+    (d / "_SUCCESS").write_text("")  # non-parquet members are skipped
+    assert parquet_row_count(str(d)) == 5
+
+
+def test_ij_sink_and_state_parts_follow_the_kv_size_gate(
+    sf_dir_small, monkeypatch
+):
+    """The interval-join family's scale knobs (r10): memory sink and the
+    fixture-tuned partition count below the KV size gate; the env override
+    reaches _ij_sink through _kv_sink."""
+    from spark_states_spark.streaming.queries import _ij_sink
+
+    monkeypatch.delenv("SPARK_GRAFT_KV_SINK", raising=False)
+    assert _ij_sink(sf_dir_small) == "memory"  # fixtures sit below the gate
+    monkeypatch.setenv("SPARK_GRAFT_KV_SINK", "parquet")
+    assert _ij_sink(sf_dir_small) == "parquet"
