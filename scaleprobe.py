@@ -97,6 +97,13 @@ PROBE_ENTRIES = [
     # windows both grow with the factor.
     "streaming_interval_join_full_outer",
     "streaming_chained_agg_daily",
+    # r10 follow-through: the last two stateful shapes without a measured
+    # decade — session-window merge state (append-mode production recipe)
+    # and the within-watermark dedup seen-set. With these, EVERY stateful
+    # family (tumbling/sliding agg, session, dedup, join, chained,
+    # funnel, arbitrary keyed state) has two measured decades.
+    "streaming_session_window_append",
+    "streaming_dedup_within_watermark",
 ]
 
 # Entries whose OUTPUT cardinality is superlinear in corpus size by the
@@ -289,6 +296,14 @@ ADAPTIVE_PLAN_ENTRIES = {
         "of a driver-side memory view (the same tier as _kv_sink, same "
         "LocalTableScan -> FileScan flip in the post-drain read); state "
         "partitions scale with input via _ij_state_parts"
+    ),
+    "streaming_session_window_append": (
+        "size-gated sink (one row per closed session = O(input); same "
+        "_ij_sink tier and FileScan flip as the interval joins, r10)"
+    ),
+    "streaming_dedup_within_watermark": (
+        "size-gated sink (pre-aggregation output is one row per distinct "
+        "(type, user, day) = grows with input; same _ij_sink tier, r10)"
     ),
     "dedup_embedding_cosine": (
         "triangle-block salting (functions/skew.py::with_triangle_blocks): "

@@ -632,12 +632,17 @@ def streaming_session_window_append(spark: SparkSession, sf_dir: str) -> DataFra
                 "sum_value",
             )
         )
-        return run_stream_to_table(sess, output_mode="append")
+        # Output is one row per CLOSED session — O(input/session length),
+        # so past the KV size gate it must not collect to the driver
+        # (same tier as _ij_sink; r10).
+        return run_stream_to_table(
+            sess, output_mode="append", sink=_ij_sink(sf_dir)
+        )
 
-    # STATE_PARTS state partitions: see streaming_hourly_agg_update
-    # (per-batch per-partition store commits dominate chunked replays
-    # otherwise).
-    return _with_state_parts(spark, STATE_PARTS, run)
+    # STATE_PARTS state partitions at fixture scale (see
+    # streaming_hourly_agg_update: per-batch per-partition store commits
+    # dominate chunked replays there), one per core past the size gate.
+    return _with_state_parts(spark, _ij_state_parts(spark, sf_dir), run)
 
 
 @register(
@@ -675,10 +680,15 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         dd = keyed.withWatermark("ts", "25 hours").dropDuplicatesWithinWatermark(
             ["event_type", "user_id", "day"]
         )
-        return run_stream_to_table(dd, output_mode="append")
+        # Pre-aggregation output is one row per distinct (type, user, day)
+        # — grows with input (the replicas scale users AND the time span),
+        # so the sink follows the KV size gate (r10).
+        return run_stream_to_table(
+            dd, output_mode="append", sink=_ij_sink(sf_dir)
+        )
 
-    # STATE_PARTS state partitions: see streaming_hourly_agg_update.
-    out = _with_state_parts(spark, STATE_PARTS, run)
+    # STATE_PARTS at fixture scale, one per core past the size gate.
+    out = _with_state_parts(spark, _ij_state_parts(spark, sf_dir), run)
     return out.groupBy("event_type").agg(F.count("*").alias("n_user_days"))
 
 
