@@ -331,6 +331,72 @@ def plan_delta_kind(base: str, scaled: str, entry: str | None = None) -> str:
     return "join_strategy" if differing <= _STRATEGY_NODES else "structural"
 
 
+def previous_probe_bases(
+    rnd: int, factor: int, root: str = _ROOT
+) -> dict[str, float]:
+    """This factor's 1x base timings from the newest prior-round artifact
+    (empty when none). Used by base_sanity below."""
+    import glob
+
+    tag = "" if factor == 10 else f"{factor}x"
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(root, f"SCALEPROBE{tag}_r*.json")):
+        m = re.search(rf"SCALEPROBE{tag}_r(\d+)\.json$", p)
+        if m and (rnd <= 0 or int(m.group(1)) < rnd):
+            if best is None or int(m.group(1)) > best[0]:
+                best = (int(m.group(1)), p)
+    if best is None:
+        return {}
+    try:
+        with open(best[1]) as fh:
+            prev = json.load(fh)
+        return {
+            k: v["base_s"]
+            for k, v in prev.get("entries", {}).items()
+            if isinstance(v, dict) and isinstance(v.get("base_s"), (int, float))
+        }
+    except (OSError, ValueError):
+        return {}
+
+
+def base_sanity(
+    bases: dict[str, float],
+    prev_bases: dict[str, float],
+    floor_s: float = 0.5,
+    min_common: int = 5,
+    threshold: float = 2.0,
+) -> dict | None:
+    """Contaminated-run detector (r10 lesson, codified): a probe whose 1x
+    pass ran during heavy ambient IO (fixture writeback, a previous scaled
+    dir's rmtree) inflates every base 2-5x, which UNDERSTATES all the
+    ratios the probe exists to measure — the dangerous direction, since it
+    makes a superlinear entry look sublinear. The r10 first 100x run hit
+    exactly this (median base ratio ~3x vs r09; q1 0.63 s vs 0.94, but
+    gap_median_builtin 3.36 s vs 0.57) and was discarded by hand; this
+    stamps the adjudication into the artifact instead. Median ratio of
+    this run's 1x bases vs the previous round's recorded bases over the
+    common entries (both sides >= floor); ``contaminated`` past the
+    threshold — normal cross-round box noise is <= ~1.3x. None when too
+    few comparable entries exist."""
+    import statistics
+
+    ratios = [
+        cur / old
+        for name, cur in bases.items()
+        if (old := prev_bases.get(name)) is not None
+        and cur >= floor_s
+        and old >= floor_s
+    ]
+    if len(ratios) < min_common:
+        return None
+    med = round(statistics.median(ratios), 2)
+    return {
+        "median_base_ratio_vs_prev": med,
+        "n_common": len(ratios),
+        "contaminated": med > threshold,
+    }
+
+
 def probe(spark, sf_dir: str, entries) -> dict[str, dict]:
     out: dict[str, dict] = {}
     from bench import _unload_state_providers, warm_up
@@ -405,12 +471,17 @@ def main() -> int:
         if kind != "same":
             rows[name]["base_plan"] = b["plan"]
             rows[name]["scaled_plan"] = s["plan"]
+    sanity = base_sanity(
+        {k: v["base_s"] for k, v in rows.items()},
+        previous_probe_bases(rnd, FACTOR),
+    )
     result = {
         "base_dir": BASE_DIR,
         "factor": FACTOR,
         "slack": SLACK,
         "build_s": build_s,
         "entries": rows,
+        "base_sanity": sanity,
         "n_superlinear": n_super,
         # join_strategy deltas are AQE re-picking broadcast vs sort-merge
         # as the 10x side outgrows the threshold — the DESIRED adaptive
@@ -428,7 +499,15 @@ def main() -> int:
     with open(out, "w") as fh:
         json.dump(result, fh, indent=1)
     print(f"wrote {out}")
-    line = json.dumps({
+    if sanity and sanity["contaminated"]:
+        print(
+            "WARN: this run's 1x bases are "
+            f"{sanity['median_base_ratio_vs_prev']}x the previous round's "
+            "— the 1x pass likely ran on a contaminated box, UNDERSTATING "
+            "every ratio. Re-run on a quiet box (sync; wait for load < 1) "
+            "instead of recording this artifact."
+        )
+    compact = {
         "metric": "scaleprobe",
         "factor": FACTOR,
         "n_entries": len(rows),
@@ -436,8 +515,10 @@ def main() -> int:
         "n_join_strategy_flips": n_flips,
         "n_structural_plan_changes": n_structural,
         "worst_ratio": max(r["ratio"] for r in rows.values()),
-    })
-    print(line)
+    }
+    if sanity is not None:
+        compact["base_contaminated"] = sanity["contaminated"]
+    print(json.dumps(compact))
     return 1 if (n_super or n_structural) else 0
 
 

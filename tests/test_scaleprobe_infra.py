@@ -120,3 +120,48 @@ def test_scaled_fixtures_preserve_contracts(spark, sf_dir_small, tmp_path):
 
     base_topk = similarity_cosine_topk(spark, sf_dir_small).count()
     assert similarity_cosine_topk(spark, out).count() == base_topk
+
+
+def test_probe_base_sanity_flags_contaminated_runs():
+    """r10 lesson codified: a 1x pass that ran during heavy ambient IO
+    inflates every base and UNDERSTATES ratios — the probe must adjudicate
+    its own bases against the previous round's."""
+    import scaleprobe
+
+    prev = {f"e{i}": 1.0 for i in range(6)}
+    clean = {f"e{i}": 1.1 for i in range(6)}
+    dirty = {f"e{i}": 3.2 for i in range(6)}
+    s = scaleprobe.base_sanity(clean, prev)
+    assert s == {
+        "median_base_ratio_vs_prev": 1.1, "n_common": 6,
+        "contaminated": False,
+    }
+    assert scaleprobe.base_sanity(dirty, prev)["contaminated"] is True
+    # one genuinely-slowed entry must not flag a clean run (median)
+    mixed = dict(clean, e0=9.0)
+    assert scaleprobe.base_sanity(mixed, prev)["contaminated"] is False
+    # too few comparable entries -> None (bootstrap rounds, subset probes)
+    assert scaleprobe.base_sanity({"a": 1.0}, {"a": 1.0}) is None
+    # sub-floor entries are not comparable
+    assert scaleprobe.base_sanity(
+        {f"e{i}": 0.3 for i in range(6)}, {f"e{i}": 0.1 for i in range(6)}
+    ) is None
+
+
+def test_previous_probe_bases_reads_factor_tagged_artifacts(tmp_path):
+    import json
+
+    import scaleprobe
+
+    root = str(tmp_path)
+    art = {"entries": {"a": {"base_s": 1.5}, "b": {"base_s": 2.0}}}
+    with open(tmp_path / "SCALEPROBE100x_r09.json", "w") as fh:
+        json.dump(art, fh)
+    with open(tmp_path / "SCALEPROBE_r09.json", "w") as fh:
+        json.dump({"entries": {"a": {"base_s": 9.9}}}, fh)
+    assert scaleprobe.previous_probe_bases(10, 100, root=root) == {
+        "a": 1.5, "b": 2.0,
+    }
+    assert scaleprobe.previous_probe_bases(10, 10, root=root) == {"a": 9.9}
+    # never reads the round being written
+    assert scaleprobe.previous_probe_bases(9, 100, root=root) == {}
