@@ -59,6 +59,14 @@ FACTOR = int(os.environ.get("SPARK_GRAFT_SCALEPROBE_FACTOR", "10"))
 SLACK = 2.0
 
 SCALED_TABLES = ("events", "documents", "lineitem", "embeddings")
+# Spot probes at extreme factors (e.g. 1000x on the events-driven
+# stateful entries) scale only the tables their entry subset reads;
+# everything else is symlinked unscaled.
+_tables = os.environ.get("SPARK_GRAFT_SCALEPROBE_TABLES")
+if _tables:
+    SCALED_TABLES = tuple(
+        t for t in SCALED_TABLES if t in _tables.split(",")
+    )
 
 # The heaviest Spark-cost entries from the scalecheck series (one per
 # distinct execution shape): iterative CC, the LSH pair generators, the
@@ -148,6 +156,8 @@ def build_scaled_dir(spark, base_dir: str, out_dir: str, factor: int) -> None:
     # for every copy. with_event_time branches on the layout.
     from spark_states_spark.sources.tables import with_event_time
 
+    if "events" not in SCALED_TABLES:
+        return  # spot probes may scale nothing else (env knob above)
     ev = with_event_time(spark.read.parquet(table_path(base_dir, "events")))
     stats = ev.agg(
         F.max("event_id").alias("max_id"),
@@ -175,6 +185,8 @@ def build_scaled_dir(spark, base_dir: str, out_dir: str, factor: int) -> None:
         out = out.unionByName(c)
     out.write.parquet(table_path(out_dir, "events"))
 
+    if "documents" not in SCALED_TABLES:
+        return
     docs = spark.read.parquet(table_path(base_dir, "documents"))
     d_stride = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     copies = []
@@ -196,6 +208,8 @@ def build_scaled_dir(spark, base_dir: str, out_dir: str, factor: int) -> None:
         out = out.unionByName(c)
     out.write.parquet(table_path(out_dir, "documents"))
 
+    if "embeddings" not in SCALED_TABLES:
+        return
     emb = spark.read.parquet(table_path(base_dir, "embeddings"))
     v_stride = emb.agg(F.max("vec_id")).collect()[0][0] + 1
     copies = []
@@ -222,6 +236,8 @@ def build_scaled_dir(spark, base_dir: str, out_dir: str, factor: int) -> None:
         out = out.unionByName(c)
     out.write.parquet(table_path(out_dir, "embeddings"))
 
+    if "lineitem" not in SCALED_TABLES:
+        return
     li = spark.read.parquet(table_path(base_dir, "lineitem"))
     l_stride = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
     others = [c for c in li.columns if c != "l_orderkey"]
