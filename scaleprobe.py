@@ -156,8 +156,19 @@ def build_scaled_dir(spark, base_dir: str, out_dir: str, factor: int) -> None:
     # for every copy. with_event_time branches on the layout.
     from spark_states_spark.sources.tables import with_event_time
 
-    if "events" not in SCALED_TABLES:
-        return  # spot probes may scale nothing else (env knob above)
+    if "events" in SCALED_TABLES:
+        _build_events(spark, base_dir, out_dir, factor, with_event_time)
+    if "documents" in SCALED_TABLES:
+        _build_documents(spark, base_dir, out_dir, factor)
+    if "embeddings" in SCALED_TABLES:
+        _build_embeddings(spark, base_dir, out_dir, factor)
+    if "lineitem" in SCALED_TABLES:
+        _build_lineitem(spark, base_dir, out_dir, factor)
+
+
+def _build_events(spark, base_dir, out_dir, factor, with_event_time) -> None:
+    from pyspark.sql import functions as F
+
     ev = with_event_time(spark.read.parquet(table_path(base_dir, "events")))
     stats = ev.agg(
         F.max("event_id").alias("max_id"),
@@ -185,8 +196,10 @@ def build_scaled_dir(spark, base_dir: str, out_dir: str, factor: int) -> None:
         out = out.unionByName(c)
     out.write.parquet(table_path(out_dir, "events"))
 
-    if "documents" not in SCALED_TABLES:
-        return
+
+def _build_documents(spark, base_dir, out_dir, factor) -> None:
+    from pyspark.sql import functions as F
+
     docs = spark.read.parquet(table_path(base_dir, "documents"))
     d_stride = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     copies = []
@@ -208,8 +221,10 @@ def build_scaled_dir(spark, base_dir: str, out_dir: str, factor: int) -> None:
         out = out.unionByName(c)
     out.write.parquet(table_path(out_dir, "documents"))
 
-    if "embeddings" not in SCALED_TABLES:
-        return
+
+def _build_embeddings(spark, base_dir, out_dir, factor) -> None:
+    from pyspark.sql import functions as F
+
     emb = spark.read.parquet(table_path(base_dir, "embeddings"))
     v_stride = emb.agg(F.max("vec_id")).collect()[0][0] + 1
     copies = []
@@ -236,8 +251,10 @@ def build_scaled_dir(spark, base_dir: str, out_dir: str, factor: int) -> None:
         out = out.unionByName(c)
     out.write.parquet(table_path(out_dir, "embeddings"))
 
-    if "lineitem" not in SCALED_TABLES:
-        return
+
+def _build_lineitem(spark, base_dir, out_dir, factor) -> None:
+    from pyspark.sql import functions as F
+
     li = spark.read.parquet(table_path(base_dir, "lineitem"))
     l_stride = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
     others = [c for c in li.columns if c != "l_orderkey"]
