@@ -378,14 +378,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = capped.groupBy("doc_id").agg(
         F.collect_list("s").alias("shs"), F.count("*").alias("n")
     )
-    rare = ex.groupBy("s").agg(F.count("*").alias("df")).filter(
-        F.col("df") <= _DF_CAP
+    # Candidate generation in ONE shingle-keyed shuffle (r10; was three —
+    # groupBy(s) for df, a 100M-row join back onto the index, and an
+    # index self-join): the df cap bounds every surviving bucket at
+    # _DF_CAP docs, so the bucket's (a < b) pairs expand in-row from the
+    # sorted doc list (≤ C(50,2) structs, whole-stage codegen) instead of
+    # through a join. Identical candidate set: df = bucket size over the
+    # DISTINCT (doc, shingle) index, support = shared rare shingles.
+    buckets = (
+        ex.groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= _DF_CAP))
     )
-    rinv = ex.join(rare.select("s"), "s")
-    a, b = rinv.alias("a"), rinv.alias("b")
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(sequence(0, size(docs) - 2), i -> "
+            "transform(slice(docs, i + 2, size(docs) - i - 1), d -> "
+            "struct(docs[i] AS doc_a, d AS doc_b))))"
+        )
+    ).alias("p")
     cand = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(pair)
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= _MIN_SHARED)
         .select("doc_a", "doc_b")
