@@ -934,3 +934,76 @@ def source_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_tokens").over(w_all)
         ).alias("cum_share"),
     )
+
+
+_OVERLAP_PREFIX_TOKS = 16
+
+
+@register(
+    "source_overlap_matrix",
+    # Presence-based: one count per (fingerprint, unordered source pair) —
+    # NOT doc-pair counting, whose output is quadratic in duplicate-group
+    # size by definition. The a.source < b.source join + DISTINCT mirror
+    # the engine's sorted collect_set pair expansion exactly.
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(
+               ({DUCK_TOKS.format(col='text')})[1 : {_OVERLAP_PREFIX_TOKS}],
+               ' ')) AS fp
+      FROM documents
+    ),
+    p AS (SELECT a.source AS source_a, b.source AS source_b
+          FROM h a JOIN h b ON a.fp = b.fp AND a.source < b.source)
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_contents
+    FROM p GROUP BY 1, 2
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source boilerplate-overlap matrix: for every unordered source
+    pair, how many DISTINCT content fingerprints (md5 of the first
+    ``_OVERLAP_PREFIX_TOKS`` normalized tokens — the shared-template /
+    boilerplate-opening signal) both sources carry — the provenance audit
+    a curation pipeline runs before choosing per-source sampling weights
+    (two heavily-overlapping crawls should not both be upweighted; cf.
+    the curation ops in this module, SURVEY.md §2.5). A prefix
+    fingerprint, not the full text: distinct crawls rarely share
+    byte-identical documents (this fixture has zero at sf0.01) but share
+    templated openings constantly — and the prefix is also what a 100 TB
+    pass can fingerprint without reading document tails.
+
+    Scale shape (the r10 single-shuffle pair pattern, cf.
+    functions/dedup.py::dedup_ngram_jaccard): ONE shuffle on the
+    fingerprint, then pairs expand in-row from each fingerprint's sorted
+    distinct-source set — bounded by C(#sources, 2) per fingerprint
+    regardless of how many documents share it, so a template shared by a
+    million docs at 100 TB costs one group, not 10^12 joined rows.
+    Presence-based counts keep the OUTPUT bounded by
+    #fingerprints x C(#sources, 2) too.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr(SPARK_TOKS.format(col="text"))
+    fps = d.select(
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, _OVERLAP_PREFIX_TOKS)))
+        .alias("fp"),
+        "source",
+    ).distinct()
+    srcs = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(sequence(0, size(srcs) - 2), i -> "
+            "transform(slice(srcs, i + 2, size(srcs) - i - 1), s -> "
+            "struct(srcs[i] AS source_a, s AS source_b))))"
+        )
+    ).alias("p")
+    return (
+        srcs.select(pair)
+        .groupBy(F.col("p.source_a").alias("source_a"),
+                 F.col("p.source_b").alias("source_b"))
+        .agg(F.count("*").cast("bigint").alias("n_shared_contents"))
+    )

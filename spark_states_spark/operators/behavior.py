@@ -156,3 +156,59 @@ def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    # Integer-second deltas in both engines (epoch floor), strict
+    # first-purchase-after-first-view; DuckDB median = quantile_cont(0.5)
+    # = avg of the two middle order statistics for even N — exactly what
+    # exact_median computes (operators/orderstats.py module docstring).
+    oracle="""
+    WITH v AS (SELECT user_id, min(epoch_ns(ts) // 1000000000) AS v_s
+               FROM events WHERE event_type = 'view' GROUP BY 1),
+    p AS (SELECT e.user_id, min(epoch_ns(e.ts) // 1000000000) AS p_s
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase'
+            AND epoch_ns(e.ts) // 1000000000 > v.v_s
+          GROUP BY 1),
+    d AS (SELECT p.p_s - v.v_s AS delta FROM v JOIN p USING (user_id))
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           median(delta) AS median_secs
+    FROM d
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency: EXACT median seconds from a user's first view
+    to their first strictly-later purchase — the metric a growth team
+    reads next to the funnel counts (``funnel_view_signup_purchase``:
+    HOW MANY convert; this: HOW FAST).
+
+    Scale shape: two keyed aggregations (first view / first purchase per
+    user — map-side combined) and one user-keyed join produce one delta
+    row per converted user; the exact median then runs through the
+    histogram-narrowing machinery (``operators/orderstats.exact_median``
+    — no global sort, no single-partition percentile), so the whole plan
+    is bounded-window at any scale.
+    """
+    from .orderstats import exact_median
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("s")
+    )
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("s").alias("v_s")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("s") > F.col("v_s"))
+        .groupBy("user_id")
+        .agg(F.min("s").alias("p_s"))
+    )
+    deltas = p.join(v, "user_id").select(
+        (F.col("p_s") - F.col("v_s")).alias("v")
+    )
+    return exact_median(deltas).select(
+        F.col("n").alias("n_converted"), F.col("median").alias("median_secs")
+    )

@@ -290,3 +290,45 @@ def test_source_concentration_shares_sum_and_monotone(spark, sf_dir):
         assert r["cum_share"] > prev
         prev = r["cum_share"]
     assert abs(prev - 1.0) < 1e-9
+
+
+def test_source_overlap_pair_expansion_matches_self_join(spark, sf_dir):
+    """The single-shuffle in-row pair expansion (r10 pattern) must produce
+    exactly the pairs a naive fingerprint self-join produces."""
+    from pyspark.sql import functions as F
+
+    from spark_states_spark.functions.pipeline import (
+        _OVERLAP_PREFIX_TOKS,
+        source_overlap_matrix,
+    )
+    from spark_states_spark.functions.hashes import SPARK_TOKS
+    from spark_states_spark.sources import load_table
+
+    got = {
+        (r.source_a, r.source_b): r.n_shared_contents
+        for r in source_overlap_matrix(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr(SPARK_TOKS.format(col="text"))
+    h = d.select(
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, _OVERLAP_PREFIX_TOKS)))
+        .alias("fp"),
+        "source",
+    ).distinct()
+    a, b = h.alias("a"), h.alias("b")
+    ref = {
+        ((r.source_a, r.source_b)): r.n
+        for r in (
+            a.join(
+                b,
+                (F.col("a.fp") == F.col("b.fp"))
+                & (F.col("a.source") < F.col("b.source")),
+            )
+            .groupBy(
+                F.col("a.source").alias("source_a"),
+                F.col("b.source").alias("source_b"),
+            )
+            .agg(F.count("*").alias("n"))
+        ).collect()
+    }
+    assert got == ref and got  # non-empty at the fixture scale
