@@ -196,6 +196,8 @@ _NON_EQUI_BY_DESIGN = {
     # holds each middle rank) + the 1-row extent broadcast onto the scan
     "exact_median_two_pass",
     "exact_quantiles_multi",  # same shape, 5-row rank frame
+    "funnel_time_to_convert",  # exact_median composition: same 1-row
+    # extent broadcast + 2-row rank × ≤1024-row histogram bounded join
     "graph_triangle_count",  # 1-row edge-count × 1-row triangle-count join
     "skyline_parts_2d",  # 1-row (lo,hi) extent broadcast onto the scan
     "streaming_hll_update",  # 1-row register-sum × 1-row exact-count join
