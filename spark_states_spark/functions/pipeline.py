@@ -1007,3 +1007,96 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("p.source_b").alias("source_b"))
         .agg(F.count("*").cast("bigint").alias("n_shared_contents"))
     )
+
+
+_SOURCE_CAP = 15  # max docs kept per source (binds at every fixture SF)
+
+
+@register(
+    "curation_source_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, lang, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+           CAST(min(n_chars) AS BIGINT) AS cap_boundary_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs_kept
+    FROM ranked WHERE rn <= {_SOURCE_CAP}
+    GROUP BY source
+    """,
+)
+def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping: keep at most ``_SOURCE_CAP`` documents per
+    source, preferring longer documents (``n_chars`` DESC, ``doc_id`` tie
+    break) — the "domain capping" step every web-scale curation pipeline
+    runs so no single crawl domain dominates the training mixture
+    (Gopher/RefinedWeb both cap per-domain contributions).
+
+    Plan shape: one Exchange on ``source``, one ranked Window, then an
+    exchange-free re-aggregation on the same key. At 100 TB the cap makes
+    the window cheap to cut short — a production run first computes each
+    source's approximate cap boundary from a per-partition partial top-K
+    (only candidates above the boundary enter the exact window), so the
+    full sort is over ~CAP x sources rows, not the corpus; the fixture
+    spelling keeps the exact single-window form the oracle states.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    kept = d.select(
+        "source", "lang", "n_chars", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= _SOURCE_CAP)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.min("n_chars").alias("cap_boundary_chars"),
+        F.countDistinct("lang").alias("n_langs_kept"),
+    )
+
+
+@register(
+    "sample_importance_weighted",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT lang, n_chars,
+             {duck_h32("('imp:' || CAST(doc_id AS VARCHAR))")} % 1000
+               < least(1000, n_chars * 2) AS kept
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(n_chars) FILTER (WHERE kept) AS BIGINT) AS kept_chars
+    FROM tagged GROUP BY lang
+    """,
+)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance-weighted sampling: each document is kept
+    with probability proportional to its length (acceptance threshold
+    ``min(1, n_chars * 2 / 1000)``), decided by a seeded content hash —
+    the quality/length-weighted up-sampling step of a training-mixture
+    build, made reproducible (same corpus -> same sample, on any cluster,
+    at any parallelism) by replacing RNG state with a hash.
+
+    The sample is a pure projection + filter — no shuffle at all until
+    the bounded per-lang report; at 100 TB this is the only sampling
+    recipe that needs zero coordination (no RNG seeds per partition, no
+    sampled-count reconciliation) and it composes with the hash split
+    (``sample_stratified_split``) because the seeds differ.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hv = spark_h32("concat('imp:', cast(doc_id as string))")
+    tagged = d.selectExpr(
+        "lang",
+        "n_chars",
+        f"({hv} % 1000) < least(1000, n_chars * 2) AS kept",
+    )
+    return tagged.groupBy("lang").agg(
+        F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("kept"), F.col("n_chars"))).alias("kept_chars"),
+    )

@@ -212,3 +212,65 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_median(deltas).select(
         F.col("n").alias("n_converted"), F.col("median").alias("median_secs")
     )
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+    WITH k AS (
+      SELECT user_id, event_type,
+             epoch_ns(ts) // 1000000000 * 1000000 + event_id AS k
+      FROM events
+    ),
+    touched AS (
+      SELECT event_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY k
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM k
+    )
+    SELECT coalesce(touch, 'direct') AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM touched WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the most
+    recent PRECEDING non-purchase event by the same user (their last
+    marketing "touch"); purchases with no prior touch are 'direct'. The
+    standard marketing-attribution rollup every event warehouse runs.
+
+    Plan shape: one Exchange on ``user_id``, one ordered Window pass with
+    a running last-non-null (the frame excludes the current row, so a
+    purchase never attributes to itself or a later event), then a
+    partial-aggregated count over ≤ |event types| + 1 groups. Ordering is
+    the packed (ts, event_id) key every streaming oracle uses, so ties
+    within a second are broken identically in both engines. At 100 TB the
+    cost is the one per-user shuffle; the window is a linear scan per
+    partition and the final agg is bounded by event-type cardinality.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (F.unix_timestamp("ts") * F.lit(1000000) + F.col("event_id")).alias("k"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("k")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touched = ev.withColumn(
+        "touch",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        touched.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("direct")).alias("touch_type"))
+        .agg(F.count("*").alias("n_purchases"))
+    )

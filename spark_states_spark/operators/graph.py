@@ -93,20 +93,21 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     no cartesian anywhere. Wedges keep v1 < v2 and the edge set is
     canonical (a < b), so the closing test is one equi-join on (v1, v2).
     """
+    return triangle_count(_edges_df(spark, sf_dir))
+
+
+def _edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_edges_sql``: the canonical (a < b) synthetic edge
+    list over the user population, shared by every graph entry."""
     users = load_table(spark, sf_dir, "events").select("user_id").distinct()
     a = users.select(F.col("user_id").alias("a"))
     b = users.select(F.col("user_id").alias("b"))
     pair = _SPARK_CAT.format(a="a", b="b")
-    e = (
-        a.join(
-            b,
-            (F.col("a") < F.col("b"))
-            & (F.expr(f"a div {_BLOCK}") == F.expr(f"b div {_BLOCK}")),
-        )
-        .where(F.expr(f"{spark_h32(pair)} % {_EDGE_MOD} = 0")
-        )
-    )
-    return triangle_count(e)
+    return a.join(
+        b,
+        (F.col("a") < F.col("b"))
+        & (F.expr(f"a div {_BLOCK}") == F.expr(f"b div {_BLOCK}")),
+    ).where(F.expr(f"{spark_h32(pair)} % {_EDGE_MOD} = 0"))
 
 
 def triangle_count(e: DataFrame) -> DataFrame:
@@ -144,3 +145,111 @@ def triangle_count(e: DataFrame) -> DataFrame:
     n_tri = tri.agg(F.count("*").alias("n_triangles"))
     n_edges = e.agg(F.count("*").alias("n_edges"))
     return F.broadcast(n_edges).crossJoin(n_tri)
+
+
+# Fixed-point PageRank: ranks are BIGINTs scaled by _PR_SCALE and every
+# division is integer floor division, so the iteration is bit-identical
+# regardless of summation order or engine — the reproducibility trick that
+# makes an iterative float algorithm oracle-checkable (and, at 100 TB,
+# run-to-run deterministic across retries and partition counts).
+_PR_SCALE = 10**12
+_PR_ITERS = 2
+
+
+@register(
+    "graph_pagerank_fixedpoint",
+    oracle=f"""
+    WITH e AS ({_edges_sql(duck_h32, _DUCK_CAT)}),
+    und AS (SELECT a AS src, b AS dst FROM e
+            UNION ALL SELECT b AS src, a AS dst FROM e),
+    deg AS (SELECT src AS v, count(*) AS d FROM und GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM deg),
+    base AS (
+      SELECT v, d, {_PR_SCALE} // n AS r,
+             (15 * ({_PR_SCALE} // n)) // 100 AS tele
+      FROM deg, nn
+    ),
+    r1 AS (
+      SELECT b.v, b.d, b.tele, b.tele + (85 * agg.c) // 100 AS r
+      FROM (SELECT u.dst AS v, sum(s.r // s.d) AS c
+            FROM und u JOIN base s ON s.v = u.src GROUP BY u.dst) agg
+      JOIN base b ON b.v = agg.v
+    ),
+    r2 AS (
+      SELECT b.v, b.tele + (85 * agg.c) // 100 AS r
+      FROM (SELECT u.dst AS v, sum(s.r // s.d) AS c
+            FROM und u JOIN r1 s ON s.v = u.src GROUP BY u.dst) agg
+      JOIN r1 b ON b.v = agg.v
+    )
+    SELECT CAST(v AS BIGINT) AS user_id, CAST(r AS BIGINT) AS rank_fp
+    FROM r2
+    """,
+)
+def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, {iters} power iterations) over the shared
+    synthetic user graph, in FIXED-POINT integer arithmetic: rank(v) =
+    tele + 85% of the floor-divided neighbor contributions, all BIGINT.
+
+    The distributed shape is the canonical Pregel/GraphX iteration spelled
+    as DataFrame joins: per iteration, one equi-join of the rank frame
+    onto the (cached) undirected edge list, one map-side-combinable sum by
+    destination, one join back to attach degrees — every exchange is on
+    the vertex key. The edge list is materialized ONCE (localCheckpoint)
+    so the md5 generator doesn't re-run per iteration; a real deployment
+    reads its edge table and starts at the degree step. Undirected degree
+    ≥ 1 for every vertex in the frame, so there are no dangling nodes and
+    the neighbor sum is never empty. The 1-row vertex count broadcast onto
+    the degree frame is the same scalar-broadcast shape as
+    ``scalar_subquery_avg``.
+    """
+    return pagerank_fixedpoint(_edges_df(spark, sf_dir)).select(
+        F.col("v").alias("user_id"), F.col("r").alias("rank_fp")
+    )
+
+
+def pagerank_fixedpoint(edges: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
+    """Fixed-point PageRank over a canonical (a < b) undirected edge list;
+    returns (v, r) with r the BIGINT rank after ``iters`` iterations.
+    Exposed separately so the integer-arithmetic kernel is testable on
+    known graphs (paths, stars) independent of the fixture edge generator.
+    """
+    e = edges.localCheckpoint()
+    und = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("u")
+    ).select("u.src", "u.dst")
+    deg = und.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
+    nn = deg.agg(F.count("*").alias("n"))
+    base = F.broadcast(nn).crossJoin(deg).select(
+        "v",
+        "d",
+        F.expr(f"{_PR_SCALE} div n").alias("r"),
+        F.expr(f"(15 * ({_PR_SCALE} div n)) div 100").alias("tele"),
+    )
+    ranks = base
+    for _ in range(iters):
+        contrib = und.join(
+            ranks.select(
+                F.col("v").alias("src"), F.expr("r div d").alias("c")
+            ),
+            "src",
+        )
+        summed = contrib.groupBy(F.col("dst").alias("v")).agg(
+            F.sum("c").alias("c")
+        )
+        ranks = summed.join(ranks.select("v", "d", "tele"), "v").select(
+            "v",
+            "d",
+            "tele",
+            (F.col("tele") + F.expr("(85 * c) div 100")).alias("r"),
+        )
+    return ranks.select("v", "r")
+
+
+graph_pagerank_fixedpoint.__doc__ = graph_pagerank_fixedpoint.__doc__.format(
+    iters=_PR_ITERS
+)

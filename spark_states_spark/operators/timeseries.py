@@ -587,3 +587,101 @@ def ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("avg_value"),
     )
+
+
+@register(
+    "timeseries_interpolate_linear",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, epoch_ns(ts) // 1000000000 // 86400 AS day,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+             FROM daily GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day
+             FROM span),
+    j AS (
+      SELECT g.user_id, g.day, d.s,
+             last_value(d.s IGNORE NULLS) OVER w_prev AS v_p,
+             last_value(CASE WHEN d.s IS NOT NULL THEN g.day END IGNORE NULLS)
+               OVER w_prev AS d_p,
+             first_value(d.s IGNORE NULLS) OVER w_next AS v_n,
+             first_value(CASE WHEN d.s IS NOT NULL THEN g.day END IGNORE NULLS)
+               OVER w_next AS d_n
+      FROM grid g LEFT JOIN daily d USING (user_id, day)
+      WINDOW
+        w_prev AS (PARTITION BY g.user_id ORDER BY g.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY g.user_id ORDER BY g.day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, CAST(day AS BIGINT) AS day,
+           s IS NOT NULL AS observed,
+           CASE WHEN d_n = d_p THEN v_p
+                ELSE v_p + (v_n - v_p) *
+                     (CAST(day - d_p AS DOUBLE) / CAST(d_n - d_p AS DOUBLE))
+           END AS interp_daily_value
+    FROM j
+    """,
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-grid gap fill with LINEAR interpolation: the sibling of
+    ``timeseries_gap_fill_locf`` for continuous signals — inactive days
+    between two observed days get the straight-line value between them
+    (sensor rollups, rate series), observed days keep their exact sum.
+
+    Same single-shuffle shape as LOCF (grid from per-key ``sequence``,
+    one left join, both windows reuse the user_id partitioning); the only
+    addition is the forward-looking window for the NEXT observation. Grid
+    ends are observed by construction (the span is min..max observed day),
+    so interior gaps always have both anchors. Float exactness: anchors
+    are DECIMAL-summed then cast (bit-identical both engines) and the
+    interpolation is the IDENTICAL IEEE expression tree in both dialects —
+    scalar per-row arithmetic, no order-dependent float aggregation.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id",
+        (F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("s")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("s").isNotNull(), F.col("day"))
+    j = j.select(
+        "user_id",
+        "day",
+        "s",
+        F.last("s", ignorenulls=True).over(w_prev).alias("v_p"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("d_p"),
+        F.first("s", ignorenulls=True).over(w_next).alias("v_n"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("d_n"),
+    )
+    frac = (F.col("day") - F.col("d_p")).cast("double") / (
+        F.col("d_n") - F.col("d_p")
+    ).cast("double")
+    return j.select(
+        "user_id",
+        "day",
+        F.col("s").isNotNull().alias("observed"),
+        F.when(F.col("d_n") == F.col("d_p"), F.col("v_p"))
+        .otherwise(F.col("v_p") + (F.col("v_n") - F.col("v_p")) * frac)
+        .alias("interp_daily_value"),
+    )

@@ -200,3 +200,47 @@ def test_funnel_kernel_matches_sequential_fold(data, keys, cuts):
     expect_state, expect_emits = _sequential_fold(seq)
     assert (state.get if state.exists else (None,) * 6) == expect_state
     assert emitted == expect_emits
+
+
+def test_attribution_last_touch_matches_naive_join(spark, sf_dir):
+    """The single-window attribution must agree with the quadratic-naive
+    spelling: per purchase, argmax-by-k over strictly earlier non-purchase
+    events of the same user."""
+    from pyspark.sql import functions as F
+
+    from spark_states_spark.operators.behavior import attribution_last_touch
+    from spark_states_spark.sources import load_table
+
+    got = {
+        r.touch_type: r.n_purchases
+        for r in attribution_last_touch(spark, sf_dir).collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (F.unix_timestamp("ts") * F.lit(1000000) + F.col("event_id")).alias("k"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select("user_id", "k")
+    t = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", F.col("event_type").alias("touch"), F.col("k").alias("tk")
+    )
+    naive = (
+        p.join(t, "user_id", "left")
+        .where(F.col("tk").isNull() | (F.col("tk") < F.col("k")))
+        .groupBy("user_id", "k")
+        .agg(F.max_by("touch", "tk").alias("touch"))
+    )
+    # purchases whose ONLY join partners were later touches drop out of the
+    # filtered join entirely — re-anchor on the purchase set so they count
+    # as 'direct', same as the window spelling.
+    ref_rows = (
+        p.join(naive, ["user_id", "k"], "left")
+        .groupBy(F.coalesce("touch", F.lit("direct")).alias("touch_type"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    ref = {r.touch_type: r.n for r in ref_rows}
+    assert got == ref
+    n_purchases = p.count()
+    assert sum(got.values()) == n_purchases

@@ -55,3 +55,54 @@ def test_triangle_count_hub_graph_matches_brute_force(spark):
     n_e, n_t = _count(spark, sorted(edges))
     assert n_e == len(eset)
     assert n_t == brute
+
+
+def _py_pagerank_fp(edges, iters=2, scale=10**12):
+    """Pure-python mirror of the fixed-point spec (integer floor ops)."""
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    n = len(nbrs)
+    r = {v: scale // n for v in nbrs}
+    tele = (15 * (scale // n)) // 100
+    for _ in range(iters):
+        contrib = {v: r[v] // len(nbrs[v]) for v in nbrs}
+        r = {
+            v: tele + (85 * sum(contrib[u] for u in nbrs[v])) // 100
+            for v in nbrs
+        }
+    return r
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(1, 2), (2, 3)],  # path: middle node ranks highest
+        [(0, v) for v in range(1, 6)],  # star: hub dominates
+        [(1, 2), (2, 3), (1, 3), (3, 4)],  # triangle + pendant
+    ],
+)
+def test_pagerank_fixedpoint_known_graphs(spark, edges):
+    """The Spark iteration must reproduce the pure-python integer spec
+    bit-for-bit — that is the entire point of fixed-point PageRank."""
+    from spark_states_spark.operators.graph import pagerank_fixedpoint
+
+    e = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["a", "b"]).astype("int64")
+    ).repartition(3)
+    got = {r.v: r.r for r in pagerank_fixedpoint(e).collect()}
+    assert got == _py_pagerank_fp(edges)
+
+
+def test_pagerank_fixedpoint_star_hub_ranks_highest(spark):
+    from spark_states_spark.operators.graph import pagerank_fixedpoint
+
+    edges = [(0, v) for v in range(1, 9)]
+    e = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["a", "b"]).astype("int64")
+    )
+    got = {r.v: r.r for r in pagerank_fixedpoint(e).collect()}
+    leaves = {got[v] for v in range(1, 9)}
+    assert len(leaves) == 1  # symmetric leaves tie exactly
+    assert got[0] > max(leaves)

@@ -332,3 +332,72 @@ def test_source_overlap_pair_expansion_matches_self_join(spark, sf_dir):
         ).collect()
     }
     assert got == ref and got  # non-empty at the fixture scale
+
+
+def test_source_cap_python_recompute(spark, sf_dir):
+    """The capped report must equal a pure-python recompute over the
+    collected corpus (n_chars DESC, doc_id tiebreak, top-CAP per source)."""
+    from spark_states_spark.functions.pipeline import (
+        _SOURCE_CAP,
+        curation_source_cap,
+    )
+    from spark_states_spark.sources import load_table
+
+    got = {
+        r.source: (r.n_kept, r.kept_chars, r.cap_boundary_chars, r.n_langs_kept)
+        for r in curation_source_cap(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    ).collect()
+    by_src = {}
+    for r in docs:
+        by_src.setdefault(r.source, []).append(r)
+    ref = {}
+    for src, rows in by_src.items():
+        kept = sorted(rows, key=lambda r: (-r.n_chars, r.doc_id))[:_SOURCE_CAP]
+        ref[src] = (
+            len(kept),
+            sum(r.n_chars for r in kept),
+            min(r.n_chars for r in kept),
+            len({r.lang for r in kept}),
+        )
+    assert got == ref
+    assert all(v[0] <= _SOURCE_CAP for v in got.values())
+
+
+def test_importance_weighted_python_recompute(spark, sf_dir):
+    """The hash-threshold acceptance must equal a python md5 recompute —
+    the determinism that makes the sample reproducible on any cluster."""
+    import hashlib
+
+    from spark_states_spark.functions.pipeline import (
+        sample_importance_weighted,
+    )
+    from spark_states_spark.sources import load_table
+
+    got = {
+        r.lang: (r.n_kept, r.n_total, r.kept_chars)
+        for r in sample_importance_weighted(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).collect()
+    ref = {}
+    for r in docs:
+        h = int(hashlib.md5(f"imp:{r.doc_id}".encode()).hexdigest()[:8], 16)
+        kept = (h % 1000) < min(1000, r.n_chars * 2)
+        n_kept, n_total, chars = ref.get(r.lang, (0, 0, 0))
+        ref[r.lang] = (
+            n_kept + kept,
+            n_total + 1,
+            chars + (r.n_chars if kept else 0),
+        )
+    # python sums build ints; Spark's conditional sum is nullable bigint
+    ref = {k: (int(a), int(b), int(c)) for k, (a, b, c) in ref.items()}
+    assert got == ref
+    # long docs (n_chars >= 500) are always kept: acceptance saturates
+    for r in docs:
+        if r.n_chars >= 500:
+            h = int(hashlib.md5(f"imp:{r.doc_id}".encode()).hexdigest()[:8], 16)
+            assert (h % 1000) < 1000

@@ -199,6 +199,7 @@ _NON_EQUI_BY_DESIGN = {
     "funnel_time_to_convert",  # exact_median composition: same 1-row
     # extent broadcast + 2-row rank × ≤1024-row histogram bounded join
     "graph_triangle_count",  # 1-row edge-count × 1-row triangle-count join
+    "graph_pagerank_fixedpoint",  # 1-row vertex-count broadcast onto degrees
     "skyline_parts_2d",  # 1-row (lo,hi) extent broadcast onto the scan
     "streaming_hll_update",  # 1-row register-sum × 1-row exact-count join
     # sources × top-K-vocab grid (K=24 by construction) + 1-row vocab-mass
