@@ -631,14 +631,18 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
     between two observed days get the straight-line value between them
     (sensor rollups, rate series), observed days keep their exact sum.
 
-    Same single-shuffle shape as LOCF (grid from per-key ``sequence``,
-    one left join, both windows reuse the user_id partitioning); the only
-    addition is the forward-looking window for the NEXT observation. Grid
-    ends are observed by construction (the span is min..max observed day),
-    so interior gaps always have both anchors. Float exactness: anchors
-    are DECIMAL-summed then cast (bit-identical both engines) and the
-    interpolation is the IDENTICAL IEEE expression tree in both dialects —
-    scalar per-row arithmetic, no order-dependent float aggregation.
+    Plan shape — deliberately NOT the oracle's grid-then-join spelling:
+    the oracle materializes the full grid and probes observations with a
+    left join (which in Spark would rescan the daily aggregate for the
+    span side); here each observed day emits its own gap rows from a
+    single lead() pair — sequence(day, next_day - 1) — so the whole
+    operator is ONE scan, one (user_id, day) aggregation, one user_id
+    window pass. Grid ends are observed by construction (gap rows only
+    exist between consecutive observations), so interior gaps always
+    have both anchors. Float exactness: anchors are DECIMAL-summed then
+    cast (bit-identical both engines) and the interpolation is the
+    IDENTICAL IEEE expression tree in both dialects — scalar per-row
+    arithmetic, no order-dependent float aggregation.
     """
     events = load_table(spark, sf_dir, "events")
     daily = events.groupBy(
@@ -647,41 +651,34 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
     ).agg(
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("s")
     )
-    span = daily.groupBy("user_id").agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
-    )
-    grid = span.select(
-        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
-    )
-    j = grid.join(daily, ["user_id", "day"], "left")
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_next = (
-        Window.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    obs_day = F.when(F.col("s").isNotNull(), F.col("day"))
-    j = j.select(
+    w = Window.partitionBy("user_id").orderBy("day")
+    paired = daily.select(
         "user_id",
         "day",
         "s",
-        F.last("s", ignorenulls=True).over(w_prev).alias("v_p"),
-        F.last(obs_day, ignorenulls=True).over(w_prev).alias("d_p"),
-        F.first("s", ignorenulls=True).over(w_next).alias("v_n"),
-        F.first(obs_day, ignorenulls=True).over(w_next).alias("d_n"),
+        F.lead("day").over(w).alias("d_n"),
+        F.lead("s").over(w).alias("v_n"),
     )
-    frac = (F.col("day") - F.col("d_p")).cast("double") / (
-        F.col("d_n") - F.col("d_p")
-    ).cast("double")
-    return j.select(
+    g = paired.select(
         "user_id",
         "day",
-        F.col("s").isNotNull().alias("observed"),
-        F.when(F.col("d_n") == F.col("d_p"), F.col("v_p"))
-        .otherwise(F.col("v_p") + (F.col("v_n") - F.col("v_p")) * frac)
+        "s",
+        "d_n",
+        "v_n",
+        F.explode(
+            F.sequence(
+                "day", F.coalesce(F.col("d_n") - 1, F.col("day"))
+            )
+        ).alias("g"),
+    )
+    frac = (F.col("g") - F.col("day")).cast("double") / (
+        F.col("d_n") - F.col("day")
+    ).cast("double")
+    return g.select(
+        "user_id",
+        F.col("g").alias("day"),
+        (F.col("g") == F.col("day")).alias("observed"),
+        F.when(F.col("g") == F.col("day"), F.col("s"))
+        .otherwise(F.col("s") + (F.col("v_n") - F.col("s")) * frac)
         .alias("interp_daily_value"),
     )

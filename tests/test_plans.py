@@ -311,3 +311,13 @@ def test_range_band_join_is_hash_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "HashJoin" in p or "SortMergeJoin" in p, f"no hash/merge join:\n{p}"
+
+
+def test_interp_linear_single_scan(spark, sf_dir):
+    """Linear interpolation must generate gap rows from lead() pairs, not
+    the oracle's grid-join spelling — one scan of events, ever. A second
+    scan would mean the span side recomputed the daily aggregate from raw
+    (the same anti-pattern the rollup cascade guard pins)."""
+    p = plan(QUERIES["timeseries_interpolate_linear"](spark, sf_dir))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    assert n_scans == 1, f"interp rescans events ({n_scans} scans):\n{p}"
