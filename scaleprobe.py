@@ -112,6 +112,12 @@ PROBE_ENTRIES = [
     # funnel, arbitrary keyed state) has two measured decades.
     "streaming_session_window_append",
     "streaming_dedup_within_watermark",
+    # r10 catalog addition: the fixed-point PageRank power iteration — the
+    # probe's first iterative-JOIN batch shape besides connected
+    # components. Events replicas stride user_id, so blocks (and edges)
+    # grow linearly with the factor; expected ~linear with unchanged plans
+    # (per-iteration equi-joins on the vertex key).
+    "graph_pagerank_fixedpoint",
 ]
 
 # Entries whose OUTPUT cardinality is superlinear in corpus size by the
