@@ -263,3 +263,137 @@ def exact_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.groupBy("g", "n").agg(F.avg("v").alias("median_value")).select(
         F.col("g").alias("event_type"), "n", "median_value"
     )
+
+
+@register(
+    "agg_winsorized_mean",
+    # The rank spec is explicit (row_number at ceil(0.1n)/ceil(0.9n)) so
+    # both engines pick the identical order statistic — no reliance on
+    # either engine's quantile_disc rounding convention. The clipped
+    # values are always ORIGINAL data values (clamp returns one of v,
+    # p10, p90), so the DECIMAL(12,2) summation precedent from the
+    # timeseries entries applies unchanged.
+    oracle="""
+    WITH v AS (SELECT event_type AS g, value AS v FROM events),
+    n AS (SELECT g, count(*) AS n FROM v GROUP BY g),
+    r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+          FROM v),
+    b AS (SELECT r.g, max(n.n) AS n,
+                 max(CASE WHEN rn = (n.n + 9) // 10 THEN v END) AS plo,
+                 max(CASE WHEN rn = (9 * n.n + 9) // 10 THEN v END) AS phi
+          FROM r JOIN n ON n.g = r.g GROUP BY r.g)
+    SELECT v.g AS event_type,
+           CAST(max(b.n) AS BIGINT) AS n,
+           max(b.plo) AS p10,
+           max(b.phi) AS p90,
+           CAST(sum(CAST(CASE WHEN v.v < b.plo THEN b.plo
+                              WHEN v.v > b.phi THEN b.phi
+                              ELSE v.v END AS DECIMAL(12,2))) AS DOUBLE)
+             / max(b.n) AS winsorized_mean
+    FROM v JOIN b ON b.g = v.g
+    GROUP BY v.g
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorized mean (outlier-robust aggregation): clip each
+    group's values at its exact 10th/90th-percentile order statistics
+    (rank ceil(0.1n) / ceil(0.9n)), then average — the robust-statistics
+    step a metrics pipeline runs so a single fat-finger value cannot move
+    a KPI.
+
+    The clip bounds come from the same histogram-narrowing machinery as
+    ``exact_median_by_group`` (per-group ≤B-row histogram, bounded
+    rank-to-bin join, in-bin resolution partitioned by (group, bin)) —
+    NEVER a per-group global sort, which at 100 TB would put each group's
+    entire value set in one partition. The final clipped aggregation is
+    one more map-side-combined pass with the 2-value bounds broadcast per
+    group. The oracle spells the naive window form; ranks are located by
+    explicit row_number so both engines pick identical order statistics,
+    and value sums go through DECIMAL(12,2) (clamp outputs are original
+    data values, so the timeseries summation precedent applies).
+    """
+    items = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"), F.col("value").alias("v")
+    )
+    ext = items.groupBy("g").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("*").alias("n")
+    )
+    width = F.when(F.col("hi") == F.col("lo"), F.lit(1.0)).otherwise(
+        (F.col("hi") - F.col("lo")) / _BINS
+    )
+    binned = items.join(F.broadcast(ext), "g").select(
+        "g",
+        "v",
+        F.least(
+            F.floor((F.col("v") - F.col("lo")) / width), F.lit(_BINS - 1)
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    hist = binned.groupBy("g", "bin").agg(F.count("*").alias("cnt"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            W.partitionBy("g").orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    ).withColumn("cum_before", F.col("cum") - F.col("cnt"))
+    ranks = ext.select(
+        "g",
+        F.explode(
+            F.array(
+                F.expr("(n + 9) div 10"), F.expr("(9 * n + 9) div 10")
+            )
+        ).alias("k"),
+    )
+    target = (
+        F.broadcast(ranks.withColumnRenamed("g", "rg"))
+        .join(
+            cum,
+            (F.col("rg") == F.col("g"))
+            & (F.col("k") > F.col("cum_before"))
+            & (F.col("k") <= F.col("cum")),
+        )
+        .select("g", "bin", (F.col("k") - F.col("cum_before")).alias("offset"))
+    )
+    in_bin = binned.join(
+        F.broadcast(target.distinct()), ["g", "bin"]
+    ).withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("g", "bin", "offset").orderBy("v")),
+    )
+    # ≤2 picked rows per group; order statistics are monotone in rank, so
+    # min/max recovers (p10, p90) without threading k through the bin join
+    # (k_lo == k_hi for tiny groups collapses to one row — clamp degenerates
+    # to the constant, same as the oracle).
+    bounds = (
+        in_bin.where(F.col("rn") == F.col("offset"))
+        .groupBy("g")
+        .agg(F.min("v").alias("plo"), F.max("v").alias("phi"))
+        .join(ext.select("g", "n"), "g")
+    )
+    clipped = items.join(F.broadcast(bounds), "g").select(
+        "g",
+        "n",
+        "plo",
+        "phi",
+        F.when(F.col("v") < F.col("plo"), F.col("plo"))
+        .when(F.col("v") > F.col("phi"), F.col("phi"))
+        .otherwise(F.col("v"))
+        .cast("decimal(12,2)")
+        .alias("wv"),
+    )
+    return (
+        clipped.groupBy("g")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("plo").alias("p10"),
+            F.max("phi").alias("p90"),
+            (F.sum("wv").cast("double") / F.max("n")).alias(
+                "winsorized_mean"
+            ),
+        )
+        .select(
+            F.col("g").alias("event_type"), "n", "p10", "p90",
+            "winsorized_mean",
+        )
+    )

@@ -98,3 +98,40 @@ def test_grouped_median_matches_per_group_truth(spark, tmp_path):
         for r in QUERIES["exact_median_by_group"](spark, d).collect()
     }
     assert got == truth
+
+
+def test_winsorized_mean_python_recompute(spark, sf_dir):
+    """Bounds and clipped mean must equal a pure-python recompute with the
+    explicit rank spec (ceil(0.1n)/ceil(0.9n) order statistics)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from spark_states_spark.catalog import QUERIES
+    from spark_states_spark.sources import load_table
+
+    got = {
+        r.event_type: r
+        for r in QUERIES["agg_winsorized_mean"](spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r.event_type, []).append(r.value)
+    for g, vals in by_g.items():
+        vals.sort()
+        n = len(vals)
+        plo = vals[(n + 9) // 10 - 1]
+        phi = vals[(9 * n + 9) // 10 - 1]
+        assert got[g].n == n
+        assert got[g].p10 == plo
+        assert got[g].p90 == phi
+        dec = lambda v: Decimal(repr(min(max(v, plo), phi))).quantize(
+            Decimal("0.01"), rounding=ROUND_HALF_UP
+        )
+        total = sum(dec(v) for v in vals)
+        assert got[g].winsorized_mean == float(total) / n
+        # robustness invariant: clip bounds bracket the mean
+        assert plo <= got[g].winsorized_mean <= phi

@@ -209,6 +209,8 @@ _NON_EQUI_BY_DESIGN = {
     "similarity_lsh_recall",  # composes the two exempt similarity pipelines
     # 10-row per-group rank frame × bounded per-group histogram range join
     "exact_median_by_group",
+    # same bounded rank × histogram shape, 2 ranks per group
+    "agg_winsorized_mean",
 }
 
 
