@@ -274,3 +274,149 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce("touch", F.lit("direct")).alias("touch_type"))
         .agg(F.count("*").alias("n_purchases"))
     )
+
+
+@register(
+    "sequence_transition_matrix",
+    oracle="""
+    WITH k AS (
+      SELECT user_id, event_type,
+             epoch_ns(ts) // 1000000000 * 1000000 + event_id AS k
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY k) AS dst
+      FROM k
+    ),
+    c AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS n_transitions
+      FROM t WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+             / sum(n_transitions) OVER (PARTITION BY src) AS p_transition
+    FROM c
+    """,
+)
+def sequence_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: counts and conditional probabilities of event_type →
+    next-event_type transitions — the sequence-mining primitive behind
+    next-action prediction, anomaly scoring, and journey analysis.
+
+    One Exchange on ``user_id``, one lead() pass over the packed
+    (ts, event_id) order, then a partial-aggregated count over ≤ |types|²
+    groups; the probability window runs on the AGGREGATED frame (≤ 25
+    rows), never the raw log. Probabilities are one double division of
+    exact BIGINT counts — identical expression both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (F.unix_timestamp("ts") * F.lit(1000000) + F.col("event_id")).alias("k"),
+    )
+    w = W.partitionBy("user_id").orderBy("k")
+    t = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    c = (
+        t.where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    return c.select(
+        "src",
+        "dst",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(W.partitionBy("src"))
+        ).alias("p_transition"),
+    )
+
+
+@register(
+    "assoc_event_type_lift",
+    oracle="""
+    WITH pres AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM events),
+    supp AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM pres
+      GROUP BY event_type
+    ),
+    pair AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM pres a JOIN pres b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_both,
+           CAST(n_both * n.n_users AS DOUBLE) / (sa.n * sb.n) AS lift
+    FROM pair
+    JOIN supp sa ON sa.event_type = type_a
+    JOIN supp sb ON sb.event_type = type_b
+    CROSS JOIN n
+    """,
+)
+def assoc_event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over user event baskets: for every
+    unordered pair of event types, the co-occurrence count (users with
+    both) and the LIFT n_both·N / (n_a·n_b) — >1 means the pair
+    co-occurs more than independence predicts. The association-rule
+    primitive every product-analytics engine ships.
+
+    Pairs are generated IN-ROW from each user's sorted distinct-type set
+    (the ``source_overlap_matrix`` pattern): one distinct pass, one
+    collect_set per user, bounded C(|types|, 2) expansion per user — a
+    user with a million events still contributes ≤ C(5,2) pair rows, so
+    the shape survives any per-user volume. Lift is one double division
+    of exact BIGINT products (N, supports, and co-counts all integers) —
+    bit-identical in both engines. The 1-row user-count broadcast is the
+    same scalar shape as ``scalar_subquery_avg``.
+    """
+    pres = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    n = pres.agg(F.countDistinct("user_id").alias("n_users"))
+    supp = pres.groupBy("event_type").agg(F.count("*").alias("n"))
+    sets = pres.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types")
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(sequence(0, size(types) - 2), i -> "
+            "transform(slice(types, i + 2, size(types) - i - 1), t -> "
+            "struct(types[i] AS type_a, t AS type_b))))"
+        )
+    ).alias("p")
+    pairs = (
+        sets.where(F.size("types") >= 2)
+        .select(pair)
+        .groupBy(F.col("p.type_a").alias("type_a"),
+                 F.col("p.type_b").alias("type_b"))
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = supp.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = supp.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            (
+                (F.col("n_both") * F.col("n_users")).cast("double")
+                / (F.col("na") * F.col("nb"))
+            ).alias("lift"),
+        )
+    )

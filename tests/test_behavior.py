@@ -244,3 +244,81 @@ def test_attribution_last_touch_matches_naive_join(spark, sf_dir):
     assert got == ref
     n_purchases = p.count()
     assert sum(got.values()) == n_purchases
+
+
+def test_transition_matrix_python_recompute(spark, sf_dir):
+    """Counts and probabilities must equal a python recompute of per-user
+    bigrams in packed (ts, event_id) order."""
+    from collections import Counter, defaultdict
+
+    from pyspark.sql import functions as F
+
+    from spark_states_spark.catalog import QUERIES
+    from spark_states_spark.sources import load_table
+
+    got = {
+        (r.src, r.dst): (r.n_transitions, r.p_transition)
+        for r in QUERIES["sequence_transition_matrix"](spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            (F.unix_timestamp("ts") * F.lit(1000000) + F.col("event_id")).alias("k"),
+        )
+        .collect()
+    )
+    seqs = defaultdict(list)
+    for r in rows:
+        seqs[r.user_id].append((r.k, r.event_type))
+    counts = Counter()
+    for s in seqs.values():
+        s.sort()
+        for (_, a), (_, b) in zip(s, s[1:]):
+            counts[(a, b)] += 1
+    src_tot = Counter()
+    for (a, _), n in counts.items():
+        src_tot[a] += n
+    ref = {
+        (a, b): (n, float(n) / src_tot[a]) for (a, b), n in counts.items()
+    }
+    assert got == ref
+
+
+def test_assoc_lift_python_recompute(spark, sf_dir):
+    """Pair supports and lift must equal the python recompute over user
+    type-sets; lift must straddle 1 consistently with independence."""
+    from collections import Counter, defaultdict
+
+    from spark_states_spark.catalog import QUERIES
+    from spark_states_spark.sources import load_table
+
+    got = {
+        (r.type_a, r.type_b): (r.n_both, r.lift)
+        for r in QUERIES["assoc_event_type_lift"](spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    )
+    baskets = defaultdict(set)
+    for r in rows:
+        baskets[r.user_id].add(r.event_type)
+    n_users = len(baskets)
+    supp = Counter()
+    both = Counter()
+    for types in baskets.values():
+        ts = sorted(types)
+        for t in ts:
+            supp[t] += 1
+        for i, a in enumerate(ts):
+            for b in ts[i + 1 :]:
+                both[(a, b)] += 1
+    ref = {
+        (a, b): (n, float(n * n_users) / (supp[a] * supp[b]))
+        for (a, b), n in both.items()
+    }
+    assert got == ref

@@ -211,6 +211,8 @@ _NON_EQUI_BY_DESIGN = {
     "exact_median_by_group",
     # same bounded rank × histogram shape, 2 ranks per group
     "agg_winsorized_mean",
+    # 1-row distinct-user-count broadcast onto the ≤C(|types|,2) pair frame
+    "assoc_event_type_lift",
 }
 
 
