@@ -682,3 +682,99 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise(F.col("s") + (F.col("v_n") - F.col("s")) * frac)
         .alias("interp_daily_value"),
     )
+
+
+@register(
+    "changepoint_cusum_daily",
+    # Integer-exact CUSUM: with daily counts n_i over the T observed days
+    # and total N, the statistic S_t = T*prefix_t - t*N is the classic
+    # centered cumulative sum multiplied through by T — pure BIGINT
+    # arithmetic, so the argmax day is bit-deterministic in both engines
+    # (no float running mean, whose summation order would not be).
+    oracle="""
+    WITH d AS (
+      SELECT event_type, epoch_ns(ts) // 1000000000 // 86400 AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, day, n,
+             count(*) OVER w_all AS t_days,
+             sum(n) OVER w_all AS total,
+             row_number() OVER w_ord AS t,
+             sum(n) OVER w_run AS prefix
+      FROM d
+      WINDOW
+        w_all AS (PARTITION BY event_type),
+        w_ord AS (PARTITION BY event_type ORDER BY day),
+        w_run AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    stat AS (
+      SELECT event_type, day, t_days, total,
+             abs(t_days * prefix - t * total) AS s_abs
+      FROM s
+    )
+    SELECT event_type,
+           CAST(max(t_days) AS BIGINT) AS n_days,
+           CAST(max(total) AS BIGINT) AS n_events,
+           CAST(min(CASE WHEN s_abs = ms THEN day END) AS BIGINT)
+             AS changepoint_day,
+           CAST(max(s_abs) AS BIGINT) AS cusum_stat
+    FROM (SELECT *, max(s_abs) OVER (PARTITION BY event_type) AS ms
+          FROM stat)
+    GROUP BY event_type
+    """,
+)
+def changepoint_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point detection per event type: the CUSUM statistic over the
+    observed daily-count series — the day where the centered cumulative
+    sum |T·prefix_t − t·N| peaks is the maximum-likelihood single change
+    point of a level shift (Page's cumulative-sum test, the standard
+    monitoring primitive for volume regime changes).
+
+    Everything is BIGINT: counts are integers and the running mean is
+    multiplied through by the day count, so the statistic and its argmax
+    are bit-deterministic under any summation order — the same
+    fixed-point discipline as ``graph_pagerank_fixedpoint``. One Exchange
+    on event_type; every window and the final aggregation reuse it; output
+    is one row per event type. Ties break to the earliest peaking day
+    (min day at the max statistic) — the same spelling in both engines.
+    """
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w_all = Window.partitionBy("event_type")
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = d.select(
+        "event_type",
+        "day",
+        F.count("*").over(w_all).alias("t_days"),
+        F.sum("n").over(w_all).alias("total"),
+        F.row_number().over(w_ord).cast("long").alias("t"),
+        F.sum("n").over(w_run).alias("prefix"),
+    )
+    stat = s.select(
+        "event_type",
+        "day",
+        "t_days",
+        "total",
+        F.abs(
+            F.col("t_days") * F.col("prefix") - F.col("t") * F.col("total")
+        ).alias("s_abs"),
+    )
+    stat = stat.withColumn("ms", F.max("s_abs").over(w_all))
+    return stat.groupBy("event_type").agg(
+        F.max("t_days").alias("n_days"),
+        F.max("total").alias("n_events"),
+        F.min(F.when(F.col("s_abs") == F.col("ms"), F.col("day"))).alias(
+            "changepoint_day"
+        ),
+        F.max("s_abs").alias("cusum_stat"),
+    )

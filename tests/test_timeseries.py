@@ -67,3 +67,43 @@ def test_interp_gaps_are_linear_between_anchors(spark, sf_dir, interp_rows):
             expect = v_p + (v_n - v_p) * ((r.day - d_p) / (d_n - d_p))
             assert r.interp_daily_value == expect
     assert n_gaps > 0, "fixture exercises at least one gap"
+
+
+def test_cusum_python_recompute(spark, sf_dir):
+    """The integer CUSUM statistic and its earliest-peak argmax must equal
+    a pure-python recompute over the observed daily series."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from spark_states_spark.catalog import QUERIES
+    from spark_states_spark.sources import load_table
+
+    got = {
+        r.event_type: (r.n_days, r.n_events, r.changepoint_day, r.cusum_stat)
+        for r in QUERIES["changepoint_cusum_daily"](spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    series = defaultdict(dict)
+    for r in rows:
+        series[r.event_type][r.day] = r.n
+    for g, by_day in series.items():
+        days = sorted(by_day)
+        t_days, total = len(days), sum(by_day.values())
+        prefix, best = 0, None
+        for t, day in enumerate(days, start=1):
+            prefix += by_day[day]
+            s = abs(t_days * prefix - t * total)
+            if best is None or s > best[0]:
+                best = (s, day)
+        assert got[g] == (t_days, total, best[1], best[0])
+        # the statistic is exactly 0 at t = T (prefix == total)
+        assert t_days * total - t_days * total == 0
