@@ -372,23 +372,30 @@ def assoc_event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive every product-analytics engine ships.
 
     Pairs are generated IN-ROW from each user's sorted distinct-type set
-    (the ``source_overlap_matrix`` pattern): one distinct pass, one
-    collect_set per user, bounded C(|types|, 2) expansion per user — a
-    user with a million events still contributes ≤ C(5,2) pair rows, so
-    the shape survives any per-user volume. Lift is one double division
-    of exact BIGINT products (N, supports, and co-counts all integers) —
-    bit-identical in both engines. The 1-row user-count broadcast is the
-    same scalar shape as ``scalar_subquery_avg``.
+    (the ``source_overlap_matrix`` pattern): ONE scan and one distinct
+    pass build the per-user type-set frame (materialized with
+    localCheckpoint — one row per user), and the user count, per-type
+    supports (in-row explode), and bounded C(|types|, 2) pair expansion
+    are all derived from it — a user with a million events still
+    contributes ≤ C(5,2) pair rows, so the shape survives any per-user
+    volume. Lift is one double division of exact BIGINT products (N,
+    supports, and co-counts all integers) — bit-identical in both
+    engines. The 1-row user-count broadcast is the same scalar shape as
+    ``scalar_subquery_avg``.
     """
-    pres = (
+    sets = (
         load_table(spark, sf_dir, "events")
         .select("user_id", "event_type")
         .distinct()
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+        .localCheckpoint()
     )
-    n = pres.agg(F.countDistinct("user_id").alias("n_users"))
-    supp = pres.groupBy("event_type").agg(F.count("*").alias("n"))
-    sets = pres.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("types")
+    n = sets.agg(F.count("*").alias("n_users"))
+    supp = (
+        sets.select(F.explode("types").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
     )
     pair = F.explode(
         F.expr(

@@ -156,9 +156,22 @@ _PR_SCALE = 10**12
 _PR_ITERS = 2
 
 
-@register(
-    "graph_pagerank_fixedpoint",
-    oracle=f"""
+def _pagerank_oracle(iters: int) -> str:
+    """Unroll the fixed-point iteration into ``iters`` chained CTEs so the
+    oracle can never silently desync from ``_PR_ITERS`` (the Spark side
+    loops the same constant)."""
+    ctes = []
+    prev = "base"
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+    r{i} AS (
+      SELECT b.v, b.d, b.tele, b.tele + (85 * agg.c) // 100 AS r
+      FROM (SELECT u.dst AS v, sum(s.r // s.d) AS c
+            FROM und u JOIN {prev} s ON s.v = u.src GROUP BY u.dst) agg
+      JOIN {prev} b ON b.v = agg.v
+    )""")
+        prev = f"r{i}"
+    return f"""
     WITH e AS ({_edges_sql(duck_h32, _DUCK_CAT)}),
     und AS (SELECT a AS src, b AS dst FROM e
             UNION ALL SELECT b AS src, a AS dst FROM e),
@@ -168,23 +181,13 @@ _PR_ITERS = 2
       SELECT v, d, {_PR_SCALE} // n AS r,
              (15 * ({_PR_SCALE} // n)) // 100 AS tele
       FROM deg, nn
-    ),
-    r1 AS (
-      SELECT b.v, b.d, b.tele, b.tele + (85 * agg.c) // 100 AS r
-      FROM (SELECT u.dst AS v, sum(s.r // s.d) AS c
-            FROM und u JOIN base s ON s.v = u.src GROUP BY u.dst) agg
-      JOIN base b ON b.v = agg.v
-    ),
-    r2 AS (
-      SELECT b.v, b.tele + (85 * agg.c) // 100 AS r
-      FROM (SELECT u.dst AS v, sum(s.r // s.d) AS c
-            FROM und u JOIN r1 s ON s.v = u.src GROUP BY u.dst) agg
-      JOIN r1 b ON b.v = agg.v
-    )
+    ),{",".join(ctes)}
     SELECT CAST(v AS BIGINT) AS user_id, CAST(r AS BIGINT) AS rank_fp
-    FROM r2
-    """,
-)
+    FROM {prev}
+    """
+
+
+@register("graph_pagerank_fixedpoint", oracle=_pagerank_oracle(_PR_ITERS))
 def graph_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (damping 0.85, {iters} power iterations) over the shared
     synthetic user graph, in FIXED-POINT integer arithmetic: rank(v) =
@@ -250,6 +253,7 @@ def pagerank_fixedpoint(edges: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
     return ranks.select("v", "r")
 
 
-graph_pagerank_fixedpoint.__doc__ = graph_pagerank_fixedpoint.__doc__.format(
-    iters=_PR_ITERS
-)
+if graph_pagerank_fixedpoint.__doc__:  # absent under python -OO
+    graph_pagerank_fixedpoint.__doc__ = graph_pagerank_fixedpoint.__doc__.format(
+        iters=_PR_ITERS
+    )

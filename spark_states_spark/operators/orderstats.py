@@ -216,33 +216,58 @@ def exact_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = load_table(spark, sf_dir, "events").select(
         F.col("event_type").alias("g"), F.col("value").alias("v")
     )
-    ext = items.groupBy("g").agg(
+    ext = _group_extents(items)
+    ranks = ext.select(
+        "g",
+        F.explode(F.array((F.col("n") + 1) / 2, (F.col("n") + 2) / 2)).alias("kd"),
+    ).select("g", F.col("kd").cast("long").alias("k"))
+    picked = values_at_group_ranks(items, ext, ranks)
+    return (
+        picked.groupBy("g")
+        .agg(F.avg("v").alias("median_value"))
+        .join(ext.select("g", "n"), "g")
+        .select(F.col("g").alias("event_type"), "n", "median_value")
+    )
+
+
+def _group_extents(items: DataFrame) -> DataFrame:
+    """(g, v) → (g, lo, hi, n): per-group value extent + count — the one
+    map-side-combined pass both the grid binning and the rank frames need."""
+    return items.groupBy("g").agg(
         F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("*").alias("n")
     )
+
+
+def values_at_group_ranks(
+    items: DataFrame, ext: DataFrame, ranks: DataFrame
+) -> DataFrame:
+    """The grouped histogram-narrowing kernel, extracted ONCE: given items
+    (g, v), their extents (from ``_group_extents``), and a rank frame
+    (g, k 1-based ascending), return the picked (g, v) rows — each group's
+    k-th smallest values — without any per-group global sort. Histogram ≤
+    ``_BINS`` rows per group; the in-bin row_number sorts only the target
+    bins. Shared by ``exact_median_by_group`` (ranks = the two middle) and
+    ``agg_winsorized_mean`` (ranks = ceil(0.1n)/ceil(0.9n)), so the
+    narrowing arithmetic can never diverge between them."""
     width = F.when(F.col("hi") == F.col("lo"), F.lit(1.0)).otherwise(
         (F.col("hi") - F.col("lo")) / _BINS
     )
     binned = items.join(F.broadcast(ext), "g").select(
         "g",
         "v",
-        "n",
         F.least(
             F.floor((F.col("v") - F.col("lo")) / width), F.lit(_BINS - 1)
         )
         .cast("int")
         .alias("bin"),
     )
-    hist = binned.groupBy("g", "bin", "n").agg(F.count("*").alias("cnt"))
+    hist = binned.groupBy("g", "bin").agg(F.count("*").alias("cnt"))
     cum = hist.withColumn(
         "cum",
         F.sum("cnt").over(
             W.partitionBy("g").orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
         ),
     ).withColumn("cum_before", F.col("cum") - F.col("cnt"))
-    ranks = ext.select(
-        "g",
-        F.explode(F.array((F.col("n") + 1) / 2, (F.col("n") + 2) / 2)).alias("kd"),
-    ).select("g", F.col("kd").cast("long").alias("k"))
     target = (
         F.broadcast(ranks.withColumnRenamed("g", "rg"))
         .join(
@@ -259,10 +284,7 @@ def exact_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
         F.row_number().over(W.partitionBy("g", "bin", "offset").orderBy("v")),
     )
-    picked = in_bin.where(F.col("rn") == F.col("offset")).select("g", "n", "v")
-    return picked.groupBy("g", "n").agg(F.avg("v").alias("median_value")).select(
-        F.col("g").alias("event_type"), "n", "median_value"
-    )
+    return in_bin.where(F.col("rn") == F.col("offset")).select("g", "v")
 
 
 @register(
@@ -315,28 +337,7 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = load_table(spark, sf_dir, "events").select(
         F.col("event_type").alias("g"), F.col("value").alias("v")
     )
-    ext = items.groupBy("g").agg(
-        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("*").alias("n")
-    )
-    width = F.when(F.col("hi") == F.col("lo"), F.lit(1.0)).otherwise(
-        (F.col("hi") - F.col("lo")) / _BINS
-    )
-    binned = items.join(F.broadcast(ext), "g").select(
-        "g",
-        "v",
-        F.least(
-            F.floor((F.col("v") - F.col("lo")) / width), F.lit(_BINS - 1)
-        )
-        .cast("int")
-        .alias("bin"),
-    )
-    hist = binned.groupBy("g", "bin").agg(F.count("*").alias("cnt"))
-    cum = hist.withColumn(
-        "cum",
-        F.sum("cnt").over(
-            W.partitionBy("g").orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
-        ),
-    ).withColumn("cum_before", F.col("cum") - F.col("cnt"))
+    ext = _group_extents(items)
     ranks = ext.select(
         "g",
         F.explode(
@@ -345,29 +346,13 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("k"),
     )
-    target = (
-        F.broadcast(ranks.withColumnRenamed("g", "rg"))
-        .join(
-            cum,
-            (F.col("rg") == F.col("g"))
-            & (F.col("k") > F.col("cum_before"))
-            & (F.col("k") <= F.col("cum")),
-        )
-        .select("g", "bin", (F.col("k") - F.col("cum_before")).alias("offset"))
-    )
-    in_bin = binned.join(
-        F.broadcast(target.distinct()), ["g", "bin"]
-    ).withColumn(
-        "rn",
-        F.row_number().over(W.partitionBy("g", "bin", "offset").orderBy("v")),
-    )
+    picked = values_at_group_ranks(items, ext, ranks)
     # ≤2 picked rows per group; order statistics are monotone in rank, so
     # min/max recovers (p10, p90) without threading k through the bin join
     # (k_lo == k_hi for tiny groups collapses to one row — clamp degenerates
     # to the constant, same as the oracle).
     bounds = (
-        in_bin.where(F.col("rn") == F.col("offset"))
-        .groupBy("g")
+        picked.groupBy("g")
         .agg(F.min("v").alias("plo"), F.max("v").alias("phi"))
         .join(ext.select("g", "n"), "g")
     )
