@@ -106,3 +106,44 @@ def test_pagerank_fixedpoint_star_hub_ranks_highest(spark):
     leaves = {got[v] for v in range(1, 9)}
     assert len(leaves) == 1  # symmetric leaves tie exactly
     assert got[0] > max(leaves)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+# Random undirected simple graphs: node ids from a small pool so components
+# merge often; dedup to canonical (a < b) edges.
+_edge_strategy = st.lists(
+    st.tuples(st.integers(0, 19), st.integers(0, 19)).filter(
+        lambda p: p[0] != p[1]
+    ),
+    min_size=1,
+    max_size=40,
+).map(lambda ps: sorted({(min(a, b), max(a, b)) for a, b in ps}))
+
+
+@given(edges=_edge_strategy)
+@settings(max_examples=25, deadline=None)
+def test_pagerank_fixedpoint_property_differential(spark, edges):
+    """Hypothesis differential: on ANY simple undirected graph, the Spark
+    fixed-point iteration equals the pure-python integer spec exactly —
+    including rank conservation up to the floor-division losses (every
+    floor discards < 1 unit per divisor share, so total drift over 2
+    iterations is bounded by a few units per node and per edge end —
+    thousands of units against a 1e12 scale)."""
+    from spark_states_spark.operators.graph import (
+        _PR_SCALE,
+        pagerank_fixedpoint,
+    )
+
+    e = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["a", "b"]).astype("int64")
+    ).repartition(3)
+    got = {r.v: r.r for r in pagerank_fixedpoint(e).collect()}
+    ref = _py_pagerank_fp(edges)
+    assert got == ref
+    # conservation: floors only ever discard mass, never create it; the
+    # discard is O(nodes + edge-ends) units against the 1e12 scale
+    assert sum(ref.values()) <= _PR_SCALE
+    assert sum(ref.values()) >= _PR_SCALE - 10_000
