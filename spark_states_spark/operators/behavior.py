@@ -341,10 +341,14 @@ def sequence_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "assoc_event_type_lift",
     oracle="""
     WITH pres AS (
+      -- NULL users are excluded EXPLICITLY in both engines: without the
+      -- filter the oracle's pieces disagree among themselves (the pair
+      -- self-join drops NULL keys, count(*) supports keep them)
       SELECT DISTINCT user_id, event_type FROM events
+      WHERE user_id IS NOT NULL
     ),
     n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-          FROM events),
+          FROM pres),
     supp AS (
       SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM pres
       GROUP BY event_type
@@ -374,23 +378,19 @@ def assoc_event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairs are generated IN-ROW from each user's sorted distinct-type set
     (the ``source_overlap_matrix`` pattern): ONE scan and one distinct
     pass build the per-user type-set frame (materialized with
-    localCheckpoint — one row per user), and the user count, per-type
-    supports (in-row explode), and bounded C(|types|, 2) pair expansion
-    are all derived from it — a user with a million events still
-    contributes ≤ C(5,2) pair rows, so the shape survives any per-user
-    volume. Lift is one double division of exact BIGINT products (N,
-    supports, and co-counts all integers) — bit-identical in both
-    engines. The 1-row user-count broadcast is the same scalar shape as
-    ``scalar_subquery_avg``.
+    localCheckpoint — one row per user, memoized per (session, fixture)
+    with the checkpoint blocks registered for the shared-memo cleanup,
+    the ``_cc_labels`` convention), and the user count, per-type supports
+    (in-row explode), and bounded C(|types|, 2) pair expansion are all
+    derived from it — a user with a million events still contributes ≤
+    C(5,2) pair rows, so the shape survives any per-user volume. NULL
+    user ids are excluded on both sides (the SQL pair self-join would
+    silently drop them while the supports kept them). Lift is one double
+    division of exact BIGINT products (N, supports, and co-counts all
+    integers) — bit-identical in both engines. The 1-row user-count
+    broadcast is the same scalar shape as ``scalar_subquery_avg``.
     """
-    sets = (
-        load_table(spark, sf_dir, "events")
-        .select("user_id", "event_type")
-        .distinct()
-        .groupBy("user_id")
-        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
-        .localCheckpoint()
-    )
+    sets = _user_type_sets(spark, sf_dir)
     n = sets.agg(F.count("*").alias("n_users"))
     supp = (
         sets.select(F.explode("types").alias("event_type"))
@@ -427,3 +427,53 @@ def assoc_event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+_TYPE_SETS_MEMO: dict = {}
+
+
+def _user_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sorted distinct event-type sets (NULL users excluded),
+    materialized once per (session, fixture) with localCheckpoint so the
+    three derivations (user count, supports, pair expansion) share one
+    events scan; checkpoint blocks are released via the shared-memo
+    cleanup like the CC label frames (functions/dedup.py)."""
+    import os as _os
+
+    from ..functions.dedup import _persistent_rdd_ids
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    hit = _TYPE_SETS_MEMO.get(key)
+    if hit is None:
+        ids_pre = _persistent_rdd_ids(spark)
+        hit = (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("user_id").isNotNull())
+            .select("user_id", "event_type")
+            .distinct()
+            .groupBy("user_id")
+            .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+            .localCheckpoint()
+        )
+        hit._local_ckpt_rdd_ids = _persistent_rdd_ids(spark) - ids_pre
+        _TYPE_SETS_MEMO[key] = hit
+    return hit
+
+
+def _type_sets_cleanup() -> None:
+    from ..functions.dedup import _unpersist_rdd_ids
+
+    for df in _TYPE_SETS_MEMO.values():
+        ids = getattr(df, "_local_ckpt_rdd_ids", None)
+        if ids:
+            _unpersist_rdd_ids(df.sparkSession, ids)
+
+
+from ..catalog import register_shared_memo as _register_shared_memo  # noqa: E402
+
+_register_shared_memo(
+    "user_type_sets",
+    _TYPE_SETS_MEMO,
+    {"assoc_event_type_lift"},
+    cleanup=_type_sets_cleanup,
+)

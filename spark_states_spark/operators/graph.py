@@ -181,7 +181,7 @@ def _pagerank_oracle(iters: int) -> str:
       SELECT v, d, {_PR_SCALE} // n AS r,
              (15 * ({_PR_SCALE} // n)) // 100 AS tele
       FROM deg, nn
-    ),{",".join(ctes)}
+    ){"," + ",".join(ctes) if ctes else ""}
     SELECT CAST(v AS BIGINT) AS user_id, CAST(r AS BIGINT) AS rank_fp
     FROM {prev}
     """

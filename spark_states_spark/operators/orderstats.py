@@ -221,11 +221,10 @@ def exact_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g",
         F.explode(F.array((F.col("n") + 1) / 2, (F.col("n") + 2) / 2)).alias("kd"),
     ).select("g", F.col("kd").cast("long").alias("k"))
-    picked = values_at_group_ranks(items, ext, ranks)
+    picked = values_at_group_ranks(items, ext, ranks, carry=("n",))
     return (
-        picked.groupBy("g")
+        picked.groupBy("g", "n")
         .agg(F.avg("v").alias("median_value"))
-        .join(ext.select("g", "n"), "g")
         .select(F.col("g").alias("event_type"), "n", "median_value")
     )
 
@@ -239,29 +238,36 @@ def _group_extents(items: DataFrame) -> DataFrame:
 
 
 def values_at_group_ranks(
-    items: DataFrame, ext: DataFrame, ranks: DataFrame
+    items: DataFrame, ext: DataFrame, ranks: DataFrame,
+    carry: tuple = (),
 ) -> DataFrame:
     """The grouped histogram-narrowing kernel, extracted ONCE: given items
     (g, v), their extents (from ``_group_extents``), and a rank frame
-    (g, k 1-based ascending), return the picked (g, v) rows — each group's
-    k-th smallest values — without any per-group global sort. Histogram ≤
-    ``_BINS`` rows per group; the in-bin row_number sorts only the target
-    bins. Shared by ``exact_median_by_group`` (ranks = the two middle) and
+    (g, k 1-based ascending), return the picked (g, *carry, v) rows —
+    each group's k-th smallest values — without any per-group global
+    sort. ``carry`` names ext columns (constant per group, e.g. ``n``)
+    threaded through the binning so callers don't re-join the ext subplan
+    (which would re-plan its events scan). Histogram ≤ ``_BINS`` rows per
+    group; the in-bin row_number sorts only the target bins. Shared by
+    ``exact_median_by_group`` (ranks = the two middle) and
     ``agg_winsorized_mean`` (ranks = ceil(0.1n)/ceil(0.9n)), so the
-    narrowing arithmetic can never diverge between them."""
+    grouped narrowing arithmetic cannot diverge between them; the
+    UNGROUPED twins (``exact_median``, ``exact_quantiles_multi``) keep
+    their specialized 1-row-extent-broadcast shapes deliberately."""
     width = F.when(F.col("hi") == F.col("lo"), F.lit(1.0)).otherwise(
         (F.col("hi") - F.col("lo")) / _BINS
     )
     binned = items.join(F.broadcast(ext), "g").select(
         "g",
         "v",
+        *carry,
         F.least(
             F.floor((F.col("v") - F.col("lo")) / width), F.lit(_BINS - 1)
         )
         .cast("int")
         .alias("bin"),
     )
-    hist = binned.groupBy("g", "bin").agg(F.count("*").alias("cnt"))
+    hist = binned.groupBy("g", "bin", *carry).agg(F.count("*").alias("cnt"))
     cum = hist.withColumn(
         "cum",
         F.sum("cnt").over(
@@ -284,7 +290,7 @@ def values_at_group_ranks(
         "rn",
         F.row_number().over(W.partitionBy("g", "bin", "offset").orderBy("v")),
     )
-    return in_bin.where(F.col("rn") == F.col("offset")).select("g", "v")
+    return in_bin.where(F.col("rn") == F.col("offset")).select("g", *carry, "v")
 
 
 @register(
@@ -346,15 +352,13 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("k"),
     )
-    picked = values_at_group_ranks(items, ext, ranks)
+    picked = values_at_group_ranks(items, ext, ranks, carry=("n",))
     # ≤2 picked rows per group; order statistics are monotone in rank, so
     # min/max recovers (p10, p90) without threading k through the bin join
     # (k_lo == k_hi for tiny groups collapses to one row — clamp degenerates
     # to the constant, same as the oracle).
-    bounds = (
-        picked.groupBy("g")
-        .agg(F.min("v").alias("plo"), F.max("v").alias("phi"))
-        .join(ext.select("g", "n"), "g")
+    bounds = picked.groupBy("g", "n").agg(
+        F.min("v").alias("plo"), F.max("v").alias("phi")
     )
     clipped = items.join(F.broadcast(bounds), "g").select(
         "g",

@@ -57,8 +57,14 @@ def test_triangle_count_hub_graph_matches_brute_force(spark):
     assert n_t == brute
 
 
-def _py_pagerank_fp(edges, iters=2, scale=10**12):
-    """Pure-python mirror of the fixed-point spec (integer floor ops)."""
+def _py_pagerank_fp(edges, iters=None, scale=10**12):
+    """Pure-python mirror of the fixed-point spec (integer floor ops);
+    iteration count follows _PR_ITERS so bumping the constant cannot
+    desync this mirror from the engine and the generated oracle."""
+    from spark_states_spark.operators.graph import _PR_ITERS
+
+    if iters is None:
+        iters = _PR_ITERS
     nbrs = {}
     for a, b in edges:
         nbrs.setdefault(a, []).append(b)
