@@ -219,7 +219,7 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH k AS (
       SELECT user_id, event_type,
-             epoch_ns(ts) // 1000000000 * 1000000 + event_id AS k
+             epoch_ns(ts) // 1000000000 * 1000000000 + event_id AS k
       FROM events
     ),
     touched AS (
@@ -247,15 +247,19 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     a running last-non-null (the frame excludes the current row, so a
     purchase never attributes to itself or a later event), then a
     partial-aggregated count over ≤ |event types| + 1 groups. Ordering is
-    the packed (ts, event_id) key every streaming oracle uses, so ties
-    within a second are broken identically in both engines. At 100 TB the
+    the packed (ts, event_id) key every streaming oracle uses — with a
+    1e9 multiplier (not the streaming convention's 1e6) so stated
+    last-touch-by-time semantics hold for event_id up to 1e9 (the sf≥10
+    fixtures exceed 1e6; epoch_s × 1e9 + 1e9 still fits int64 — ADVICE
+    r10) — so ties within a second are broken identically in both
+    engines. At 100 TB the
     cost is the one per-user shuffle; the window is a linear scan per
     partition and the final agg is bounded by event-type cardinality.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
-        (F.unix_timestamp("ts") * F.lit(1000000) + F.col("event_id")).alias("k"),
+        (F.unix_timestamp("ts") * F.lit(1000000000) + F.col("event_id")).alias("k"),
     )
     w = (
         W.partitionBy("user_id")
@@ -281,7 +285,7 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH k AS (
       SELECT user_id, event_type,
-             epoch_ns(ts) // 1000000000 * 1000000 + event_id AS k
+             epoch_ns(ts) // 1000000000 * 1000000000 + event_id AS k
       FROM events
     ),
     t AS (
@@ -306,7 +310,9 @@ def sequence_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     next-action prediction, anomaly scoring, and journey analysis.
 
     One Exchange on ``user_id``, one lead() pass over the packed
-    (ts, event_id) order, then a partial-aggregated count over ≤ |types|²
+    (ts, event_id) order (1e9 multiplier — safe for event_id < 1e9,
+    covering every fixture SF; see ``attribution_last_touch``), then a
+    partial-aggregated count over ≤ |types|²
     groups; the probability window runs on the AGGREGATED frame (≤ 25
     rows), never the raw log. Probabilities are one double division of
     exact BIGINT counts — identical expression both engines.
@@ -314,7 +320,7 @@ def sequence_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
-        (F.unix_timestamp("ts") * F.lit(1000000) + F.col("event_id")).alias("k"),
+        (F.unix_timestamp("ts") * F.lit(1000000000) + F.col("event_id")).alias("k"),
     )
     w = W.partitionBy("user_id").orderBy("k")
     t = ev.select(
@@ -441,8 +447,17 @@ def _user_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     from ..functions.dedup import _persistent_rdd_ids
+    from ..sources.tables import _source_identity, table_path
 
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    # Keyed on fixture CONTENT identity, not just the path: the driver
+    # regenerates testdata in place between rounds (sources/tables.py),
+    # so a path-only key would silently serve the previous generation's
+    # type sets within one long-lived application (ADVICE r10).
+    key = (
+        spark.sparkContext.applicationId,
+        _os.path.abspath(sf_dir),
+        _source_identity(table_path(sf_dir, "events")),
+    )
     hit = _TYPE_SETS_MEMO.get(key)
     if hit is None:
         ids_pre = _persistent_rdd_ids(spark)

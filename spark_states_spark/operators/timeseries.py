@@ -595,7 +595,9 @@ def ohlc_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT user_id, epoch_ns(ts) // 1000000000 // 86400 AS day,
              CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s
-      FROM events GROUP BY 1, 2
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
     ),
     span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
              FROM daily GROUP BY user_id),
@@ -644,7 +646,15 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
     IDENTICAL IEEE expression tree in both dialects — scalar per-row
     arithmetic, no order-dependent float aggregation.
     """
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").where(
+        # NULL-row hygiene on BOTH engine sides (ADVICE r10): the oracle's
+        # LEFT JOIN ... USING never matches a NULL user_id and its
+        # `s IS NOT NULL` observed-flag would diverge from the engine's
+        # `g == day` on an all-NULL-value day; filtering both keeps the
+        # entry well-defined if a future fixture generation adds NULLs
+        # (a NULL-value-only day is a GAP, not an observation).
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
     daily = events.groupBy(
         "user_id",
         (F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
