@@ -173,6 +173,25 @@ def main() -> int:
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb_con(SF_DIR)
+    # Content-keyed DuckDB-result cache (VERDICT r10 #5): the oracle side
+    # was ~1/3 of the 309 s gate and grows with the catalog; the cache key
+    # is (duckdb version, every-table fixture identity, oracle SQL), so a
+    # regenerated fixture or an edited oracle recomputes and ONLY a
+    # bit-identical re-ask is served from disk. Spark-side execution and
+    # the value/schema compare are unaffected. Disable (cold run) with
+    # SPARK_GRAFT_NO_ORACLE_CACHE=1 or by deleting .oracle_cache/.
+    from tests.oracle_utils import fixture_identity
+
+    oracle_cache = None
+    if not os.environ.get("SPARK_GRAFT_NO_ORACLE_CACHE"):
+        try:
+            oracle_cache = (
+                os.path.join(_ROOT, ".oracle_cache"),
+                fixture_identity(SF_DIR),
+            )
+        except OSError as exc:
+            print(f"WARN: oracle cache disabled ({exc})")
+    cache_hits = cache_misses = 0
     failures: dict[str, str] = {}
     t0 = time.time()
     from bench import _unload_state_providers, warm_up
@@ -199,7 +218,13 @@ def main() -> int:
             df = QUERIES[name](spark, SF_DIR)
             tm["spark_s"] = time.perf_counter() - te
             # compare() ACCUMULATES its collect time into spark_s.
-            problems = compare(df, con, ORACLES[name], timings=tm)
+            problems = compare(
+                df, con, ORACLES[name], timings=tm, oracle_cache=oracle_cache
+            )
+            if tm.get("oracle_cached"):
+                cache_hits += 1
+            else:
+                cache_misses += 1
             if problems:
                 failures[name] = "; ".join(problems)
         except Exception as exc:  # noqa: BLE001 — record, keep sweeping
@@ -226,7 +251,10 @@ def main() -> int:
             tm = {}
             df = QUERIES[FORCED_SINK_ENTRY](spark, SF_DIR)
             tm["spark_s"] = time.perf_counter() - tf
-            problems = compare(df, con, ORACLES[FORCED_SINK_ENTRY], timings=tm)
+            problems = compare(
+                df, con, ORACLES[FORCED_SINK_ENTRY], timings=tm,
+                oracle_cache=oracle_cache,
+            )
             forced_sink = {
                 "entry": FORCED_SINK_ENTRY,
                 "sink": "parquet",
@@ -298,6 +326,10 @@ def main() -> int:
         "spark_regressions_vs_prev": regressions,
         "ambient_ratio": ambient,
         "forced_sink": forced_sink,
+        # Warm/cold state of the content-keyed oracle cache for THIS run —
+        # the reader of elapsed_s needs to know whether the DuckDB side was
+        # recomputed (misses) or served from a prior bit-identical run.
+        "oracle_cache": {"hits": cache_hits, "misses": cache_misses},
         "prev_round": prev.get("_round") if prev else None,
     }
     if contention is not None:

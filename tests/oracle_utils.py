@@ -7,11 +7,34 @@ values (columns sorted by name, rows sorted by canonical string).
 
 from __future__ import annotations
 
+import hashlib
 import math
+import os
+import pickle
 
 import duckdb
 
 from spark_states_spark.sources.tables import TABLES, table_path
+
+
+def fixture_identity(sf_dir: str) -> str:
+    """Content-identity stamp covering EVERY fixture table under sf_dir
+    (mtime_ns + size per file, via sources.tables._source_identity) — the
+    cache key component that makes an in-place testdata regeneration
+    invalidate every cached oracle result for that directory."""
+    from spark_states_spark.sources.tables import _source_identity
+
+    return ";".join(
+        f"{t}={_source_identity(table_path(sf_dir, t))}" for t in TABLES
+    )
+
+
+def _oracle_cache_file(oracle_cache: tuple[str, str], oracle_sql: str) -> str:
+    cache_dir, fixture_id = oracle_cache
+    key = hashlib.sha256(
+        f"{duckdb.__version__}\n{fixture_id}\n{oracle_sql}".encode()
+    ).hexdigest()
+    return os.path.join(cache_dir, f"{key}.pkl")
 
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -92,7 +115,8 @@ def _driver_fidelity_problems(spark_df, ora_types, null_cols) -> list[str]:
 
 
 def compare(
-    spark_df, con, oracle_sql: str, timings: dict | None = None
+    spark_df, con, oracle_sql: str, timings: dict | None = None,
+    oracle_cache: tuple[str, str] | None = None,
 ) -> list[str]:
     """Return a list of mismatch descriptions (empty == pass).
 
@@ -102,6 +126,18 @@ def compare(
     DuckDB executions — the value fetch and the driver-fidelity pandas
     materialization) so callers recording wall seconds can attribute
     them without re-running anything.
+
+    ``oracle_cache`` — ``(cache_dir, fixture_identity(sf_dir))`` — enables
+    a content-keyed DuckDB-result cache (VERDICT r10 #5: the sf0.1 gate's
+    oracle side alone was ~1/3 of its 309 s wall and grows linearly with
+    the catalog). Sound because the oracle result is a pure function of
+    (oracle SQL, fixture bytes, duckdb version) — all three are in the
+    key, so an edited oracle, a regenerated fixture, or a duckdb upgrade
+    each miss and recompute; the SPARK side and the value/schema compare
+    still run in full on every call, so per-entry hash coverage is
+    unchanged. Delete the cache dir to force a cold recompute. Results
+    that needed the DESCRIBE fallback (which appends its own problem
+    entry) are never cached. ``timings['oracle_cached']`` reports a hit.
     """
     import time as _time
 
@@ -114,16 +150,32 @@ def compare(
         )
     sp_cols = list(spark_df.columns)
     t0 = _time.perf_counter()
+    cached = None
+    if oracle_cache is not None:
+        try:
+            with open(_oracle_cache_file(oracle_cache, oracle_sql), "rb") as fh:
+                cached = pickle.load(fh)
+        except (OSError, pickle.UnpicklingError, EOFError):
+            cached = None
+    if cached is not None:
+        ora_cols, ora_rows, ora_types, null_cols = cached
+        if timings is not None:
+            timings["oracle_cached"] = True
+            timings["oracle_s"] = _time.perf_counter() - t0
+        problems.extend(_driver_fidelity_problems(spark_df, ora_types, null_cols))
+        return _value_compare(problems, sp_cols, sp_rows, ora_cols, ora_rows)
     res = con.execute(oracle_sql)
     ora_cols = [d[0] for d in res.description]
     ora_rows = [tuple(r) for r in res.fetchall()]
     # Driver-fidelity pre-checks: DuckDB column types via DESCRIBE (binding
     # only — the old ``.df()`` here EXECUTED the oracle a second time).
+    cacheable = True
     try:
         ora_types = {
             r[0]: r[1] for r in con.execute(f"DESCRIBE {oracle_sql}").fetchall()
         }
     except Exception:
+        cacheable = False
         # Fallback (ADVICE r07): a DESCRIBE failure must not silently skip
         # the integer-vs-float fidelity check — the one protection the
         # fetchall value-compare below cannot provide. Re-execute via the
@@ -148,10 +200,25 @@ def compare(
         for i in range(len(ora_cols))
         if any(r[i] is None for r in ora_rows)
     }
+    if oracle_cache is not None and cacheable:
+        try:
+            os.makedirs(oracle_cache[0], exist_ok=True)
+            path = _oracle_cache_file(oracle_cache, oracle_sql)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as fh:
+                pickle.dump((ora_cols, ora_rows, ora_types, null_cols), fh)
+            os.replace(tmp, path)
+        except OSError:
+            pass  # cache is best-effort; the compare below already has data
     if timings is not None:
         timings["oracle_s"] = _time.perf_counter() - t0
     problems.extend(_driver_fidelity_problems(spark_df, ora_types, null_cols))
+    return _value_compare(problems, sp_cols, sp_rows, ora_cols, ora_rows)
 
+
+def _value_compare(
+    problems: list[str], sp_cols, sp_rows, ora_cols, ora_rows
+) -> list[str]:
     if sorted(sp_cols) != sorted(ora_cols):
         problems.append(f"columns differ: spark={sorted(sp_cols)} oracle={sorted(ora_cols)}")
         return problems
