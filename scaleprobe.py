@@ -370,11 +370,12 @@ def plan_delta_kind(base: str, scaled: str, entry: str | None = None) -> str:
     return "join_strategy" if differing <= _STRATEGY_NODES else "structural"
 
 
-def previous_probe_bases(
+def previous_probe_entries(
     rnd: int, factor: int, root: str = _ROOT
-) -> dict[str, float]:
-    """This factor's 1x base timings from the newest prior-round artifact
-    (empty when none). Used by base_sanity below."""
+) -> dict[str, dict]:
+    """This factor's per-entry rows from the newest prior-round artifact
+    (empty when none). Feeds base_sanity (1x bases) and the per-entry
+    ratio-spread adjudication (VERDICT r10 #2)."""
     import glob
 
     tag = "" if factor == 10 else f"{factor}x"
@@ -390,12 +391,24 @@ def previous_probe_bases(
         with open(best[1]) as fh:
             prev = json.load(fh)
         return {
-            k: v["base_s"]
+            k: v
             for k, v in prev.get("entries", {}).items()
-            if isinstance(v, dict) and isinstance(v.get("base_s"), (int, float))
+            if isinstance(v, dict)
         }
     except (OSError, ValueError):
         return {}
+
+
+def previous_probe_bases(
+    rnd: int, factor: int, root: str = _ROOT
+) -> dict[str, float]:
+    """This factor's 1x base timings from the newest prior-round artifact
+    (empty when none). Used by base_sanity below."""
+    return {
+        k: v["base_s"]
+        for k, v in previous_probe_entries(rnd, factor, root).items()
+        if isinstance(v.get("base_s"), (int, float))
+    }
 
 
 def base_sanity(
@@ -436,6 +449,91 @@ def base_sanity(
     }
 
 
+# Per-entry ratio-spread tripwire (VERDICT r10 #2): the 100x wall-clock TTL
+# entry recorded 6.07x and 17.94x on the SAME head — nothing in the artifact
+# adjudicated the spread the way bench's tripwire->isolated_s does. When an
+# entry's ratio moves more than _SPREAD_RATIO in either direction vs the
+# previous round's same-factor artifact, re-run BOTH sides isolated
+# best-of-2 and stamp isolated_ratio into the row. Bounded: at most
+# _MAX_SPREAD_ADJUDICATIONS entries (worst drift first), and never for
+# entries whose scaled side alone exceeds _ADJUDICATE_MAX_SCALED_S (a
+# best-of-2 re-run of a 10-minute 1000x drain would double the probe's
+# wall for a number the three-decade series already brackets).
+_SPREAD_RATIO = 2.0
+_MAX_SPREAD_ADJUDICATIONS = 3
+_ADJUDICATE_MAX_SCALED_S = 120.0
+
+
+def isolated_probe_s(spark, name: str, sf_dir: str, n_runs: int = 2) -> float:
+    """Best-of-N isolated re-measurement of one probe entry (build +
+    count — the same composition as the sweep). Memo contract follows
+    scalecheck.isolated_spark_s: the entry's shared-drain memos are
+    cleared before EVERY run including the first, so a drain carrier is
+    measured as first-touch each time rather than as a memo read."""
+    from bench import _clear_entry_memos, _unload_state_providers
+
+    best = float("inf")
+    for _ in range(n_runs):
+        spark.catalog.clearCache()
+        _unload_state_providers(spark)
+        _clear_entry_memos(name)
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.count()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def adjudicate_spread(
+    spark, rows: dict[str, dict], prev: dict[str, dict],
+    base_dir: str, scaled_dir: str,
+) -> int:
+    """Stamp isolated best-of-2 re-measurements into rows whose ratio
+    drifted >_SPREAD_RATIO vs the previous same-factor artifact. Returns
+    the number adjudicated. Mutates ``rows`` in place; never raises (the
+    sweep's numbers are already recorded — adjudication is advisory)."""
+    drifted: list[tuple[float, str]] = []
+    for name, r in rows.items():
+        pr = prev.get(name, {}).get("ratio")
+        if not isinstance(pr, (int, float)) or pr <= 0:
+            continue
+        drift = max(r["ratio"] / pr, pr / r["ratio"])
+        if drift <= _SPREAD_RATIO or r["scaled_s"] < 1.0:
+            continue
+        r["prev_ratio"] = pr
+        if r["scaled_s"] > _ADJUDICATE_MAX_SCALED_S:
+            r["spread_note"] = (
+                f"ratio drifted {drift:.1f}x vs prev round but scaled side "
+                f"({r['scaled_s']}s) exceeds the {_ADJUDICATE_MAX_SCALED_S:.0f}s "
+                "re-run budget — unadjudicated, read against the other decades"
+            )
+            continue
+        drifted.append((drift, name))
+    n = 0
+    for drift, name in sorted(drifted, reverse=True)[:_MAX_SPREAD_ADJUDICATIONS]:
+        try:
+            ib = isolated_probe_s(spark, name, base_dir)
+            isc = isolated_probe_s(spark, name, scaled_dir)
+        except Exception as exc:  # noqa: BLE001 — advisory
+            rows[name]["spread_note"] = f"isolated re-run failed: {exc}"
+            continue
+        rows[name]["isolated_base_s"] = round(ib, 2)
+        rows[name]["isolated_scaled_s"] = round(isc, 2)
+        rows[name]["isolated_ratio"] = round(isc / max(ib, 0.05), 2)
+        rows[name]["spread_note"] = (
+            f"sweep ratio drifted {drift:.1f}x vs prev round's "
+            f"{rows[name]['prev_ratio']}x; isolated best-of-2 re-run "
+            "(memos cleared, both sides) is the adjudicated number"
+        )
+        print(
+            f"  [spread] {name}: sweep {rows[name]['ratio']}x vs prev "
+            f"{rows[name]['prev_ratio']}x -> isolated "
+            f"{rows[name]['isolated_ratio']}x", flush=True,
+        )
+        n += 1
+    return n
+
+
 def probe(spark, sf_dir: str, entries) -> dict[str, dict]:
     out: dict[str, dict] = {}
     from bench import _unload_state_providers, warm_up
@@ -464,21 +562,38 @@ def main() -> int:
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
     scaled_dir = tempfile.mkdtemp(prefix="scaleprobe_")
+    n_adjudicated = 0
+    prev_entries = previous_probe_entries(rnd, FACTOR)
     try:
+        # 1x bases come FIRST (VERDICT r10 #3): the replica build is the
+        # heaviest IO event of the run, and measuring bases in its
+        # writeback shadow inflated them ~1.2-1.35x in r10's 1000x run —
+        # UNDERSTATING every ratio. sync + settle so earlier commands'
+        # dirty pages don't bleed in either.
+        os.sync()
+        time.sleep(2)
+        print(f"probing 1x ({BASE_DIR}) — before the replica build", flush=True)
+        base = probe(spark, BASE_DIR, PROBE_ENTRIES)
         t0 = time.time()
         build_scaled_dir(spark, BASE_DIR, scaled_dir, FACTOR)
         build_s = round(time.time() - t0, 1)
         print(f"built {FACTOR}x fixtures in {build_s}s at {scaled_dir}", flush=True)
-        print(f"probing 1x ({BASE_DIR})", flush=True)
-        base = probe(spark, BASE_DIR, PROBE_ENTRIES)
         print(f"probing {FACTOR}x", flush=True)
         scaled = probe(spark, scaled_dir, PROBE_ENTRIES)
+        rows = _assemble_rows(base, scaled)
+        # Ratio-spread adjudication needs the scaled dir alive — run it
+        # before the rmtree.
+        n_adjudicated = adjudicate_spread(
+            spark, rows, prev_entries, BASE_DIR, scaled_dir
+        )
     finally:
         shutil.rmtree(scaled_dir, ignore_errors=True)
         spark.stop()
+    return _write_artifact(rnd, rows, build_s, prev_entries, n_adjudicated)
 
+
+def _assemble_rows(base: dict, scaled: dict) -> dict[str, dict]:
     rows: dict[str, dict] = {}
-    n_super = n_structural = n_flips = 0
     for name in PROBE_ENTRIES:
         b, s = base[name], scaled[name]
         ratio = round(s["s"] / max(b["s"], 0.05), 2)
@@ -487,9 +602,6 @@ def main() -> int:
             basis = max(basis, s["rows"] / max(b["rows"], 1))
         linear_ok = ratio <= basis * SLACK
         kind = plan_delta_kind(b["plan"], s["plan"], name)
-        n_super += 0 if linear_ok else 1
-        n_structural += 1 if kind == "structural" else 0
-        n_flips += 1 if kind == "join_strategy" else 0
         rows[name] = {
             "base_s": b["s"], "scaled_s": s["s"], "ratio": ratio,
             "base_rows": b["rows"], "scaled_rows": s["rows"],
@@ -510,9 +622,27 @@ def main() -> int:
         if kind != "same":
             rows[name]["base_plan"] = b["plan"]
             rows[name]["scaled_plan"] = s["plan"]
+    return rows
+
+
+def _write_artifact(
+    rnd: int, rows: dict[str, dict], build_s: float,
+    prev_entries: dict[str, dict], n_adjudicated: int,
+) -> int:
+    n_super = sum(1 for r in rows.values() if not r["linear_ok"])
+    n_structural = sum(
+        1 for r in rows.values() if r["plan_delta"] == "structural"
+    )
+    n_flips = sum(
+        1 for r in rows.values() if r["plan_delta"] == "join_strategy"
+    )
     sanity = base_sanity(
         {k: v["base_s"] for k, v in rows.items()},
-        previous_probe_bases(rnd, FACTOR),
+        {
+            k: v["base_s"]
+            for k, v in prev_entries.items()
+            if isinstance(v.get("base_s"), (int, float))
+        },
     )
     result = {
         "base_dir": BASE_DIR,
@@ -527,6 +657,10 @@ def main() -> int:
         # behavior; only structural deltas indicate a scale problem.
         "n_join_strategy_flips": n_flips,
         "n_structural_plan_changes": n_structural,
+        # >2x round-over-round ratio drifts re-run isolated best-of-2
+        # (VERDICT r10 #2) — per-entry detail rides in the rows
+        # (prev_ratio / isolated_ratio / spread_note).
+        "n_spread_adjudicated": n_adjudicated,
     }
     # The canonical per-round artifact is the 10x run; other decades get a
     # factor-suffixed name so they never clobber it.
@@ -554,6 +688,7 @@ def main() -> int:
         "n_join_strategy_flips": n_flips,
         "n_structural_plan_changes": n_structural,
         "worst_ratio": max(r["ratio"] for r in rows.values()),
+        "n_spread_adjudicated": n_adjudicated,
     }
     if sanity is not None:
         compact["base_contaminated"] = sanity["contaminated"]

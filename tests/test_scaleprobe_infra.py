@@ -165,3 +165,66 @@ def test_previous_probe_bases_reads_factor_tagged_artifacts(tmp_path):
     assert scaleprobe.previous_probe_bases(10, 10, root=root) == {"a": 9.9}
     # never reads the round being written
     assert scaleprobe.previous_probe_bases(9, 100, root=root) == {}
+
+
+def test_adjudicate_spread_reruns_only_bounded_drifts(monkeypatch):
+    """VERDICT r10 #2: a >2x round-over-round ratio drift gets an isolated
+    best-of-2 re-run stamped into the row; stable entries, entries with no
+    prior ratio, and entries past the scaled-side re-run budget don't."""
+    import scaleprobe
+
+    calls = []
+
+    def fake_isolated(spark, name, sf_dir, n_runs=2):
+        calls.append((name, sf_dir))
+        return 2.0 if sf_dir == "SCALED" else 0.5
+
+    monkeypatch.setattr(scaleprobe, "isolated_probe_s", fake_isolated)
+    rows = {
+        # drifted 3x up vs prev -> adjudicated
+        "drifted": {"ratio": 18.0, "scaled_s": 30.0, "base_s": 1.0},
+        # stable -> untouched
+        "stable": {"ratio": 6.0, "scaled_s": 30.0, "base_s": 1.0},
+        # drifted but too heavy to re-run -> noted, not re-run
+        "heavy": {"ratio": 90.0, "scaled_s": 400.0, "base_s": 1.0},
+        # no prior ratio -> untouched
+        "fresh": {"ratio": 50.0, "scaled_s": 30.0, "base_s": 1.0},
+        # drifted DOWN 3x -> adjudicated (spread cuts both directions)
+        "sunk": {"ratio": 2.0, "scaled_s": 10.0, "base_s": 1.0},
+    }
+    prev = {
+        "drifted": {"ratio": 6.0},
+        "stable": {"ratio": 6.07},
+        "heavy": {"ratio": 17.0},
+        "sunk": {"ratio": 6.5},
+    }
+    n = scaleprobe.adjudicate_spread(None, rows, prev, "BASE", "SCALED")
+    assert n == 2
+    assert {c[0] for c in calls} == {"drifted", "sunk"}
+    assert {c[1] for c in calls} == {"BASE", "SCALED"}
+    assert rows["drifted"]["isolated_ratio"] == 4.0
+    assert rows["drifted"]["prev_ratio"] == 6.0
+    assert "spread_note" in rows["drifted"]
+    assert "isolated_ratio" not in rows["stable"]
+    assert "isolated_ratio" not in rows["fresh"]
+    assert "isolated_ratio" not in rows["heavy"]
+    assert "re-run budget" in rows["heavy"]["spread_note"]
+    assert rows["heavy"]["prev_ratio"] == 17.0
+
+
+def test_adjudicate_spread_bounds_rerun_count(monkeypatch):
+    import scaleprobe
+
+    monkeypatch.setattr(
+        scaleprobe, "isolated_probe_s", lambda *a, **k: 1.0
+    )
+    rows = {
+        f"e{i}": {"ratio": 10.0 * (i + 3), "scaled_s": 5.0, "base_s": 1.0}
+        for i in range(6)
+    }
+    prev = {f"e{i}": {"ratio": 1.0} for i in range(6)}
+    n = scaleprobe.adjudicate_spread(None, rows, prev, "B", "S")
+    assert n == scaleprobe._MAX_SPREAD_ADJUDICATIONS
+    # the WORST drifts were the ones adjudicated
+    adjudicated = {k for k, r in rows.items() if "isolated_ratio" in r}
+    assert adjudicated == {"e3", "e4", "e5"}
