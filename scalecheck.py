@@ -219,7 +219,8 @@ def main() -> int:
             tm["spark_s"] = time.perf_counter() - te
             # compare() ACCUMULATES its collect time into spark_s.
             problems = compare(
-                df, con, ORACLES[name], timings=tm, oracle_cache=oracle_cache
+                df, con, ORACLES[name], timings=tm,
+                oracle_cache=oracle_cache, overlap=True,
             )
             if tm.get("oracle_cached"):
                 cache_hits += 1

@@ -114,56 +114,16 @@ def _driver_fidelity_problems(spark_df, ora_types, null_cols) -> list[str]:
     return problems
 
 
-def compare(
-    spark_df, con, oracle_sql: str, timings: dict | None = None,
-    oracle_cache: tuple[str, str] | None = None,
-) -> list[str]:
-    """Return a list of mismatch descriptions (empty == pass).
+def _exec_oracle(con, oracle_sql: str):
+    """Run the oracle SQL + the driver-fidelity DESCRIBE on ``con``.
 
-    ``timings``, if given, ACCUMULATES ``spark_s`` (the Spark collect —
-    added to any build time the caller pre-seeded, since eager entries
-    execute inside the query-build call) and sets ``oracle_s`` (both
-    DuckDB executions — the value fetch and the driver-fidelity pandas
-    materialization) so callers recording wall seconds can attribute
-    them without re-running anything.
-
-    ``oracle_cache`` — ``(cache_dir, fixture_identity(sf_dir))`` — enables
-    a content-keyed DuckDB-result cache (VERDICT r10 #5: the sf0.1 gate's
-    oracle side alone was ~1/3 of its 309 s wall and grows linearly with
-    the catalog). Sound because the oracle result is a pure function of
-    (oracle SQL, fixture bytes, duckdb version) — all three are in the
-    key, so an edited oracle, a regenerated fixture, or a duckdb upgrade
-    each miss and recompute; the SPARK side and the value/schema compare
-    still run in full on every call, so per-entry hash coverage is
-    unchanged. Delete the cache dir to force a cold recompute. Results
-    that needed the DESCRIBE fallback (which appends its own problem
-    entry) are never cached. ``timings['oracle_cached']`` reports a hit.
+    Returns ``(ora_cols, ora_rows, ora_types, null_cols, cacheable,
+    problems)`` — ``cacheable`` is False when the DESCRIBE fallback path
+    ran (its problem entries would not be reproduced by a cache hit).
+    The caller owns ``con`` for the duration (DuckDB connections are not
+    re-entrant; compare() only ever runs this on one thread at a time).
     """
-    import time as _time
-
     problems: list[str] = []
-    t0 = _time.perf_counter()
-    sp_rows = [tuple(r) for r in spark_df.collect()]
-    if timings is not None:
-        timings["spark_s"] = timings.get("spark_s", 0.0) + (
-            _time.perf_counter() - t0
-        )
-    sp_cols = list(spark_df.columns)
-    t0 = _time.perf_counter()
-    cached = None
-    if oracle_cache is not None:
-        try:
-            with open(_oracle_cache_file(oracle_cache, oracle_sql), "rb") as fh:
-                cached = pickle.load(fh)
-        except (OSError, pickle.UnpicklingError, EOFError):
-            cached = None
-    if cached is not None:
-        ora_cols, ora_rows, ora_types, null_cols = cached
-        if timings is not None:
-            timings["oracle_cached"] = True
-            timings["oracle_s"] = _time.perf_counter() - t0
-        problems.extend(_driver_fidelity_problems(spark_df, ora_types, null_cols))
-        return _value_compare(problems, sp_cols, sp_rows, ora_cols, ora_rows)
     res = con.execute(oracle_sql)
     ora_cols = [d[0] for d in res.description]
     ora_rows = [tuple(r) for r in res.fetchall()]
@@ -200,6 +160,100 @@ def compare(
         for i in range(len(ora_cols))
         if any(r[i] is None for r in ora_rows)
     }
+    return ora_cols, ora_rows, ora_types, null_cols, cacheable, problems
+
+
+def compare(
+    spark_df, con, oracle_sql: str, timings: dict | None = None,
+    oracle_cache: tuple[str, str] | None = None, overlap: bool = False,
+) -> list[str]:
+    """Return a list of mismatch descriptions (empty == pass).
+
+    ``timings``, if given, ACCUMULATES ``spark_s`` (the Spark collect —
+    added to any build time the caller pre-seeded, since eager entries
+    execute inside the query-build call) and sets ``oracle_s`` (both
+    DuckDB executions — the value fetch and the driver-fidelity pandas
+    materialization) so callers recording wall seconds can attribute
+    them without re-running anything.
+
+    ``oracle_cache`` — ``(cache_dir, fixture_identity(sf_dir))`` — enables
+    a content-keyed DuckDB-result cache (VERDICT r10 #5: the sf0.1 gate's
+    oracle side alone was ~57 s of its 309 s wall and grows linearly with
+    the catalog). Sound because the oracle result is a pure function of
+    (oracle SQL, fixture bytes, duckdb version) — all three are in the
+    key, so an edited oracle, a regenerated fixture, or a duckdb upgrade
+    each miss and recompute; the SPARK side and the value/schema compare
+    still run in full on every call, so per-entry hash coverage is
+    unchanged. Delete the cache dir to force a cold recompute. Results
+    that needed the DESCRIBE fallback (which appends its own problem
+    entry) are never cached. ``timings['oracle_cached']`` reports a hit.
+
+    ``overlap=True`` runs a cache-MISS oracle on a worker thread
+    concurrently with the Spark collect (DuckDB releases the GIL during
+    execution; the collect is mostly socket IO), hiding most of the
+    oracle's wall on cold runs too. Identical results by construction —
+    the two engines share no mutable state and ``con`` is owned by this
+    call; ``timings['oracle_overlapped']`` reports the mode.
+    """
+    import time as _time
+
+    problems: list[str] = []
+    # Cache probe FIRST (cheap) so the overlap thread is only spawned for
+    # genuine misses.
+    cached = None
+    t_oracle = _time.perf_counter()
+    if oracle_cache is not None:
+        try:
+            with open(_oracle_cache_file(oracle_cache, oracle_sql), "rb") as fh:
+                cached = pickle.load(fh)
+        except (OSError, pickle.UnpicklingError, EOFError):
+            cached = None
+    cache_load_s = _time.perf_counter() - t_oracle
+    worker = None
+    box: dict = {}
+    if cached is None and overlap:
+        import threading
+
+        def _run() -> None:
+            t = _time.perf_counter()
+            try:
+                box["v"] = _exec_oracle(con, oracle_sql)
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                box["e"] = exc
+            box["s"] = _time.perf_counter() - t
+
+        worker = threading.Thread(target=_run, name="oracle-overlap")
+        worker.start()
+    t0 = _time.perf_counter()
+    sp_rows = [tuple(r) for r in spark_df.collect()]
+    if timings is not None:
+        timings["spark_s"] = timings.get("spark_s", 0.0) + (
+            _time.perf_counter() - t0
+        )
+    sp_cols = list(spark_df.columns)
+    if cached is not None:
+        ora_cols, ora_rows, ora_types, null_cols = cached
+        if timings is not None:
+            timings["oracle_cached"] = True
+            timings["oracle_s"] = cache_load_s
+        problems.extend(_driver_fidelity_problems(spark_df, ora_types, null_cols))
+        return _value_compare(problems, sp_cols, sp_rows, ora_cols, ora_rows)
+    if worker is not None:
+        worker.join()
+        if "e" in box:
+            raise box["e"]
+        ora_cols, ora_rows, ora_types, null_cols, cacheable, extra = box["v"]
+        if timings is not None:
+            timings["oracle_overlapped"] = True
+            timings["oracle_s"] = box["s"]
+    else:
+        t_oracle = _time.perf_counter()
+        ora_cols, ora_rows, ora_types, null_cols, cacheable, extra = (
+            _exec_oracle(con, oracle_sql)
+        )
+        if timings is not None:
+            timings["oracle_s"] = _time.perf_counter() - t_oracle
+    problems.extend(extra)
     if oracle_cache is not None and cacheable:
         try:
             os.makedirs(oracle_cache[0], exist_ok=True)
@@ -210,8 +264,6 @@ def compare(
             os.replace(tmp, path)
         except OSError:
             pass  # cache is best-effort; the compare below already has data
-    if timings is not None:
-        timings["oracle_s"] = _time.perf_counter() - t0
     problems.extend(_driver_fidelity_problems(spark_df, ora_types, null_cols))
     return _value_compare(problems, sp_cols, sp_rows, ora_cols, ora_rows)
 

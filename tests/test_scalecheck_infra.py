@@ -148,3 +148,93 @@ def test_kv_sink_env_override(monkeypatch):
     assert _kv_sink(_KV_SCALE_ROWS + 1) == "memory"
     monkeypatch.setenv("SPARK_GRAFT_KV_SINK", "bogus")
     assert _kv_sink(10) == "memory"
+
+
+def test_oracle_cache_roundtrip_and_key_sensitivity(tmp_path):
+    """VERDICT r10 #5: the content-keyed DuckDB-result cache serves a
+    bit-identical re-ask from disk (same compare verdict, flagged via
+    timings) and misses on any change to the SQL or fixture identity."""
+    import duckdb
+
+    from tests.oracle_utils import _oracle_cache_file, compare
+
+    class FakeDF:
+        columns = ["v"]
+
+        class _F:
+            name = "v"
+
+            class _T:
+                @staticmethod
+                def simpleString():
+                    return "bigint"
+
+            dataType = _T()
+
+        schema = type("S", (), {"fields": [_F()]})()
+
+        def collect(self):
+            return [(5,)]
+
+    con = duckdb.connect()
+    sql = "SELECT CAST(5 AS BIGINT) AS v"
+    oc = (str(tmp_path), "fixture-stamp-a")
+    tm = {}
+    assert compare(FakeDF(), con, sql, timings=tm, oracle_cache=oc) == []
+    assert "oracle_cached" not in tm
+    assert os.path.exists(_oracle_cache_file(oc, sql))
+    tm = {}
+    assert compare(FakeDF(), con, sql, timings=tm, oracle_cache=oc) == []
+    assert tm["oracle_cached"] is True
+    # a cache hit must still FAIL a wrong Spark result (coverage unchanged)
+    class WrongDF(FakeDF):
+        def collect(self):
+            return [(6,)]
+
+    assert compare(WrongDF(), con, sql, oracle_cache=oc)
+    # key sensitivity: SQL text and fixture identity each miss
+    tm = {}
+    compare(FakeDF(), con, sql + " ", timings=tm, oracle_cache=oc)
+    assert "oracle_cached" not in tm
+    tm = {}
+    compare(FakeDF(), con, sql, timings=tm,
+            oracle_cache=(str(tmp_path), "fixture-stamp-B"))
+    assert "oracle_cached" not in tm
+
+
+def test_oracle_overlap_thread_matches_sequential(tmp_path):
+    """overlap=True must produce the identical verdict (and propagate
+    oracle-side exceptions) — it only moves the DuckDB work onto a worker
+    thread concurrent with the Spark collect."""
+    import duckdb
+    import pytest
+
+    from tests.oracle_utils import compare
+
+    class FakeDF:
+        columns = ["v"]
+
+        class _F:
+            name = "v"
+
+            class _T:
+                @staticmethod
+                def simpleString():
+                    return "bigint"
+
+            dataType = _T()
+
+        schema = type("S", (), {"fields": [_F()]})()
+
+        def collect(self):
+            return [(5,)]
+
+    con = duckdb.connect()
+    tm = {}
+    assert compare(FakeDF(), con, "SELECT CAST(5 AS BIGINT) AS v",
+                   timings=tm, overlap=True) == []
+    assert tm["oracle_overlapped"] is True
+    assert compare(FakeDF(), con, "SELECT CAST(6 AS BIGINT) AS v",
+                   overlap=True)  # mismatch still detected
+    with pytest.raises(Exception):
+        compare(FakeDF(), con, "SELECT FROM syntax error", overlap=True)
