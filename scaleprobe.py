@@ -509,8 +509,15 @@ def adjudicate_spread(
             )
             continue
         drifted.append((drift, name))
+    ranked = sorted(drifted, reverse=True)
+    for drift, name in ranked[_MAX_SPREAD_ADJUDICATIONS:]:
+        rows[name]["spread_note"] = (
+            f"ratio drifted {drift:.1f}x vs prev round but "
+            f"{_MAX_SPREAD_ADJUDICATIONS} worse drifts took the re-run "
+            "slots this run — unadjudicated"
+        )
     n = 0
-    for drift, name in sorted(drifted, reverse=True)[:_MAX_SPREAD_ADJUDICATIONS]:
+    for drift, name in ranked[:_MAX_SPREAD_ADJUDICATIONS]:
         try:
             ib = isolated_probe_s(spark, name, base_dir)
             isc = isolated_probe_s(spark, name, scaled_dir)
