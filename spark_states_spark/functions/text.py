@@ -771,3 +771,96 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("rank", "token", "cnt", "coverage_cum")
     )
+
+
+@register(
+    "text_repetition_ngrams",
+    # Gopher-style within-document repetition (Rae et al. 2021, "Scaling
+    # Language Models", table A1): the fraction of a document's word
+    # bigrams that belong to a bigram occurring more than once in that
+    # document. Both engines: tokenize (shared DUCK_TOKS/tokens_col
+    # spelling), build the k-1 bigrams, SORT them, and count singleton
+    # instances by sorted adjacency (a bigram instance is a singleton iff
+    # it differs from both sorted neighbors); duplicated instances are
+    # then n_bigrams - singletons. Integer counts; the fraction is one
+    # BIGINT->DOUBLE division — identical IEEE both engines, so the 0.2
+    # flag boundary cannot diverge.
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, t,
+             list_sort(list_transform(generate_series(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i + 1])) AS s
+      FROM (SELECT doc_id, {TOKENS_SQL.format(col='text')} AS t
+            FROM documents)
+      WHERE len(t) >= 2
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(len(s) AS BIGINT) AS n_bigrams,
+             CAST(len(s) - list_sum(list_transform(
+               generate_series(1, len(s)),
+               i -> CASE WHEN (i = 1 OR s[i] <> s[greatest(i - 1, 1)])
+                          AND (i = len(s) OR s[i] <> s[least(i + 1, len(s))])
+                         THEN 1 ELSE 0 END)) AS BIGINT) AS n_dup_bigrams
+      FROM g
+    )
+    SELECT doc_id, n_bigrams, n_dup_bigrams,
+           CAST(n_dup_bigrams AS DOUBLE) / n_bigrams AS dup_bigram_frac,
+           CAST(n_dup_bigrams AS DOUBLE) / n_bigrams > 0.2 AS is_repetitive
+    FROM c
+    """,
+)
+def text_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition scoring: the share of word-bigram
+    INSTANCES that belong to a bigram occurring more than once in the
+    same document — the Gopher duplicate-n-gram rule (distinct from its
+    sibling ``text_repetition_stats``, whose three columns are the
+    dup-LINE fraction, the dup-UNIGRAM fraction (extra copies only), and
+    the top-bigram mode share; this entry counts ALL instances of
+    duplicated bigrams, the statistic the Gopher filter actually
+    thresholds). ``is_repetitive`` is the 0.2-threshold filter flag.
+
+    Scale shape — ZERO shuffles, deliberately contrasting the sibling's
+    explode→groupBy spelling: tokenize, bigram, in-row ``array_sort``,
+    and a sorted-adjacency singleton count are all per-row expressions,
+    so the whole operator is a pure projection over the documents scan —
+    embarrassingly parallel at 100 TB. The sibling needs the (doc, gram)
+    shuffle because a MAX-count (mode) has no sorted-adjacency spelling
+    without an in-row reduce; a dup-instance COUNT does, which is why
+    this rule gets the cheaper plan. In-row cost is O(k log k) per
+    document in the bigram count k; no per-gram state leaves the row, so
+    document length never creates cross-task skew.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        d.select("doc_id", tokens_col(F.col("text")).alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.array_sort(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                )
+            ).alias("s"),
+        )
+    )
+    # Index clamps keep element_at in-range on BOTH boundary rows (Spark
+    # rejects index 0 outright); the i=1 / i=size(s) disjuncts make the
+    # clamped self-comparisons irrelevant to the verdict.
+    singles = F.expr(
+        "size(filter(sequence(1, size(s)), "
+        "i -> (i = 1 OR element_at(s, i) != element_at(s, greatest(i - 1, 1))) "
+        "AND (i = size(s) OR element_at(s, i) != element_at(s, least(i + 1, size(s))))))"
+    )
+    c = g.select(
+        "doc_id",
+        F.size("s").cast("bigint").alias("n_bigrams"),
+        (F.size("s") - singles).cast("bigint").alias("n_dup_bigrams"),
+    )
+    frac = F.col("n_dup_bigrams").cast("double") / F.col("n_bigrams")
+    return c.select(
+        "doc_id", "n_bigrams", "n_dup_bigrams",
+        frac.alias("dup_bigram_frac"),
+        (frac > 0.2).alias("is_repetitive"),
+    )

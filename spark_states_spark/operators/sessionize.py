@@ -284,3 +284,85 @@ def user_gap_median_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(gap_us, 0.5)").alias("median_gap_us"),
         F.count("*").cast("bigint").alias("n_gaps"),
     )
+
+
+@register(
+    "behavior_bounce_rate_daily",
+    # Same 30-minute-gap sessionization convention as sessionize_events
+    # (lag + conditional cumsum on the (ts_us, event_id) order); a
+    # "bounce" is a single-event session, bucketed by the session's start
+    # day (epoch-day of the first event). Counts are BIGINT; the rate is
+    # one BIGINT->DOUBLE division — identical both engines.
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id,
+             epoch_ns(ts) // 1000 AS ts_us,
+             lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+                                             ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_us
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
+                     THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_id
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_id,
+             min(ts_us) // 1000000 // 86400 AS day,
+             count(*) AS n_events
+      FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT) AS n_bounces,
+           CAST(count(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE) / count(*)
+             AS bounce_rate
+    FROM sessions
+    GROUP BY day
+    """,
+)
+def behavior_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: the share of sessions (30-minute-gap
+    sessionization, shared convention with ``sessionize_events``) that
+    contain exactly ONE event, bucketed by the session's start day — the
+    standard engagement-health metric a product team reads next to the
+    funnel and retention entries.
+
+    Scale shape: the one Exchange on ``user_id`` serves the lag() window,
+    the cumsum window, AND the per-session aggregate (the groupBy keys are
+    a superset of the partition key, so no second full-width shuffle); the
+    final day rollup aggregates ≤ |days| × partial rows. Per-user state
+    never leaves its partition — the identical plan at 100 TB.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = (
+        e.withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn("prev_us", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("ts_us") - F.col("prev_us") >= GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(wrun))
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.expr("min(ts_us) div 1000000 div 86400").alias("day"),
+        F.count("*").alias("n_events"),
+    )
+    return per_session.groupBy("day").agg(
+        F.count("*").alias("n_sessions"),
+        F.count(F.when(F.col("n_events") == 1, 1)).alias("n_bounces"),
+        (
+            F.count(F.when(F.col("n_events") == 1, 1)).cast("double")
+            / F.count("*")
+        ).alias("bounce_rate"),
+    )

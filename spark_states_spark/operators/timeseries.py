@@ -788,3 +788,92 @@ def changepoint_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("s_abs").alias("cusum_stat"),
     )
+
+
+@register(
+    "timeseries_rolling_zscore",
+    # Rolling anomaly score: each (event_type, observed day)'s count
+    # z-scored against the TRAILING window of up to 7 previous observed
+    # days (current day excluded — the classic "compare today to last
+    # week" monitor). mean/var are built from BIGINT sum/sumsq/count in
+    # the IDENTICAL expression order in both dialects (cast -> divide ->
+    # multiply -> subtract -> sqrt), so every double — and therefore the
+    # NULL-when-degenerate guard (fewer than 2 prior days, or zero
+    # variance) — is bit-identical cross-engine.
+    oracle="""
+    WITH d AS (
+      SELECT event_type, epoch_ns(ts) // 1000000000 // 86400 AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, day, n,
+             sum(n)     OVER tw AS s,
+             sum(n * n) OVER tw AS ss,
+             CAST(count(*) OVER tw AS BIGINT) AS c
+      FROM d
+      WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, CAST(day AS BIGINT) AS day, n,
+           c AS n_window_days,
+           CASE WHEN c >= 2
+                 AND (CAST(ss AS DOUBLE) / c
+                      - (CAST(s AS DOUBLE) / c) * (CAST(s AS DOUBLE) / c)) > 0
+                THEN (n - CAST(s AS DOUBLE) / c)
+                     / sqrt(CAST(ss AS DOUBLE) / c
+                            - (CAST(s AS DOUBLE) / c) * (CAST(s AS DOUBLE) / c))
+           END AS zscore
+    FROM w
+    """,
+)
+def timeseries_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly scoring: per event type, each observed
+    day's event count z-scored against the mean/stddev of the previous
+    ≤7 observed days — the standard daily-volume monitor (traffic spike
+    and outage detection). Distinct from both siblings:
+    ``anomaly_zscore_events`` scores individual event VALUES against the
+    type's GLOBAL distribution (static outlier count), and
+    ``changepoint_cusum_daily`` estimates a single level shift; this is
+    the time-LOCAL baseline that catches a spike even in a series whose
+    global stats it barely moves. Degenerate windows (under 2 prior
+    days, or zero variance) score NULL rather than a fabricated 0.
+
+    One Exchange on ``event_type`` serves the single ordered window pass
+    over the pre-aggregated daily frame (≤ types × days rows however
+    large the event log — the 100 TB cost is the daily count's map-side-
+    combined groupBy, not the window). Population variance from BIGINT
+    sum/sumsq keeps the float work to one identical expression tree per
+    row in both engines.
+    """
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tw = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    )
+    w = d.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(tw).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(tw).alias("ss"),
+        F.count(F.lit(1)).over(tw).cast("bigint").alias("c"),
+    )
+    mean = F.col("s").cast("double") / F.col("c")
+    var = F.col("ss").cast("double") / F.col("c") - mean * mean
+    return w.select(
+        "event_type",
+        "day",
+        "n",
+        F.col("c").alias("n_window_days"),
+        F.when(
+            (F.col("c") >= 2) & (var > 0),
+            (F.col("n") - mean) / F.sqrt(var),
+        ).alias("zscore"),
+    )

@@ -1,0 +1,198 @@
+"""Known-answer semantics for the r11 quality/analytics entries
+(text_repetition_ngrams, timeseries_rolling_zscore,
+behavior_bounce_rate_daily) on ADVERSARIAL synthetic fixtures the uniform
+driver data can't produce — degenerate repetition, constant series, gap
+boundaries, single-event sessions — plus a full DuckDB differential of
+each entry's oracle on the same fixture, so both engine sides are pinned
+on data where the semantics actually discriminate."""
+
+import math
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from spark_states_spark.catalog import ORACLES, QUERIES
+from tests.oracle_utils import canonicalize
+
+_T0 = 1704067200  # 2024-01-01 00:00:00 UTC, matches the fixture epoch
+_DAY = 86400
+
+
+def _write(tmp_path, name, table):
+    d = str(tmp_path)
+    pq.write_table(table, os.path.join(d, f"{name}.parquet"))
+    return d
+
+
+@pytest.fixture(scope="module")
+def docs_dir(tmp_path_factory):
+    texts = [
+        (1, "a b a b c"),      # bigrams ab,ba,ab,bc -> dup 2/4
+        (2, "x y z w"),        # all distinct -> 0/3
+        (3, "q q q q q"),      # qq x4 -> 4/4
+        (4, "solo"),           # 1 token -> filtered out
+        (5, ""),               # empty -> filtered out
+        (6, "A, b! a B?"),     # normalizes to a b a b -> ab,ba,ab -> 2/3
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in texts], pa.int64()),
+            "text": pa.array([s for _, s in texts], pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["t"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(s) for _, s in texts], pa.int64()),
+        }
+    )
+    return _write(tmp_path_factory.mktemp("repdocs"), "documents", t)
+
+
+def test_repetition_known_answers(spark, docs_dir):
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["text_repetition_ngrams"](spark, docs_dir).collect()
+    }
+    assert set(rows) == {1, 2, 3, 6}  # 4 (one token) and 5 (empty) drop out
+    assert (rows[1].n_bigrams, rows[1].n_dup_bigrams) == (4, 2)
+    assert rows[1].dup_bigram_frac == 0.5 and bool(rows[1].is_repetitive)
+    assert (rows[2].n_bigrams, rows[2].n_dup_bigrams) == (3, 0)
+    assert rows[2].dup_bigram_frac == 0.0 and not rows[2].is_repetitive
+    assert (rows[3].n_bigrams, rows[3].n_dup_bigrams) == (4, 4)
+    assert rows[3].dup_bigram_frac == 1.0
+    # tokenizer normalization: punctuation/case fold into the shared toks
+    assert (rows[6].n_bigrams, rows[6].n_dup_bigrams) == (3, 2)
+
+
+@pytest.fixture(scope="module")
+def zscore_dir(tmp_path_factory):
+    # one event per (day, i) so daily counts are exact: type 'a' counts
+    # [1, 2, 3, 4, 4, 4, 4, 4, 4, 40]; type 'b' constant [5] * 9 (variance
+    # 0 -> NULL z forever).
+    rows = []
+    eid = 1
+    for day, cnt in enumerate([1, 2, 3, 4, 4, 4, 4, 4, 4, 40]):
+        for _ in range(cnt):
+            rows.append((eid, day * _DAY, 7, "a"))
+            eid += 1
+    for day in range(9):
+        for _ in range(5):
+            rows.append((eid, day * _DAY, 8, "b"))
+            eid += 1
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [(_T0 + r[1]) * 1_000_000 for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    return _write(tmp_path_factory.mktemp("zscore"), "events", t)
+
+
+def test_rolling_zscore_known_answers(spark, zscore_dir):
+    rows = {
+        (r.event_type, r.day - _T0 // _DAY): r
+        for r in QUERIES["timeseries_rolling_zscore"](spark, zscore_dir).collect()
+    }
+    counts = [1, 2, 3, 4, 4, 4, 4, 4, 4, 40]
+    # day 0: empty window; day 1: one prior day -> both NULL
+    assert rows[("a", 0)].zscore is None and rows[("a", 0)].n_window_days == 0
+    assert rows[("a", 1)].zscore is None and rows[("a", 1)].n_window_days == 1
+    # day >= 2: python recompute of the identical expression tree
+    for day in range(2, 10):
+        w = counts[max(0, day - 7):day]
+        c = len(w)
+        mean = sum(w) / c
+        var = sum(x * x for x in w) / c - mean * mean
+        r = rows[("a", day)]
+        assert r.n_window_days == c
+        if var > 0:
+            assert r.zscore == (counts[day] - mean) / math.sqrt(var)
+        else:
+            assert r.zscore is None
+    # the spike day scores extreme positive
+    assert rows[("a", 9)].zscore > 5
+    # constant series: var 0 on every scored day -> NULL z, never 0.0
+    assert all(rows[("b", d)].zscore is None for d in range(9))
+
+
+@pytest.fixture(scope="module")
+def bounce_dir(tmp_path_factory):
+    gap_min = 60  # seconds between in-session events
+    rows = [
+        # user 1: two events 10 min apart on day 0 -> ONE session, no bounce
+        (1, 0, 1), (2, 600, 1),
+        # user 2: one event day 0 -> bounce
+        (3, 100, 2),
+        # user 3: two events 31 min apart day 0 -> TWO sessions, 2 bounces
+        (4, 0, 3), (5, 31 * 60, 3),
+        # user 4: session STARTS day 1 (bucketed by start day), 2 events
+        (6, _DAY + 10, 4), (7, _DAY + 10 + gap_min, 4),
+        # user 5: single event day 1 -> bounce
+        (8, _DAY + 500, 5),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [(_T0 + r[1]) * 1_000_000 for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    return _write(tmp_path_factory.mktemp("bounce"), "events", t)
+
+
+def test_bounce_rate_known_answers(spark, bounce_dir):
+    rows = {
+        r.day - _T0 // _DAY: r
+        for r in QUERIES["behavior_bounce_rate_daily"](spark, bounce_dir).collect()
+    }
+    assert set(rows) == {0, 1}
+    # day 0: sessions = {u1 x1, u2 x1, u3 x2} = 4; bounces = u2 + u3's two
+    assert (rows[0].n_sessions, rows[0].n_bounces) == (4, 3)
+    assert rows[0].bounce_rate == 3 / 4
+    # day 1: u4 (2 events, no bounce) + u5 (bounce)
+    assert (rows[1].n_sessions, rows[1].n_bounces) == (2, 1)
+    assert rows[1].bounce_rate == 1 / 2
+
+
+@pytest.mark.parametrize(
+    "entry,table,fixture",
+    [
+        ("text_repetition_ngrams", "documents", "docs_dir"),
+        ("timeseries_rolling_zscore", "events", "zscore_dir"),
+        ("behavior_bounce_rate_daily", "events", "bounce_dir"),
+    ],
+)
+def test_oracle_differential_on_adversarial_fixture(
+    spark, entry, table, fixture, request
+):
+    """Both engine sides agree on the adversarial fixtures too — the same
+    canonicalized compare the driver runs, on data where the semantics
+    (degenerate repetition, zero variance, session splits) discriminate."""
+    sf_dir = request.getfixturevalue(fixture)
+    sdf = QUERIES[entry](spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW {table} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{table}.parquet')"
+        )
+        res = con.execute(ORACLES[entry])
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+    finally:
+        con.close()
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert canonicalize(sdf.columns, srows) == canonicalize(ocols, orows)
