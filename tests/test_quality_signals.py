@@ -196,3 +196,40 @@ def test_oracle_differential_on_adversarial_fixture(
         con.close()
     assert sorted(sdf.columns) == sorted(ocols)
     assert canonicalize(sdf.columns, srows) == canonicalize(ocols, orows)
+
+
+def test_repetition_randomized_differential(spark, tmp_path):
+    """Seeded randomized differential for the sorted-adjacency kernel: 60
+    random token sequences (alphabet sized 1-6, so heavy collisions) in
+    ONE batched job, each doc's (n_bigrams, n_dup_bigrams) checked against
+    a pure-python Counter reference — tail coverage beyond the known
+    answers (the adjacency logic's off-by-one space lives here)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(11)
+    docs = []
+    for doc_id in range(60):
+        k = rng.randint(2, 40)
+        vocab = [f"w{j}" for j in range(rng.randint(1, 6))]
+        docs.append((doc_id, " ".join(rng.choice(vocab) for _ in range(k))))
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([s for _, s in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["t"] * len(docs), pa.string()),
+            "n_chars": pa.array([len(s) for _, s in docs], pa.int64()),
+        }
+    )
+    d = _write(tmp_path, "documents", t)
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_dup_bigrams)
+        for r in QUERIES["text_repetition_ngrams"](spark, d).collect()
+    }
+    for doc_id, text in docs:
+        toks = text.split()
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        c = Counter(grams)
+        want = (len(grams), sum(v for v in c.values() if v > 1))
+        assert got[doc_id] == want, (doc_id, text, got[doc_id], want)
