@@ -494,11 +494,27 @@ def adjudicate_spread(
     sweep's numbers are already recorded — adjudication is advisory)."""
     drifted: list[tuple[float, str]] = []
     for name, r in rows.items():
-        pr = prev.get(name, {}).get("ratio")
-        if not isinstance(pr, (int, float)) or pr <= 0:
+        # Compare against the previous round's ADJUDICATED number when one
+        # exists: once a spread is resolved by an isolated re-run, that —
+        # not the noisy sweep ratio it corrected — is the baseline, else
+        # the motivating case re-triggers adjudication every round and a
+        # real drift vs the adjudicated value can hide near the old noise.
+        prev_row = prev.get(name, {})
+        pr = prev_row.get("isolated_ratio")
+        if not isinstance(pr, (int, float)):
+            pr = prev_row.get("ratio")
+        # scaled_s guard FIRST: a memo-served sweep entry can round its
+        # ratio to 0.0, and dividing by it below would crash the probe
+        # after hours of work (this function must never raise).
+        if (
+            r["scaled_s"] < 1.0
+            or r["ratio"] <= 0
+            or not isinstance(pr, (int, float))
+            or pr <= 0
+        ):
             continue
         drift = max(r["ratio"] / pr, pr / r["ratio"])
-        if drift <= _SPREAD_RATIO or r["scaled_s"] < 1.0:
+        if drift <= _SPREAD_RATIO:
             continue
         r["prev_ratio"] = pr
         if r["scaled_s"] > _ADJUDICATE_MAX_SCALED_S:
@@ -585,6 +601,13 @@ def main() -> int:
         build_scaled_dir(spark, BASE_DIR, scaled_dir, FACTOR)
         build_s = round(time.time() - t0, 1)
         print(f"built {FACTOR}x fixtures in {build_s}s at {scaled_dir}", flush=True)
+        # Same writeback discipline for the SCALED pass: with the bases
+        # moved ahead of the build, the scaled probe now starts in the
+        # build's flush shadow — which would OVERSTATE ratios (the safe
+        # direction, but still wrong numbers and false tripwires at the
+        # 1000x decade where the build writes tens of GB).
+        os.sync()
+        time.sleep(2)
         print(f"probing {FACTOR}x", flush=True)
         scaled = probe(spark, scaled_dir, PROBE_ENTRIES)
         rows = _assemble_rows(base, scaled)

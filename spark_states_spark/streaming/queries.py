@@ -2560,8 +2560,15 @@ def funnel_kernel(key, pdfs, state):
     "streaming_funnel_stages",
     oracle=f"""
     WITH ops AS (
+      -- 1e9 multiplier (ADVICE r10 / behavior.py convention): k is an
+      -- ORDERING key only here (the output is stage counts), and the
+      -- kernel it validates orders by true lexicographic (ts, event_id)
+      -- tuples — a 1e6 pack would silently diverge from it on the sf>=10
+      -- fixtures whose event_id exceeds 1e6. epoch_s * 1e9 + 1e9 still
+      -- fits int64. (funnel_state_scan deliberately keeps 1e6: its
+      -- OUTPUT is the packed display encoding, assert_true-guarded.)
       SELECT user_id, event_type,
-             epoch_ns(ts) // 1000000000 * 1000000 + event_id AS k
+             epoch_ns(ts) // 1000000000 * 1000000000 + event_id AS k
       FROM events
     ),
     s1 AS (
@@ -2719,7 +2726,12 @@ def streaming_ohlc_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ops AS (
       -- same event-type filter the stream applies: a user with ONLY other
-      -- event types never reaches the kernel, so holds no state record
+      -- event types never reaches the kernel, so holds no state record.
+      -- The 1e6 pack is DELIBERATE here (not the 1e9 ordering convention):
+      -- this oracle's OUTPUT is compared against the state scan's packed
+      -- t*1e6+e display encoding, whose assert_true guard fails loudly on
+      -- any event_id outside [0, 1e6) — so an out-of-range id can produce
+      -- a loud error or hash mismatch, never a silent wrong pass.
       SELECT user_id, event_type,
              epoch_ns(ts) // 1000000000 * 1000000 + event_id AS k
       FROM events

@@ -203,10 +203,16 @@ def compare(
     cached = None
     t_oracle = _time.perf_counter()
     if oracle_cache is not None:
+        # Broad except + shape check: a truncated/corrupted/stale-format
+        # cache file must degrade to a MISS (recompute), never fail the
+        # entry — and certainly not persistently until someone deletes
+        # .oracle_cache/ by hand.
         try:
             with open(_oracle_cache_file(oracle_cache, oracle_sql), "rb") as fh:
                 cached = pickle.load(fh)
-        except (OSError, pickle.UnpicklingError, EOFError):
+            if not (isinstance(cached, tuple) and len(cached) == 4):
+                cached = None
+        except Exception:  # noqa: BLE001 — any load failure is a miss
             cached = None
     cache_load_s = _time.perf_counter() - t_oracle
     worker = None
@@ -225,7 +231,19 @@ def compare(
         worker = threading.Thread(target=_run, name="oracle-overlap")
         worker.start()
     t0 = _time.perf_counter()
-    sp_rows = [tuple(r) for r in spark_df.collect()]
+    try:
+        sp_rows = [tuple(r) for r in spark_df.collect()]
+    except BaseException:
+        # A failed collect must still JOIN the worker before the caller
+        # sees the exception: the caller owns `con` again the moment
+        # compare() unwinds, and an orphan thread mid-execute on the
+        # shared DuckDB connection would race the NEXT entry's oracle
+        # (DuckDB connections are not safe for concurrent queries) —
+        # poisoning the rest of a sweep whose per-entry except was
+        # designed to contain exactly this failure.
+        if worker is not None:
+            worker.join()
+        raise
     if timings is not None:
         timings["spark_s"] = timings.get("spark_s", 0.0) + (
             _time.perf_counter() - t0

@@ -150,6 +150,29 @@ def test_kv_sink_env_override(monkeypatch):
     assert _kv_sink(10) == "memory"
 
 
+class FakeDF:
+    """Minimal spark_df stand-in for compare(): one bigint column 'v'
+    returning a single row (5,). Subclass collect() for wrong/raising
+    variants."""
+
+    columns = ["v"]
+
+    class _F:
+        name = "v"
+
+        class _T:
+            @staticmethod
+            def simpleString():
+                return "bigint"
+
+        dataType = _T()
+
+    schema = type("S", (), {"fields": [_F()]})()
+
+    def collect(self):
+        return [(5,)]
+
+
 def test_oracle_cache_roundtrip_and_key_sensitivity(tmp_path):
     """VERDICT r10 #5: the content-keyed DuckDB-result cache serves a
     bit-identical re-ask from disk (same compare verdict, flagged via
@@ -157,24 +180,6 @@ def test_oracle_cache_roundtrip_and_key_sensitivity(tmp_path):
     import duckdb
 
     from tests.oracle_utils import _oracle_cache_file, compare
-
-    class FakeDF:
-        columns = ["v"]
-
-        class _F:
-            name = "v"
-
-            class _T:
-                @staticmethod
-                def simpleString():
-                    return "bigint"
-
-            dataType = _T()
-
-        schema = type("S", (), {"fields": [_F()]})()
-
-        def collect(self):
-            return [(5,)]
 
     con = duckdb.connect()
     sql = "SELECT CAST(5 AS BIGINT) AS v"
@@ -211,24 +216,6 @@ def test_oracle_overlap_thread_matches_sequential(tmp_path):
 
     from tests.oracle_utils import compare
 
-    class FakeDF:
-        columns = ["v"]
-
-        class _F:
-            name = "v"
-
-            class _T:
-                @staticmethod
-                def simpleString():
-                    return "bigint"
-
-            dataType = _T()
-
-        schema = type("S", (), {"fields": [_F()]})()
-
-        def collect(self):
-            return [(5,)]
-
     con = duckdb.connect()
     tm = {}
     assert compare(FakeDF(), con, "SELECT CAST(5 AS BIGINT) AS v",
@@ -238,3 +225,60 @@ def test_oracle_overlap_thread_matches_sequential(tmp_path):
                    overlap=True)  # mismatch still detected
     with pytest.raises(Exception):
         compare(FakeDF(), con, "SELECT FROM syntax error", overlap=True)
+
+
+def test_oracle_cache_corrupt_file_degrades_to_miss(tmp_path):
+    """A truncated or wrong-shape cache file must recompute (miss), never
+    fail the entry — and never persist as a failure across runs."""
+    import duckdb
+
+    from tests.oracle_utils import _oracle_cache_file, compare
+
+    con = duckdb.connect()
+    sql = "SELECT CAST(5 AS BIGINT) AS v"
+    oc = (str(tmp_path), "stamp")
+    path = _oracle_cache_file(oc, sql)
+    os.makedirs(str(tmp_path), exist_ok=True)
+    with open(path, "wb") as fh:
+        fh.write(b"\x80\x04 truncated garbage")
+    tm = {}
+    assert compare(FakeDF(), con, sql, timings=tm, oracle_cache=oc) == []
+    assert "oracle_cached" not in tm  # recomputed
+    # wrong-shape but loadable pickle: also a miss
+    import pickle
+
+    with open(path, "wb") as fh:
+        pickle.dump(("just", "three", "items"), fh)
+    tm = {}
+    assert compare(FakeDF(), con, sql, timings=tm, oracle_cache=oc) == []
+    assert "oracle_cached" not in tm
+    # and the recompute healed the cache
+    tm = {}
+    assert compare(FakeDF(), con, sql, timings=tm, oracle_cache=oc) == []
+    assert tm["oracle_cached"] is True
+
+
+def test_oracle_overlap_joins_worker_when_collect_raises():
+    """A failed collect must JOIN the overlap worker before re-raising:
+    the shared DuckDB connection must be safely reusable by the caller's
+    next compare() (the sweep's per-entry containment depends on it)."""
+    import duckdb
+    import pytest
+
+    from tests.oracle_utils import compare
+
+    class BoomDF(FakeDF):
+        def collect(self):
+            raise RuntimeError("collect boom")
+
+    con = duckdb.connect()
+    # a deliberately slow oracle so the worker is still running when
+    # collect raises — the join must wait it out
+    slow_sql = (
+        "SELECT CAST(5 AS BIGINT) AS v FROM range(3000000) GROUP BY 1"
+    )
+    with pytest.raises(RuntimeError, match="collect boom"):
+        compare(BoomDF(), con, slow_sql, overlap=True)
+    # connection immediately usable — no orphan thread racing it
+    assert compare(FakeDF(), con, "SELECT CAST(5 AS BIGINT) AS v",
+                   overlap=True) == []

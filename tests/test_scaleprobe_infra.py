@@ -228,3 +228,57 @@ def test_adjudicate_spread_bounds_rerun_count(monkeypatch):
     # the WORST drifts were the ones adjudicated
     adjudicated = {k for k, r in rows.items() if "isolated_ratio" in r}
     assert adjudicated == {"e3", "e4", "e5"}
+
+
+def test_adjudicate_spread_prefers_adjudicated_baseline(monkeypatch):
+    """Once a prior round stamped isolated_ratio, THAT is the drift
+    baseline — a clean sweep matching the adjudicated value must not
+    re-trigger adjudication against the old noisy sweep ratio, and a real
+    drift vs the adjudicated value must flag even if it lands near the
+    old noise."""
+    import scaleprobe
+
+    monkeypatch.setattr(
+        scaleprobe, "isolated_probe_s", lambda *a, **k: 1.0
+    )
+    rows = {
+        # r10 case: noisy sweep 17.94 was adjudicated to 8.0; this round's
+        # clean 7.0 sweep is within 2x of 8.0 -> NO re-adjudication
+        "healthy": {"ratio": 7.0, "scaled_s": 30.0, "base_s": 1.0},
+        # real regression vs the adjudicated 8.0 (to 17.5, near the old
+        # noisy 18) -> MUST flag
+        "regressed": {"ratio": 17.5, "scaled_s": 30.0, "base_s": 1.0},
+    }
+    prev = {
+        "healthy": {"ratio": 17.94, "isolated_ratio": 8.0},
+        "regressed": {"ratio": 18.0, "isolated_ratio": 8.0},
+    }
+    n = scaleprobe.adjudicate_spread(None, rows, prev, "B", "S")
+    assert n == 1
+    assert "isolated_ratio" not in rows["healthy"]
+    assert rows["regressed"]["prev_ratio"] == 8.0
+    assert "isolated_ratio" in rows["regressed"]
+
+
+def test_adjudicate_spread_never_raises_on_degenerate_rows(monkeypatch):
+    """'Never raises' includes a sweep ratio that rounded to 0.0 (a
+    memo-served read) and prev rows with junk values — hours of 1000x
+    probe work sit behind this function's return."""
+    import scaleprobe
+
+    monkeypatch.setattr(
+        scaleprobe, "isolated_probe_s", lambda *a, **k: 1.0
+    )
+    rows = {
+        "zero_ratio": {"ratio": 0.0, "scaled_s": 30.0, "base_s": 30.0},
+        "junk_prev": {"ratio": 5.0, "scaled_s": 30.0, "base_s": 1.0},
+        "zero_prev": {"ratio": 5.0, "scaled_s": 30.0, "base_s": 1.0},
+    }
+    prev = {
+        "zero_ratio": {"ratio": 6.0},
+        "junk_prev": {"ratio": "n/a"},
+        "zero_prev": {"ratio": 0.0},
+    }
+    n = scaleprobe.adjudicate_spread(None, rows, prev, "B", "S")
+    assert n == 0
+    assert all("isolated_ratio" not in r for r in rows.values())
