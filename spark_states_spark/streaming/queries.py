@@ -2567,8 +2567,17 @@ def funnel_kernel(key, pdfs, state):
       -- fixtures whose event_id exceeds 1e6. epoch_s * 1e9 + 1e9 still
       -- fits int64. (funnel_state_scan deliberately keeps 1e6: its
       -- OUTPUT is the packed display encoding, assert_true-guarded.)
+      -- The kernel itself holds UNCAPPED (t, e) pairs, so the pack's own
+      -- bound is guarded loudly: an id outside [0, 1e9) errors the
+      -- oracle instead of silently reordering the key (the same
+      -- fail-loud contract as funnel_state_scan's display guard).
       SELECT user_id, event_type,
-             epoch_ns(ts) // 1000000000 * 1000000000 + event_id AS k
+             CASE WHEN event_id < 0 OR event_id >= 1000000000
+                  THEN error('streaming_funnel_stages oracle: event_id '
+                             || 'outside [0, 1e9) breaks the packed '
+                             || 'ordering key')
+                  ELSE epoch_ns(ts) // 1000000000 * 1000000000 + event_id
+             END AS k
       FROM events
     ),
     s1 AS (

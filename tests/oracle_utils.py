@@ -240,8 +240,15 @@ def compare(
         # shared DuckDB connection would race the NEXT entry's oracle
         # (DuckDB connections are not safe for concurrent queries) —
         # poisoning the rest of a sweep whose per-entry except was
-        # designed to contain exactly this failure.
+        # designed to contain exactly this failure. Interrupt the
+        # in-flight oracle first so the join returns in milliseconds
+        # instead of waiting out a multi-second result that will be
+        # discarded anyway.
         if worker is not None:
+            try:
+                con.interrupt()
+            except Exception:  # noqa: BLE001 — interrupt is best-effort
+                pass
             worker.join()
         raise
     if timings is not None:

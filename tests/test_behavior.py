@@ -322,3 +322,25 @@ def test_assoc_lift_python_recompute(spark, sf_dir):
         for (a, b), n in both.items()
     }
     assert got == ref
+
+
+def test_funnel_oracle_packed_key_guard_fires_out_of_range():
+    """The streaming funnel oracle's 1e9 ordering pack is fail-loud: an
+    event_id outside [0, 1e9) must ERROR the oracle (the kernel holds
+    uncapped (t, e) pairs, so a silently reordered pack would be a false
+    mismatch/pass — the failure class the guard exists to prevent)."""
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT "
+            "CAST(2000000000 AS BIGINT) AS event_id, "
+            "TIMESTAMP '2024-01-01 00:00:00' AS ts, "
+            "CAST(1 AS BIGINT) AS user_id, 'view' AS event_type, "
+            "1.0 AS value, '{}' AS props"
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(duckdb.Error, match="outside \\[0, 1e9\\)"):
+            con.execute(ORACLES["streaming_funnel_stages"]).fetchall()
+    finally:
+        con.close()

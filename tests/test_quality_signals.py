@@ -27,6 +27,20 @@ def _write(tmp_path, name, table):
     return d
 
 
+def _docs_table(pairs):
+    """documents-schema pa.table from (doc_id, text) pairs — ONE spelling
+    of the 5-column fixture layout shared by every test in this file."""
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in pairs], pa.int64()),
+            "text": pa.array([s for _, s in pairs], pa.string()),
+            "lang": pa.array(["en"] * len(pairs), pa.string()),
+            "source": pa.array(["t"] * len(pairs), pa.string()),
+            "n_chars": pa.array([len(s) for _, s in pairs], pa.int64()),
+        }
+    )
+
+
 @pytest.fixture(scope="module")
 def docs_dir(tmp_path_factory):
     texts = [
@@ -37,16 +51,9 @@ def docs_dir(tmp_path_factory):
         (5, ""),               # empty -> filtered out
         (6, "A, b! a B?"),     # normalizes to a b a b -> ab,ba,ab -> 2/3
     ]
-    t = pa.table(
-        {
-            "doc_id": pa.array([d for d, _ in texts], pa.int64()),
-            "text": pa.array([s for _, s in texts], pa.string()),
-            "lang": pa.array(["en"] * len(texts), pa.string()),
-            "source": pa.array(["t"] * len(texts), pa.string()),
-            "n_chars": pa.array([len(s) for _, s in texts], pa.int64()),
-        }
+    return _write(
+        tmp_path_factory.mktemp("repdocs"), "documents", _docs_table(texts)
     )
-    return _write(tmp_path_factory.mktemp("repdocs"), "documents", t)
 
 
 def test_repetition_known_answers(spark, docs_dir):
@@ -213,16 +220,7 @@ def test_repetition_randomized_differential(spark, tmp_path):
         k = rng.randint(2, 40)
         vocab = [f"w{j}" for j in range(rng.randint(1, 6))]
         docs.append((doc_id, " ".join(rng.choice(vocab) for _ in range(k))))
-    t = pa.table(
-        {
-            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
-            "text": pa.array([s for _, s in docs], pa.string()),
-            "lang": pa.array(["en"] * len(docs), pa.string()),
-            "source": pa.array(["t"] * len(docs), pa.string()),
-            "n_chars": pa.array([len(s) for _, s in docs], pa.int64()),
-        }
-    )
-    d = _write(tmp_path, "documents", t)
+    d = _write(tmp_path, "documents", _docs_table(docs))
     got = {
         r.doc_id: (r.n_bigrams, r.n_dup_bigrams)
         for r in QUERIES["text_repetition_ngrams"](spark, d).collect()
