@@ -214,12 +214,32 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fail-loud bound for the 1e9-multiplier packed (ts, event_id) ordering key
+# (ADVICE r11): an event_id >= 1e9 silently reorders IDENTICALLY on both
+# engine and oracle sides — the differential still passes while the
+# documented order-by-time semantics break — so the pack's bound must error
+# loudly instead (the same contract as streaming_funnel_stages' oracle guard
+# and ohlc_daily_bars' seq_guard). assert_true returns NULL when the
+# predicate holds, so the coalesce term is a codegen'd no-op 0 on the happy
+# path.
+_PACK_GUARD_1E9 = (
+    "coalesce(cast(assert_true(event_id >= 0 AND event_id < 1000000000, "
+    "'packed (ts, event_id) ordering key: event_id outside [0, 1e9) breaks "
+    "order-by-time semantics — widen the pack') AS BIGINT), 0)"
+)
+_PACK_GUARD_1E9_SQL = """
+             CASE WHEN event_id < 0 OR event_id >= 1000000000
+                  THEN error('packed ordering key: event_id outside '
+                             || '[0, 1e9) breaks order-by-time semantics')
+                  ELSE epoch_ns(ts) // 1000000000 * 1000000000 + event_id
+             END AS k"""
+
+
 @register(
     "attribution_last_touch",
-    oracle="""
+    oracle=f"""
     WITH k AS (
-      SELECT user_id, event_type,
-             epoch_ns(ts) // 1000000000 * 1000000000 + event_id AS k
+      SELECT user_id, event_type,{_PACK_GUARD_1E9_SQL}
       FROM events
     ),
     touched AS (
@@ -251,7 +271,10 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e9 multiplier (not the streaming convention's 1e6) so stated
     last-touch-by-time semantics hold for event_id up to 1e9 (the sf≥10
     fixtures exceed 1e6; epoch_s × 1e9 + 1e9 still fits int64 — ADVICE
-    r10) — so ties within a second are broken identically in both
+    r10), and the bound fails LOUDLY on both engine and oracle sides
+    (``_PACK_GUARD_1E9`` — ADVICE r11: past-bound ids would reorder
+    identically in both dialects, so only an in-query guard catches it)
+    — so ties within a second are broken identically in both
     engines. At 100 TB the
     cost is the one per-user shuffle; the window is a linear scan per
     partition and the final agg is bounded by event-type cardinality.
@@ -259,7 +282,11 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
-        (F.unix_timestamp("ts") * F.lit(1000000000) + F.col("event_id")).alias("k"),
+        (
+            F.unix_timestamp("ts") * F.lit(1000000000)
+            + F.col("event_id")
+            + F.expr(_PACK_GUARD_1E9)
+        ).alias("k"),
     )
     w = (
         W.partitionBy("user_id")
@@ -282,10 +309,9 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sequence_transition_matrix",
-    oracle="""
+    oracle=f"""
     WITH k AS (
-      SELECT user_id, event_type,
-             epoch_ns(ts) // 1000000000 * 1000000000 + event_id AS k
+      SELECT user_id, event_type,{_PACK_GUARD_1E9_SQL}
       FROM events
     ),
     t AS (
@@ -311,7 +337,8 @@ def sequence_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One Exchange on ``user_id``, one lead() pass over the packed
     (ts, event_id) order (1e9 multiplier — safe for event_id < 1e9,
-    covering every fixture SF; see ``attribution_last_touch``), then a
+    covering every fixture SF, and fail-loud-guarded on both sides via
+    ``_PACK_GUARD_1E9``; see ``attribution_last_touch``), then a
     partial-aggregated count over ≤ |types|²
     groups; the probability window runs on the AGGREGATED frame (≤ 25
     rows), never the raw log. Probabilities are one double division of
@@ -320,7 +347,11 @@ def sequence_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
-        (F.unix_timestamp("ts") * F.lit(1000000000) + F.col("event_id")).alias("k"),
+        (
+            F.unix_timestamp("ts") * F.lit(1000000000)
+            + F.col("event_id")
+            + F.expr(_PACK_GUARD_1E9)
+        ).alias("k"),
     )
     w = W.partitionBy("user_id").orderBy("k")
     t = ev.select(

@@ -17,15 +17,48 @@ import duckdb
 from spark_states_spark.sources.tables import TABLES, table_path
 
 
+def _content_sample(path: str) -> str:
+    """sha256 over each file's first+last 64 KiB (ADVICE r11): the stat
+    stamp below keys on (mtime_ns, size), which a timestamp-preserving
+    restore (``cp -p`` / ``rsync -a`` / tar) of a DIFFERENT same-sized
+    generation would collide with. Parquet's footer (row-group stats,
+    offsets) lives in the tail and its data pages start at the head, so a
+    128 KiB sample distinguishes real regenerations without reading
+    multi-GB fixtures whole."""
+    h = hashlib.sha256()
+    files = (
+        sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if not f.startswith((".", "_"))
+        )
+        if os.path.isdir(path)
+        else [path]
+    )
+    for f in files:
+        with open(f, "rb") as fh:
+            h.update(fh.read(65536))
+            size = os.fstat(fh.fileno()).st_size
+            if size > 65536:
+                fh.seek(max(65536, size - 65536))
+                h.update(fh.read(65536))
+    return h.hexdigest()[:16]
+
+
 def fixture_identity(sf_dir: str) -> str:
-    """Content-identity stamp covering EVERY fixture table under sf_dir
-    (mtime_ns + size per file, via sources.tables._source_identity) — the
-    cache key component that makes an in-place testdata regeneration
-    invalidate every cached oracle result for that directory."""
+    """Content-identity stamp covering EVERY fixture table under sf_dir:
+    the (mtime_ns, size) stat stamp from sources.tables._source_identity
+    PLUS a head+tail sha256 sample per table (ADVICE r11 — stat identity
+    alone is spoofable by a timestamp-preserving restore of an equal-sized
+    different generation). The cache key component that makes an in-place
+    testdata regeneration invalidate every cached oracle result for that
+    directory."""
     from spark_states_spark.sources.tables import _source_identity
 
     return ";".join(
-        f"{t}={_source_identity(table_path(sf_dir, t))}" for t in TABLES
+        f"{t}={_source_identity(p)}@{_content_sample(p)}"
+        for t in TABLES
+        for p in [table_path(sf_dir, t)]
     )
 
 
@@ -287,8 +320,12 @@ def compare(
             with open(tmp, "wb") as fh:
                 pickle.dump((ora_cols, ora_rows, ora_types, null_cols), fh)
             os.replace(tmp, path)
-        except OSError:
-            pass  # cache is best-effort; the compare below already has data
+        except Exception:  # noqa: BLE001 — cache write is best-effort
+            # Broad on purpose (ADVICE r11): a pickle.PicklingError on an
+            # unpicklable fetched value (or any non-OS failure) must not
+            # fail an entry whose compare data is already complete —
+            # mirroring the broad-except on the cache-load side.
+            pass  # the compare below already has data
     problems.extend(_driver_fidelity_problems(spark_df, ora_types, null_cols))
     return _value_compare(problems, sp_cols, sp_rows, ora_cols, ora_rows)
 

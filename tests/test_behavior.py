@@ -324,6 +324,60 @@ def test_assoc_lift_python_recompute(spark, sf_dir):
     assert got == ref
 
 
+_GUARDED_1E9_ENTRIES = ["attribution_last_touch", "sequence_transition_matrix"]
+
+
+def _oob_events_dir(tmp_path) -> str:
+    """Fixture-layout events table whose single event_id (2e9) exceeds the
+    1e9 packed-ordering bound."""
+    t = pa.table(
+        {
+            "event_id": pa.array([2_000_000_000], pa.int64()),
+            "ts": pa.array([_T0 * 1_000_000], pa.timestamp("us")),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["view"], pa.string()),
+            "value": pa.array([1.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    d = str(tmp_path / "oob_fixture")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("entry", _GUARDED_1E9_ENTRIES)
+def test_behavior_pack_guard_fires_engine_side(spark, tmp_path, entry):
+    """ADVICE r11: the 1e9 ordering packs in attribution_last_touch and
+    sequence_transition_matrix must fail LOUDLY past their bound — an
+    out-of-range event_id reorders IDENTICALLY on both engine and oracle
+    sides, so the differential alone can never catch it. Runs the real
+    catalog entry against an out-of-bound fixture; assert_true must error
+    the job."""
+    df = QUERIES[entry](spark, _oob_events_dir(tmp_path))
+    with pytest.raises(Exception, match=r"outside \[0, 1e9\)"):
+        df.collect()
+
+
+@pytest.mark.parametrize("entry", _GUARDED_1E9_ENTRIES)
+def test_behavior_pack_guard_fires_oracle_side(entry):
+    """The DuckDB side of the same ADVICE r11 guard: error() past the
+    bound, same contract as the streaming funnel oracle below."""
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT "
+            "CAST(2000000000 AS BIGINT) AS event_id, "
+            "TIMESTAMP '2024-01-01 00:00:00' AS ts, "
+            "CAST(1 AS BIGINT) AS user_id, 'view' AS event_type, "
+            "1.0 AS value, '{}' AS props"
+        )
+        with pytest.raises(duckdb.Error, match=r"outside \[0, 1e9\)"):
+            con.execute(ORACLES[entry]).fetchall()
+    finally:
+        con.close()
+
+
 def test_funnel_oracle_packed_key_guard_fires_out_of_range():
     """The streaming funnel oracle's 1e9 ordering pack is fail-loud: an
     event_id outside [0, 1e9) must ERROR the oracle (the kernel holds

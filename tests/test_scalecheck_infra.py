@@ -207,6 +207,66 @@ def test_oracle_cache_roundtrip_and_key_sensitivity(tmp_path):
     assert "oracle_cached" not in tm
 
 
+def test_fixture_identity_detects_timestamp_preserving_restore(tmp_path):
+    """ADVICE r11: the stat stamp (mtime_ns, size) is spoofable — a
+    timestamp-preserving restore (cp -p / rsync -a / tar) of a DIFFERENT
+    same-sized generation collides with it. fixture_identity therefore
+    folds a head+tail content sample in; this pins the exact spoof: same
+    size, same mtime_ns, different bytes → different identity."""
+    from spark_states_spark.sources.tables import _source_identity
+
+    from tests.oracle_utils import _content_sample
+
+    f = tmp_path / "events.parquet"
+    f.write_bytes(b"generation-A" * 100)
+    st = os.stat(f)
+    stat_a, content_a = _source_identity(str(f)), _content_sample(str(f))
+    f.write_bytes(b"generation-B" * 100)  # same size, different bytes
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns))  # restore the stamp
+    assert _source_identity(str(f)) == stat_a  # the spoof: stat collides
+    assert _content_sample(str(f)) != content_a  # the sample catches it
+    # directory form (multi-part fixture): sample covers members too
+    d = tmp_path / "table"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"x" * 200_000)  # > 2 * 64 KiB
+    big_a = _content_sample(str(d))
+    # flip one byte in the untouched MIDDLE: head+tail sample by design
+    # does NOT cover it (documented bound of the 128 KiB sample) — but a
+    # tail flip must.
+    data = bytearray(b"x" * 200_000)
+    data[-1] = ord("y")
+    (d / "part-0.parquet").write_bytes(bytes(data))
+    assert _content_sample(str(d)) != big_a
+
+
+def test_oracle_cache_write_failure_is_best_effort(tmp_path):
+    """ADVICE r11: a non-OSError during the cache write (e.g. an
+    unpicklable fetched value) must not fail an entry whose compare data
+    is already complete — the write is best-effort like the load."""
+    import duckdb
+
+    from tests.oracle_utils import compare
+
+    # Real DuckDB results are picklable; simulate the failure class by
+    # monkeypatching pickle.dump for the duration.
+    con = duckdb.connect()
+    sql = "SELECT CAST(5 AS BIGINT) AS v"
+    oc = (str(tmp_path), "stamp")
+    import pickle as _pickle
+
+    orig = _pickle.dump
+
+    def boom(*a, **k):
+        raise _pickle.PicklingError("synthetic unpicklable value")
+
+    _pickle.dump = boom
+    try:
+        tm = {}
+        assert compare(FakeDF(), con, sql, timings=tm, oracle_cache=oc) == []
+    finally:
+        _pickle.dump = orig
+
+
 def test_oracle_overlap_thread_matches_sequential(tmp_path):
     """overlap=True must produce the identical verdict (and propagate
     oracle-side exceptions) — it only moves the DuckDB work onto a worker
