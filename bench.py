@@ -203,6 +203,14 @@ _REGRESSION_RATIO = 2.0
 # shipped the one driver run that needed adjudication without one).
 _SYSTEMIC_FLAGS = 8
 _CANARY = "q1_pricing_summary"
+# Per-query wall budget at sf0.1 (BASELINE.md operative target). Any entry
+# whose SWEPT timing exceeds it gets an isolated best-of-3 re-run stamped
+# into the artifact even when it sits under the 2× tripwire (VERDICT r11
+# #1: the r11 drain carriers rose +21-53% to 1.30× budget at batch ambient
+# 0.97, and nothing in the artifact could say whether that was box or
+# engine — `ambient_ratio` is a batch-dominated median that cannot clear
+# wall-clock-sensitive streaming drains).
+_BUDGET_S = 5.0
 
 
 def _prev_bench(root: str = _ROOT) -> dict:
@@ -423,6 +431,48 @@ def _adjudicate_tripwires(
     }
 
 
+def _adjudicate_budget_breaches(
+    timings: dict[str, float],
+    regressions: list[dict],
+    rerun,
+    drain_groups: dict[str, dict],
+    budget_s: float = _BUDGET_S,
+) -> list[dict]:
+    """Isolated best-of-3 re-runs for entries whose SWEPT time exceeds the
+    per-query budget but sit under the 2× tripwire (VERDICT r11 #1).
+
+    The sweep measures entries at the END of a session carrying ~30
+    drained streaming queries' provider/memo churn, so a drain carrier's
+    swept number conflates engine time with session-tail noise; the
+    isolated number (memos cleared, best-of-3 — the same contract as the
+    tripwire path) is the adjudicated one. Entries already adjudicated by
+    the tripwire path reuse that ``isolated_s`` instead of re-running.
+    Returns rows sorted worst-swept-first:
+    ``{entry, swept_s, isolated_s, isolated_over_budget, drain_group?}``.
+    """
+    already = {r["entry"]: r.get("isolated_s") for r in regressions}
+    group_of = {
+        q: tag for tag, g in drain_groups.items() for q in g["entries"]
+    }
+    rows: list[dict] = []
+    for name, swept in sorted(timings.items(), key=lambda kv: -kv[1]):
+        if swept <= budget_s:
+            continue
+        iso = already.get(name)
+        if iso is None:
+            iso = rerun(name)
+        row = {
+            "entry": name,
+            "swept_s": swept,
+            "isolated_s": iso,
+            "isolated_over_budget": iso > budget_s,
+        }
+        if name in group_of:
+            row["drain_group"] = group_of[name]
+        rows.append(row)
+    return rows
+
+
 def _unload_state_providers(spark) -> None:
     """Drop every loaded state-store provider and its maintenance thread.
 
@@ -563,13 +613,29 @@ def main() -> None:
     # _SYSTEMIC_FLAGS, a bounded probe (worst 3 + canary) stamps a
     # systemic_contention verdict instead (the r08 driver run flagged 9
     # and the old skip guard shipped it unadjudicated).
+    isolated_rerun = lambda name: round(  # noqa: E731 — shared by both adjudicators
+        run_query(spark, name, SF_DIR, 3, clear_memos_first=True), 3
+    )
     contention = _adjudicate_tripwires(
         regressions,
-        rerun=lambda name: round(
-            run_query(spark, name, SF_DIR, 3, clear_memos_first=True), 3
-        ),
+        rerun=isolated_rerun,
         prev_queries=prev["queries"],
         canary=_CANARY if _CANARY in timings else None,
+    )
+    drains = _drain_groups(timings)
+    # Budget-threshold adjudication (VERDICT r11 #1): over-budget entries
+    # get isolated_s even under the 2× tripwire.
+    budget_breaches = _adjudicate_budget_breaches(
+        timings, regressions, isolated_rerun, drains
+    )
+    # Streaming-specific ambient: the batch-dominated median above cannot
+    # clear wall-clock-sensitive drains; this one is the median over the
+    # shared-drain participants only (min_common=4 — there are ~10).
+    drain_entries = {q for g in drains.values() for q in g["entries"]}
+    ambient_drain = _ambient_ratio(
+        {k: v for k, v in timings.items() if k in drain_entries},
+        prev["queries"],
+        min_common=4,
     )
     # Streaming throughput vs the BASELINE.md >= 10K events/s target: the
     # streaming_hourly_agg timing is a full drain (availableNow) of the
@@ -586,9 +652,12 @@ def main() -> None:
         "prev_core_total": prev["core_total"],
         "prev_prefix_total": prev["prefix_total"],
         "prev_source": prev["source"],
-        "drain_groups": _drain_groups(timings),
+        "drain_groups": drains,
         "regressions_vs_prev": regressions,
         "ambient_ratio": ambient,
+        "ambient_ratio_drain": ambient_drain,
+        "budget_s": _BUDGET_S,
+        "budget_breaches": budget_breaches,
     }
     if contention is not None:
         result["contention"] = contention
@@ -649,6 +718,15 @@ def main() -> None:
         # throughput are only comparable once the reader knows the box's
         # ambient shift this run.
         "ambient_ratio": ambient,
+        "ambient_ratio_drain": ambient_drain,
+        # Budget adjudication verdict (VERDICT r11 #1): how many entries
+        # swept over the ~5 s budget, and how many STAYED over it when
+        # re-run isolated — the number that distinguishes session-tail
+        # noise from a real breach. Detail rows ride the full artifact.
+        "n_budget_breaches": len(budget_breaches),
+        "n_isolated_over_budget": sum(
+            1 for r in budget_breaches if r["isolated_over_budget"]
+        ),
         # Only the slowest 8 make the printed line; the full map is in
         # bench_result.json (queries_full points the reader there).
         "queries": slowest,
@@ -683,6 +761,7 @@ def main() -> None:
             "metric", "value", "unit", "sf", "n_queries", "worst_sec",
             "core_total", "prefix_total", "n_regressions",
             "ambient_ratio", "systemic_contention",
+            "n_budget_breaches", "n_isolated_over_budget",
         )
         line = json.dumps({k: compact[k] for k in minimal_keys if k in compact})
     # Unload providers BEFORE stop: most of the shutdown stderr flood that

@@ -198,6 +198,50 @@ def test_bench_adjudication_canary_slow_means_still_contended():
     assert out["flagged_cleared"] is False
 
 
+def test_bench_budget_breach_adjudication():
+    """VERDICT r11 #1: entries swept over the ~5 s budget get an isolated
+    best-of-3 re-run stamped even UNDER the 2× tripwire; entries the
+    tripwire already adjudicated reuse that isolated_s (no double re-run);
+    drain-group membership is annotated; rows come worst-swept-first."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    timings = {
+        "fast": 1.2,
+        "drain_a": 6.5,   # over budget, not tripwired
+        "drain_b": 5.5,   # over budget, tripwired (already has isolated_s)
+        "solo": 5.1,      # over budget, no drain group
+    }
+    regressions = [
+        {"entry": "drain_b", "prev_s": 2.0, "now_s": 5.5, "ratio": 2.75,
+         "isolated_s": 2.1},
+    ]
+    groups = {"kv": {"entries": ["drain_a", "drain_b"], "carrier": "drain_a",
+                     "sum_s": 12.0}}
+    reran = []
+
+    def rerun(name):
+        reran.append(name)
+        return {"drain_a": 4.1, "solo": 5.3}[name]
+
+    rows = bench._adjudicate_budget_breaches(
+        timings, regressions, rerun, groups
+    )
+    assert reran == ["drain_a", "solo"]  # drain_b reused, fast skipped
+    assert [r["entry"] for r in rows] == ["drain_a", "drain_b", "solo"]
+    by = {r["entry"]: r for r in rows}
+    assert by["drain_a"]["isolated_s"] == 4.1
+    assert by["drain_a"]["isolated_over_budget"] is False
+    assert by["drain_a"]["drain_group"] == "kv"
+    assert by["drain_b"]["isolated_s"] == 2.1  # reused from the tripwire
+    assert by["solo"]["isolated_over_budget"] is True
+    assert "drain_group" not in by["solo"]
+    # nothing over budget -> empty, no re-runs
+    assert bench._adjudicate_budget_breaches(
+        {"fast": 1.0}, [], rerun, {}
+    ) == []
+
+
 def test_bench_prev_baseline_reads_round_artifacts():
     """_prev_bench must pick up the newest BENCH_r{N}.json round number and
     fall back to bench_result.json for totals the compact line predates."""

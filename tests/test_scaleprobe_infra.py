@@ -168,15 +168,18 @@ def test_previous_probe_bases_reads_factor_tagged_artifacts(tmp_path):
 
 
 def test_adjudicate_spread_reruns_only_bounded_drifts(monkeypatch):
-    """VERDICT r10 #2: a >2x round-over-round ratio drift gets an isolated
-    best-of-2 re-run stamped into the row; stable entries, entries with no
-    prior ratio, and entries past the scaled-side re-run budget don't."""
+    """VERDICT r10 #2 + r11 #3: a >2x round-over-round ratio drift gets an
+    isolated best-of-2 re-run stamped into the row; stable entries and
+    entries with no prior ratio don't. An over-budget drift (scaled side
+    past the 120 s best-of-2 budget but under the single-run ceiling) gets
+    the once-per-run SINGLE-pass exemption; past the ceiling stays
+    unadjudicated."""
     import scaleprobe
 
     calls = []
 
     def fake_isolated(spark, name, sf_dir, n_runs=2):
-        calls.append((name, sf_dir))
+        calls.append((name, sf_dir, n_runs))
         return 2.0 if sf_dir == "SCALED" else 0.5
 
     monkeypatch.setattr(scaleprobe, "isolated_probe_s", fake_isolated)
@@ -185,8 +188,11 @@ def test_adjudicate_spread_reruns_only_bounded_drifts(monkeypatch):
         "drifted": {"ratio": 18.0, "scaled_s": 30.0, "base_s": 1.0},
         # stable -> untouched
         "stable": {"ratio": 6.0, "scaled_s": 30.0, "base_s": 1.0},
-        # drifted but too heavy to re-run -> noted, not re-run
+        # the r11 session-append case: over the best-of-2 budget, under
+        # the single-run ceiling -> SINGLE isolated pass per side
         "heavy": {"ratio": 90.0, "scaled_s": 400.0, "base_s": 1.0},
+        # past even the single-run ceiling -> noted, never re-run
+        "immense": {"ratio": 95.0, "scaled_s": 900.0, "base_s": 1.0},
         # no prior ratio -> untouched
         "fresh": {"ratio": 50.0, "scaled_s": 30.0, "base_s": 1.0},
         # drifted DOWN 3x -> adjudicated (spread cuts both directions)
@@ -196,20 +202,50 @@ def test_adjudicate_spread_reruns_only_bounded_drifts(monkeypatch):
         "drifted": {"ratio": 6.0},
         "stable": {"ratio": 6.07},
         "heavy": {"ratio": 17.0},
+        "immense": {"ratio": 17.0},
         "sunk": {"ratio": 6.5},
     }
     n = scaleprobe.adjudicate_spread(None, rows, prev, "BASE", "SCALED")
-    assert n == 2
-    assert {c[0] for c in calls} == {"drifted", "sunk"}
+    assert n == 3
+    assert {c[0] for c in calls} == {"drifted", "sunk", "heavy"}
     assert {c[1] for c in calls} == {"BASE", "SCALED"}
     assert rows["drifted"]["isolated_ratio"] == 4.0
     assert rows["drifted"]["prev_ratio"] == 6.0
     assert "spread_note" in rows["drifted"]
     assert "isolated_ratio" not in rows["stable"]
     assert "isolated_ratio" not in rows["fresh"]
-    assert "isolated_ratio" not in rows["heavy"]
-    assert "re-run budget" in rows["heavy"]["spread_note"]
-    assert rows["heavy"]["prev_ratio"] == 17.0
+    # over-budget exemption: single run (n_runs=1) per side, labeled
+    assert rows["heavy"]["isolated_ratio"] == 4.0
+    assert "SINGLE isolated pass" in rows["heavy"]["spread_note"]
+    assert all(c[2] == 1 for c in calls if c[0] == "heavy")
+    assert all(c[2] == 2 for c in calls if c[0] != "heavy")
+    # past the ceiling: unadjudicated with the ceiling note
+    assert "isolated_ratio" not in rows["immense"]
+    assert "single-run ceiling" in rows["immense"]["spread_note"]
+    assert rows["immense"]["prev_ratio"] == 17.0
+
+
+def test_adjudicate_spread_overbudget_exemption_is_once_per_run(monkeypatch):
+    """Two over-budget drifts: only the WORST gets the single-run slot;
+    the other carries the lost-the-slot note."""
+    import scaleprobe
+
+    calls = []
+    monkeypatch.setattr(
+        scaleprobe, "isolated_probe_s",
+        lambda spark, name, sf_dir, n_runs=2: (calls.append(name), 1.0)[1],
+    )
+    rows = {
+        "worse": {"ratio": 50.0, "scaled_s": 200.0, "base_s": 1.0},
+        "bad": {"ratio": 20.0, "scaled_s": 200.0, "base_s": 1.0},
+    }
+    prev = {"worse": {"ratio": 5.0}, "bad": {"ratio": 5.0}}
+    n = scaleprobe.adjudicate_spread(None, rows, prev, "B", "S")
+    assert n == 1
+    assert set(calls) == {"worse"}
+    assert "isolated_ratio" in rows["worse"]
+    assert "isolated_ratio" not in rows["bad"]
+    assert "took the single-run exemption" in rows["bad"]["spread_note"]
 
 
 def test_adjudicate_spread_bounds_rerun_count(monkeypatch):
