@@ -864,3 +864,79 @@ def text_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac.alias("dup_bigram_frac"),
         (frac > 0.2).alias("is_repetitive"),
     )
+
+
+@register(
+    "text_rarity_score",
+    # Corpus-frequency rarity scoring: per-document mean corpus frequency
+    # of its token instances plus the hapax share — the doc-level
+    # "is this document made of unusual vocabulary?" quality/novelty
+    # filter (rare-token-heavy docs are disproportionately OCR noise,
+    # boilerplate hashes, or genuinely novel content worth upsampling;
+    # either way the pipeline needs the score). All-integer arithmetic:
+    # corpus frequencies and tf-weighted sums are exact BIGINT/HUGEINT
+    # sums, cast to double only for the two final divisions — identical
+    # IEEE ops both engines (the text_tfidf_top_terms discipline: never
+    # cross-engine-compare ln()).
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({TOKENS_SQL.format(col='text')}) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ),
+    cf AS (
+      SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(tf * cf) AS DOUBLE) / CAST(sum(tf) AS DOUBLE)
+             AS mean_token_corpus_freq,
+           CAST(sum(CASE WHEN cf = 1 THEN tf ELSE 0 END) AS DOUBLE)
+             / CAST(sum(tf) AS DOUBLE) AS hapax_frac
+    FROM tf JOIN cf USING (term)
+    GROUP BY doc_id
+    """,
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document vocabulary-rarity score: the mean CORPUS frequency of
+    the document's token instances and its hapax share (fraction of
+    instances whose token occurs exactly once corpus-wide). The only
+    corpus-vs-document cross statistic in the text family — deliberately
+    distinct from ``text_token_stats`` (per-doc counts with no corpus
+    context), ``text_vocab_coverage`` (corpus-level head, no per-doc
+    output), and ``text_tfidf_top_terms`` (ranks TERMS within a doc by
+    document-frequency; this scores DOCS by corpus token-instance
+    frequency — the unigram-LM quality-filter proxy, with the log
+    dropped so the arithmetic stays exact integers until two final
+    divisions).
+
+    Scale shape: explode → (doc, term) tf agg (map-side combinable), the
+    vocabulary frame derived from tf by a second combinable agg (never a
+    second scan of the raw instances), then ONE term-keyed join — the
+    same join family as tf-idf: the cf side is vocabulary-sized, so at
+    100 TB it broadcasts (or AQE skew-splits the "the"-type hot terms),
+    and the per-doc re-agg is combinable again. Empty documents drop at
+    the explode in both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    j = tf.join(cf, "term")
+    n_tok = F.sum("tf")
+    return j.groupBy("doc_id").agg(
+        n_tok.cast("bigint").alias("n_tokens"),
+        (
+            F.sum((F.col("tf") * F.col("cf")).cast("decimal(38,0)"))
+            .cast("double")
+            / n_tok.cast("double")
+        ).alias("mean_token_corpus_freq"),
+        (
+            F.sum(F.when(F.col("cf") == 1, F.col("tf")).otherwise(F.lit(0)))
+            .cast("double")
+            / n_tok.cast("double")
+        ).alias("hapax_frac"),
+    )

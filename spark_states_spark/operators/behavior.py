@@ -375,6 +375,79 @@ def sequence_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "behavior_path_trigrams",
+    oracle=f"""
+    WITH k AS (
+      SELECT user_id, event_type,{_PACK_GUARD_1E9_SQL}
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY k) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY k) AS e3
+      FROM k
+    ),
+    c AS (
+      SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_paths
+      FROM t WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+    )
+    SELECT e1, e2, e3, n_paths,
+           CAST(n_paths AS DOUBLE) / sum(n_paths) OVER () AS path_share
+    FROM c
+    """,
+)
+def behavior_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order path mining: counts and corpus shares of every 3-step
+    event-type path (e1 → e2 → e3) inside each user's ordered sequence —
+    the "common user journeys" query behind funnel discovery and UX path
+    analysis. Deliberately distinct from ``sequence_transition_matrix``
+    (its FIRST-order sibling): the trigram table captures order-2 context
+    a Markov bigram matrix cannot (e.g. view→signup→purchase vs
+    signup→view→purchase have the same bigram mass split but different
+    trigram rows), and shares are of the WHOLE path corpus, not
+    conditional-per-source.
+
+    Plan shape: one Exchange on ``user_id`` serving BOTH lead() offsets in
+    a single Window pass over the fail-loud-guarded packed (ts, event_id)
+    order (``_PACK_GUARD_1E9`` — same contract as its siblings), then a
+    partial-aggregated count over ≤ |types|³ groups; the share window runs
+    on the AGGREGATED frame (≤ 125 rows), never the raw log. At 100 TB the
+    cost is the one per-user shuffle — identical to the transition
+    matrix's, so the order-2 statistic is free relative to order-1.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (
+            F.unix_timestamp("ts") * F.lit(1000000000)
+            + F.col("event_id")
+            + F.expr(_PACK_GUARD_1E9)
+        ).alias("k"),
+    )
+    w = W.partitionBy("user_id").orderBy("k")
+    t = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    c = (
+        t.where(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n_paths"))
+    )
+    return c.select(
+        "e1",
+        "e2",
+        "e3",
+        "n_paths",
+        (
+            F.col("n_paths").cast("double")
+            / F.sum("n_paths").over(W.partitionBy())
+        ).alias("path_share"),
+    )
+
+
+@register(
     "assoc_event_type_lift",
     oracle="""
     WITH pres AS (

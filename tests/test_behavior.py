@@ -398,3 +398,101 @@ def test_funnel_oracle_packed_key_guard_fires_out_of_range():
             con.execute(ORACLES["streaming_funnel_stages"]).fetchall()
     finally:
         con.close()
+
+
+def test_path_trigrams_python_recompute(spark, sf_dir):
+    """Trigram path counts and shares must equal a python recompute of
+    per-user 3-grams in packed (ts, event_id) order — the order-2 twin of
+    the transition-matrix recompute above."""
+    from collections import Counter, defaultdict
+
+    from pyspark.sql import functions as F
+
+    from spark_states_spark.sources import load_table
+
+    got = {
+        (r.e1, r.e2, r.e3): (r.n_paths, r.path_share)
+        for r in QUERIES["behavior_path_trigrams"](spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            (F.unix_timestamp("ts") * F.lit(1000000000) + F.col("event_id")).alias("k"),
+        )
+        .collect()
+    )
+    seqs = defaultdict(list)
+    for r in rows:
+        seqs[r.user_id].append((r.k, r.event_type))
+    counts = Counter()
+    for s in seqs.values():
+        s.sort()
+        for (_, a), (_, b), (_, c) in zip(s, s[1:], s[2:]):
+            counts[(a, b, c)] += 1
+    total = sum(counts.values())
+    ref = {k: (n, float(n) / total) for k, n in counts.items()}
+    assert got == ref
+
+
+def _events_fixture(tmp_path, name, rows):
+    """(event_id, ts_offset_s, user_id, event_type) rows -> fixture dir."""
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [(_T0 + r[1]) * 1_000_000 for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = str(tmp_path / name)
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_path_trigrams_order2_distinguishes_what_bigrams_cannot(
+    spark, tmp_path
+):
+    """The statistic's reason to exist, pinned: the sequences
+    a-b-a-b-a and b-a-b-a-b have IDENTICAL bigram multisets ({ab x2,
+    ba x2} each), so sequence_transition_matrix CANNOT separate the two
+    histories - but their trigram rows differ (aba x2 + bab x1 vs
+    bab x2 + aba x1). Also pins same-second tie-breaking through the
+    packed key (order fixed by event_id, not arrival luck)."""
+    seq_a = _events_fixture(
+        tmp_path, "fx_a",
+        [(i + 1, 10 * i, 1, t) for i, t in enumerate("ababa")],
+    )
+    seq_b = _events_fixture(
+        tmp_path, "fx_b",
+        [(i + 1, 10 * i, 1, t) for i, t in enumerate("babab")],
+    )
+
+    def bigrams(d):
+        return {
+            (r.src, r.dst): r.n_transitions
+            for r in QUERIES["sequence_transition_matrix"](spark, d).collect()
+        }
+
+    def trigrams(d):
+        return {
+            (r.e1, r.e2, r.e3): r.n_paths
+            for r in QUERIES["behavior_path_trigrams"](spark, d).collect()
+        }
+
+    assert bigrams(seq_a) == bigrams(seq_b)  # order-1 is blind here
+    assert trigrams(seq_a) == {("a", "b", "a"): 2, ("b", "a", "b"): 1}
+    assert trigrams(seq_b) == {("b", "a", "b"): 2, ("a", "b", "a"): 1}
+    # same-second ties: both events in the same second, ids 1 < 2 fix
+    # the order through the packed key
+    tie = _events_fixture(
+        tmp_path, "fx_tie",
+        [(1, 0, 7, "x"), (2, 0, 7, "y"), (3, 10, 7, "z")],
+    )
+    assert trigrams(tie) == {("x", "y", "z"): 1}

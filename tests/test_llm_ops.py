@@ -184,3 +184,80 @@ def test_tokenizer_spellings_agree(spark, sf_dir):
         .count()
     )
     assert mismatch == 0
+
+
+def _docs_fixture(tmp_path, texts):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["web"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    d = str(tmp_path / "rarity_fixture")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_rarity_score_known_answers(spark, tmp_path):
+    """Hand-computed corpus frequencies on a 4-doc corpus, including a
+    repeated-token doc (tf weighting), an all-hapax doc, and an EMPTY doc
+    that must drop at the explode (not surface as a zero-division row)."""
+    from spark_states_spark.catalog import QUERIES
+
+    d = _docs_fixture(
+        tmp_path,
+        ["the cat sat", "the the dog", "unique", ""],
+    )
+    # corpus: the x3, cat/sat/dog/unique x1 each
+    got = {
+        r.doc_id: (r.n_tokens, r.mean_token_corpus_freq, r.hapax_frac)
+        for r in QUERIES["text_rarity_score"](spark, d).collect()
+    }
+    assert got == {
+        1: (3, (3 + 1 + 1) / 3, 2 / 3),   # the, cat, sat
+        2: (3, (3 + 3 + 1) / 3, 1 / 3),   # the, the, dog (tf-weighted)
+        3: (1, 1.0, 1.0),                  # all-hapax
+    }
+
+
+def test_rarity_score_python_recompute(spark, sf_dir):
+    """Per-doc means and hapax shares must equal a Counter recompute with
+    the shared tokenizer over the real fixture."""
+    from collections import Counter
+
+    from spark_states_spark.catalog import QUERIES
+    from spark_states_spark.functions.text import tokens_col
+    from spark_states_spark.sources import load_table
+
+    got = {
+        r.doc_id: (r.n_tokens, r.mean_token_corpus_freq, r.hapax_frac)
+        for r in QUERIES["text_rarity_score"](spark, sf_dir).collect()
+    }
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        .collect()
+    )
+    cf = Counter()
+    for r in docs:
+        cf.update(r.toks)
+    ref = {}
+    for r in docs:
+        if not r.toks:
+            continue
+        n = len(r.toks)
+        ref[r.doc_id] = (
+            n,
+            sum(cf[t] for t in r.toks) / n,
+            sum(1 for t in r.toks if cf[t] == 1) / n,
+        )
+    assert got == ref

@@ -135,3 +135,80 @@ def test_winsorized_mean_python_recompute(spark, sf_dir):
         assert got[g].winsorized_mean == float(total) / n
         # robustness invariant: clip bounds bracket the mean
         assert plo <= got[g].winsorized_mean <= phi
+
+
+def _mad_truth(vals):
+    med = _true_median(vals)
+    devs = [abs(v - med) for v in vals]
+    mad = _true_median(devs)
+    return len(vals), med, mad, sum(1 for d in devs if d > 3.0 * mad)
+
+
+def test_mad_outliers_python_recompute(spark, sf_dir):
+    """Median / MAD / fence counts must equal a pure-python recompute per
+    event type on the real fixture."""
+    from spark_states_spark.catalog import QUERIES
+    from spark_states_spark.sources import load_table
+
+    got = {
+        r.event_type: (r.n, r.median_value, r.mad, r.n_outliers)
+        for r in QUERIES["anomaly_mad_outliers"](spark, sf_dir).collect()
+    }
+    by_g = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .collect()
+    ):
+        by_g.setdefault(r.event_type, []).append(r.value)
+    assert got == {g: _mad_truth(vals) for g, vals in by_g.items()}
+
+
+def test_mad_outliers_catches_masked_cluster(spark, tmp_path):
+    """The adversarial case the entry exists for: a cluster of identical
+    extreme values inflates sigma enough that the z-score fence (mean ±
+    3σ) MISSES all of them — masking — while the MAD fence flags every
+    one. Known answers on a synthetic events fixture, plus edge groups
+    (clean odd-n, even-n interpolated median, n=1)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_states_spark.catalog import QUERIES
+
+    groups = {
+        # 10 inliers at 10.0 + 3 masked extremes: median 10, MAD 0 ->
+        # the 3 extremes exceed the 0-width fence; z-score: mean 238.5,
+        # sigma ~407 -> 3-sigma fence ~1461 misses all three.
+        "masked": [10.0] * 10 + [1000.0] * 3,
+        "clean_odd": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0],
+        "even": [1.0, 2.0, 3.0, 4.0],
+        "single": [42.0],
+    }
+    expected = {g: _mad_truth(v) for g, v in groups.items()}
+    assert expected["masked"][3] == 3  # the masking scenario is real
+    import statistics
+
+    m = groups["masked"]
+    mu, sd = statistics.mean(m), statistics.pstdev(m)
+    assert all(abs(v - mu) <= 3 * sd for v in m)  # z-score finds NOTHING
+    rows = [(g, v) for g, vals in groups.items() for v in vals]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(1, len(rows) + 1), pa.int64()),
+            "ts": pa.array([1704067200_000000] * len(rows), pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "value": pa.array([r[1] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = str(tmp_path / "mad_fixture")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    got = {
+        r.event_type: (r.n, r.median_value, r.mad, r.n_outliers)
+        for r in QUERIES["anomaly_mad_outliers"](spark, d).collect()
+    }
+    assert got == expected
