@@ -211,6 +211,12 @@ _CANARY = "q1_pricing_summary"
 # engine — `ambient_ratio` is a batch-dominated median that cannot clear
 # wall-clock-sensitive streaming drains).
 _BUDGET_S = 5.0
+# Bound the budget adjudicator like every other adjudicator here (the
+# tripwire path probes worst-3 + canary past _SYSTEMIC_FLAGS; scaleprobe
+# caps spread re-runs): on a ~2x-contended box a dozen entries cross the
+# budget at once, and best-of-3 re-running each on the still-contended box
+# adds minutes of wall for numbers that adjudicate nothing.
+_MAX_BUDGET_ADJUDICATIONS = 5
 
 
 def _prev_bench(root: str = _ROOT) -> dict:
@@ -437,6 +443,7 @@ def _adjudicate_budget_breaches(
     rerun,
     drain_groups: dict[str, dict],
     budget_s: float = _BUDGET_S,
+    systemic: bool = False,
 ) -> list[dict]:
     """Isolated best-of-3 re-runs for entries whose SWEPT time exceeds the
     per-query budget but sit under the 2× tripwire (VERDICT r11 #1).
@@ -447,28 +454,50 @@ def _adjudicate_budget_breaches(
     isolated number (memos cleared, best-of-3 — the same contract as the
     tripwire path) is the adjudicated one. Entries already adjudicated by
     the tripwire path reuse that ``isolated_s`` instead of re-running.
-    Returns rows sorted worst-swept-first:
-    ``{entry, swept_s, isolated_s, isolated_over_budget, drain_group?}``.
+    Bounded: at most _MAX_BUDGET_ADJUDICATIONS fresh re-runs
+    (worst-swept first; later rows carry a lost-the-slot note), and when
+    the tripwire path already went ``systemic`` (>_SYSTEMIC_FLAGS flags —
+    the box itself is implicated) fresh re-runs are skipped entirely:
+    numbers measured on a still-contended box adjudicate nothing, and the
+    systemic verdict already explains the breaches. Returns rows sorted
+    worst-swept-first:
+    ``{entry, swept_s, isolated_s?, isolated_over_budget?, drain_group?,
+    note?}``.
     """
     already = {r["entry"]: r.get("isolated_s") for r in regressions}
     group_of = {
         q: tag for tag, g in drain_groups.items() for q in g["entries"]
     }
     rows: list[dict] = []
+    fresh = 0
     for name, swept in sorted(timings.items(), key=lambda kv: -kv[1]):
         if swept <= budget_s:
             continue
-        iso = already.get(name)
-        if iso is None:
-            iso = rerun(name)
-        row = {
-            "entry": name,
-            "swept_s": swept,
-            "isolated_s": iso,
-            "isolated_over_budget": iso > budget_s,
-        }
+        row: dict = {"entry": name, "swept_s": swept}
         if name in group_of:
             row["drain_group"] = group_of[name]
+        iso = already.get(name)
+        if iso is None:
+            if systemic:
+                row["note"] = (
+                    "over budget but unadjudicated: the tripwire path "
+                    "stamped a systemic-contention probe this run — an "
+                    "isolated re-run on the same contended box proves "
+                    "nothing"
+                )
+                rows.append(row)
+                continue
+            if fresh >= _MAX_BUDGET_ADJUDICATIONS:
+                row["note"] = (
+                    f"over budget but {_MAX_BUDGET_ADJUDICATIONS} "
+                    "worse-swept entries took the re-run slots this run"
+                )
+                rows.append(row)
+                continue
+            fresh += 1
+            iso = rerun(name)
+        row["isolated_s"] = iso
+        row["isolated_over_budget"] = iso > budget_s
         rows.append(row)
     return rows
 
@@ -624,9 +653,12 @@ def main() -> None:
     )
     drains = _drain_groups(timings)
     # Budget-threshold adjudication (VERDICT r11 #1): over-budget entries
-    # get isolated_s even under the 2× tripwire.
+    # get isolated_s even under the 2× tripwire — unless the tripwire path
+    # itself went systemic (the box is implicated; fresh re-runs on it
+    # adjudicate nothing).
     budget_breaches = _adjudicate_budget_breaches(
-        timings, regressions, isolated_rerun, drains
+        timings, regressions, isolated_rerun, drains,
+        systemic=contention is not None,
     )
     # Streaming-specific ambient: the batch-dominated median above cannot
     # clear wall-clock-sensitive drains; this one is the median over the

@@ -892,8 +892,11 @@ def text_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(sum(tf) AS BIGINT) AS n_tokens,
-           CAST(sum(tf * cf) AS DOUBLE) / CAST(sum(tf) AS DOUBLE)
-             AS mean_token_corpus_freq,
+           -- widen BEFORE the multiply: tf*cf on two BIGINTs can exceed
+           -- int64 at corpus scale (DuckDB would raise; the HUGEINT
+           -- product cannot)
+           CAST(sum(CAST(tf AS HUGEINT) * cf) AS DOUBLE)
+             / CAST(sum(tf) AS DOUBLE) AS mean_token_corpus_freq,
            CAST(sum(CASE WHEN cf = 1 THEN tf ELSE 0 END) AS DOUBLE)
              / CAST(sum(tf) AS DOUBLE) AS hapax_frac
     FROM tf JOIN cf USING (term)
@@ -930,7 +933,14 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("doc_id").agg(
         n_tok.cast("bigint").alias("n_tokens"),
         (
-            F.sum((F.col("tf") * F.col("cf")).cast("decimal(38,0)"))
+            # widen BEFORE the multiply (the oracle's HUGEINT twin): a
+            # bigint*bigint product overflows int64 at corpus scale;
+            # decimal(19,0) operands give an exact decimal(38,0) product
+            # (each factor < 2^63 ≈ 9.2e18, so the product < 8.5e37)
+            F.sum(
+                F.col("tf").cast("decimal(19,0)")
+                * F.col("cf").cast("decimal(19,0)")
+            )
             .cast("double")
             / n_tok.cast("double")
         ).alias("mean_token_corpus_freq"),

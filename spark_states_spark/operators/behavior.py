@@ -227,8 +227,13 @@ _PACK_GUARD_1E9 = (
     "'packed (ts, event_id) ordering key: event_id outside [0, 1e9) breaks "
     "order-by-time semantics — widen the pack') AS BIGINT), 0)"
 )
+# The IS NULL disjunct keeps the two sides symmetric: Spark's assert_true
+# raises on a NULL predicate, while a bare CASE WHEN NULL would fall to
+# ELSE and order the row NULLS-LAST silently — exactly the silent-reorder
+# class the guard exists to kill.
 _PACK_GUARD_1E9_SQL = """
-             CASE WHEN event_id < 0 OR event_id >= 1000000000
+             CASE WHEN event_id IS NULL OR event_id < 0
+                       OR event_id >= 1000000000
                   THEN error('packed ordering key: event_id outside '
                              || '[0, 1e9) breaks order-by-time semantics')
                   ELSE epoch_ns(ts) // 1000000000 * 1000000000 + event_id

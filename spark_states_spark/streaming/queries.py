@@ -2572,7 +2572,8 @@ def funnel_kernel(key, pdfs, state):
       -- oracle instead of silently reordering the key (the same
       -- fail-loud contract as funnel_state_scan's display guard).
       SELECT user_id, event_type,
-             CASE WHEN event_id < 0 OR event_id >= 1000000000
+             CASE WHEN event_id IS NULL OR event_id < 0
+                       OR event_id >= 1000000000
                   THEN error('streaming_funnel_stages oracle: event_id '
                              || 'outside [0, 1e9) breaks the packed '
                              || 'ordering key')

@@ -313,6 +313,7 @@ def compare(
             timings["oracle_s"] = _time.perf_counter() - t_oracle
     problems.extend(extra)
     if oracle_cache is not None and cacheable:
+        tmp = None
         try:
             os.makedirs(oracle_cache[0], exist_ok=True)
             path = _oracle_cache_file(oracle_cache, oracle_sql)
@@ -324,8 +325,14 @@ def compare(
             # Broad on purpose (ADVICE r11): a pickle.PicklingError on an
             # unpicklable fetched value (or any non-OS failure) must not
             # fail an entry whose compare data is already complete —
-            # mirroring the broad-except on the cache-load side.
-            pass  # the compare below already has data
+            # mirroring the broad-except on the cache-load side. A dump
+            # that died mid-write leaves the tmp file behind; unlink it so
+            # failures don't accumulate orphans in the cache dir.
+            try:
+                if tmp is not None:
+                    os.unlink(tmp)
+            except OSError:
+                pass
     problems.extend(_driver_fidelity_problems(spark_df, ora_types, null_cols))
     return _value_compare(problems, sp_cols, sp_rows, ora_cols, ora_rows)
 

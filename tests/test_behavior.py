@@ -324,7 +324,11 @@ def test_assoc_lift_python_recompute(spark, sf_dir):
     assert got == ref
 
 
-_GUARDED_1E9_ENTRIES = ["attribution_last_touch", "sequence_transition_matrix"]
+_GUARDED_1E9_ENTRIES = [
+    "attribution_last_touch",
+    "sequence_transition_matrix",
+    "behavior_path_trigrams",
+]
 
 
 def _oob_events_dir(tmp_path) -> str:

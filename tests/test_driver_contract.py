@@ -242,6 +242,42 @@ def test_bench_budget_breach_adjudication():
     ) == []
 
 
+def test_bench_budget_breach_adjudication_is_bounded():
+    """The budget adjudicator is capped like every other adjudicator:
+    at most _MAX_BUDGET_ADJUDICATIONS fresh best-of-3 re-runs
+    (worst-swept first; the rest carry a lost-the-slot note), and a
+    systemic-contention verdict from the tripwire path suppresses fresh
+    re-runs entirely (a re-run on the contended box proves nothing)
+    while tripwire-stamped isolated_s values are still reused."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    timings = {f"e{i}": 10.0 - i * 0.5 for i in range(8)}  # all over budget
+    reran = []
+    rows = bench._adjudicate_budget_breaches(
+        timings, [], lambda n: (reran.append(n), 4.0)[1], {}
+    )
+    assert len(reran) == bench._MAX_BUDGET_ADJUDICATIONS
+    assert reran == [f"e{i}" for i in range(bench._MAX_BUDGET_ADJUDICATIONS)]
+    noted = [r for r in rows if "note" in r]
+    assert len(noted) == len(timings) - bench._MAX_BUDGET_ADJUDICATIONS
+    assert all("re-run slots" in r["note"] for r in noted)
+    assert all("isolated_s" not in r for r in noted)
+    # systemic: no fresh re-runs at all; tripwire isolated_s still reused
+    reran = []
+    rows = bench._adjudicate_budget_breaches(
+        {"a": 9.0, "b": 8.0},
+        [{"entry": "b", "isolated_s": 3.0}],
+        lambda n: (reran.append(n), 4.0)[1],
+        {},
+        systemic=True,
+    )
+    assert reran == []
+    by = {r["entry"]: r for r in rows}
+    assert "systemic" in by["a"]["note"] and "isolated_s" not in by["a"]
+    assert by["b"]["isolated_s"] == 3.0
+
+
 def test_bench_prev_baseline_reads_round_artifacts():
     """_prev_bench must pick up the newest BENCH_r{N}.json round number and
     fall back to bench_result.json for totals the compact line predates."""
