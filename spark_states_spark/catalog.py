@@ -112,6 +112,7 @@ from .operators import timeseries  # noqa: E402,F401
 from .sources import bucketing  # noqa: E402,F401
 from .sources import partitioned  # noqa: E402,F401
 from .sources import compaction  # noqa: E402,F401
+from .sources import zorder  # noqa: E402,F401
 from .operators import quality  # noqa: E402,F401
 from .functions import sketches  # noqa: E402,F401
 from .operators import behavior  # noqa: E402,F401

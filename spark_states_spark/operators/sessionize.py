@@ -366,3 +366,164 @@ def behavior_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("bounce_rate"),
     )
+
+
+@register(
+    "behavior_peak_concurrency_daily",
+    # Interval-overlap counting via the boundary sweep: each session
+    # (shared 30-minute-gap convention) occupies the CLOSED microsecond
+    # interval [start_us, end_us]; it contributes +1 at its (day-clipped)
+    # entry instant and -1 one microsecond after its exit. Net deltas are
+    # aggregated PER INSTANT before the running sum, so equal-timestamp
+    # boundaries can never make the cumsum order-dependent — the peak is
+    # deterministic without any tie-break. All-BIGINT arithmetic.
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id,
+             epoch_ns(ts) // 1000 AS ts_us,
+             lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+                                             ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_us
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
+                     THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_id
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_id,
+             min(ts_us) AS start_us, max(ts_us) AS end_us
+      FROM numbered GROUP BY user_id, session_id
+    ), days AS (
+      SELECT start_us, end_us,
+             unnest(generate_series(start_us // 86400000000,
+                                    end_us // 86400000000)) AS day
+      FROM sessions
+    ), bounds AS (
+      SELECT day, greatest(start_us, day * 86400000000) AS ts,
+             1 AS delta
+      FROM days
+      UNION ALL
+      SELECT day, least(end_us, (day + 1) * 86400000000 - 1) + 1 AS ts,
+             -1 AS delta
+      FROM days
+    ), net AS (
+      SELECT day, ts, CAST(sum(delta) AS BIGINT) AS d
+      FROM bounds GROUP BY day, ts
+    ), run AS (
+      SELECT day, sum(d) OVER (PARTITION BY day ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS c
+      FROM net
+    ), act AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n_sessions_active
+      FROM days GROUP BY day
+    )
+    SELECT CAST(r.day AS BIGINT) AS day,
+           a.n_sessions_active,
+           CAST(max(r.c) AS BIGINT) AS peak_concurrent
+    FROM run r JOIN act a ON a.day = r.day
+    GROUP BY 1, 2
+    """,
+)
+def behavior_peak_concurrency_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Peak concurrent sessions per day — the interval-overlap COUNTING
+    operator (capacity planning's load question: "how many sessions were
+    alive at the worst instant?"). Consumes the intervals the shared
+    30-minute sessionization produces, where its siblings consume event
+    or session COUNTS (``behavior_bounce_rate_daily`` — per-session
+    sizes; ``sessionize_events`` — the intervals themselves): the sweep
+    here is the classic +1/−1 boundary walk over day-clipped closed
+    intervals, with net deltas aggregated per instant BEFORE the running
+    sum so same-microsecond boundaries cannot make the peak
+    order-dependent.
+
+    Scale shape: the session build is the family's one user_id Exchange;
+    the boundary frame is 2 rows per (session, day-overlapped) and is
+    explicitly repartitioned on ``day`` so the per-instant aggregate
+    (groupBy keys ⊃ day) AND the ordered running-sum window AND the
+    final per-day max all reuse that single Exchange — one shuffle of
+    O(sessions) boundary rows, never of raw events. Per-day window
+    width is bounded by distinct boundary instants in that day. The
+    final join is a broadcast of a ≤|days|-row frame.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = (
+        e.withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn("prev_us", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("ts_us") - F.col("prev_us") >= GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us"))
+    )
+    day_us = 86400 * 1_000_000
+    days = sess.select(
+        "start_us",
+        "end_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_us div {day_us}"),
+                F.expr(f"end_us div {day_us}"),
+            )
+        ).alias("day"),
+    )
+    bounds = days.select(
+        "day",
+        F.greatest(F.col("start_us"), F.col("day") * F.lit(day_us)).alias("ts"),
+        F.lit(1).alias("delta"),
+    ).unionByName(
+        days.select(
+            "day",
+            (
+                F.least(
+                    F.col("end_us"),
+                    (F.col("day") + 1) * F.lit(day_us) - 1,
+                )
+                + 1
+            ).alias("ts"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    net = (
+        bounds.repartition("day")
+        .groupBy("day", "ts")
+        .agg(F.sum("delta").cast("bigint").alias("d"))
+    )
+    wday = (
+        W.partitionBy("day")
+        .orderBy("ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = net.withColumn("c", F.sum("d").over(wday))
+    act = days.groupBy("day").agg(
+        F.count("*").alias("n_sessions_active")
+    )
+    return (
+        run.groupBy(F.col("day").cast("bigint").alias("day"))
+        .agg(F.max("c").cast("bigint").alias("peak_concurrent"))
+        .join(
+            F.broadcast(
+                act.select(
+                    F.col("day").cast("bigint").alias("day"),
+                    "n_sessions_active",
+                )
+            ),
+            "day",
+        )
+        .select("day", "n_sessions_active", "peak_concurrent")
+    )

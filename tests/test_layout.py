@@ -76,3 +76,48 @@ def test_partitioned_layout_prunes(spark, sf_dir, tmp_path):
     n_all = events.count()
     n_one = one.count()
     assert 0 < n_one < n_all
+
+
+def test_zorder_morton_reference_values():
+    """python_z16 against hand-computed Morton codes."""
+    from spark_states_spark.sources.zorder import python_z16
+
+    assert python_z16(0, 0) == 0
+    assert python_z16(1, 0) == 1      # d1 occupies even bit positions
+    assert python_z16(0, 1) == 2      # d2 occupies odd bit positions
+    assert python_z16(255, 255) == 65535
+    assert python_z16(3, 5) == 39     # spread(3)=5, spread(5)=17 -> 5|34
+
+
+def test_zorder_clustering_matches_python_recompute(spark, sf_dir):
+    """Bucket assignment + bounding boxes must equal a python Morton
+    recompute over the fixture, and every bucket's box must sit inside
+    ONE 4x4 tile of the (day, user) plane — the locality guarantee that
+    makes z-order footer stats prunable in BOTH dimensions (16 aligned
+    z-codes = exactly a 4x4 tile)."""
+    from spark_states_spark.catalog import QUERIES
+    from spark_states_spark.sources import load_table
+    from spark_states_spark.sources.zorder import python_z16
+
+    got = {
+        r.bucket: (r.n_rows, r.day_lo, r.day_hi, r.user_lo, r.user_hi)
+        for r in QUERIES["layout_zorder_clustering"](spark, sf_dir).collect()
+    }
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .selectExpr(
+            "unix_micros(ts) div 1000000 div 86400 as day", "user_id"
+        )
+        .collect()
+    )
+    ref = {}
+    for r in rows:
+        d1, d2 = r.day & 255, r.user_id & 255
+        b = python_z16(d1, d2) >> 4
+        n, dlo, dhi, ulo, uhi = ref.get(b, (0, 255, 0, 255, 0))
+        ref[b] = (n + 1, min(dlo, d1), max(dhi, d1), min(ulo, d2), max(uhi, d2))
+    assert got == ref
+    for b, (_, dlo, dhi, ulo, uhi) in got.items():
+        assert dlo // 4 == dhi // 4, f"bucket {b} crosses a day tile"
+        assert ulo // 4 == uhi // 4, f"bucket {b} crosses a user tile"

@@ -179,6 +179,7 @@ def test_bounce_rate_known_answers(spark, bounce_dir):
         ("text_repetition_ngrams", "documents", "docs_dir"),
         ("timeseries_rolling_zscore", "events", "zscore_dir"),
         ("behavior_bounce_rate_daily", "events", "bounce_dir"),
+        ("behavior_peak_concurrency_daily", "events", "concurrency_dir"),
     ],
 )
 def test_oracle_differential_on_adversarial_fixture(
@@ -231,3 +232,100 @@ def test_repetition_randomized_differential(spark, tmp_path):
         c = Counter(grams)
         want = (len(grams), sum(v for v in c.values() if v > 1))
         assert got[doc_id] == want, (doc_id, text, got[doc_id], want)
+
+
+@pytest.fixture(scope="module")
+def concurrency_dir(tmp_path_factory):
+    """Adversarial interval layout: same-instant boundaries (a point
+    session inside another, an end meeting a start at the SAME
+    microsecond — closed-interval semantics must count both), a
+    three-deep peak instant, and a session crossing midnight that must
+    contribute to BOTH days' sweeps."""
+    rows = [
+        # (event_id, ts_offset_s, user_id)
+        (1, 100, 1), (2, 700, 1),        # u1 session [100, 700]
+        (3, 400, 2),                      # u2 point session [400, 400]
+        (4, 650, 3), (5, 1250, 3),        # u3 [650, 1250]
+        (6, 1000, 4), (7, 2000, 4),       # u4 [1000, 2000]
+        (8, 2000, 5),                     # u5 point at u4's exact end
+        (9, 680, 6),                      # u6 point -> 3-deep at t=680
+        (10, 86100, 7), (11, 87300, 7),   # u7 [23:55, 00:15] crosses day
+        (12, 87000, 8),                   # u8 day-1 point inside u7
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [(_T0 + r[1]) * 1_000_000 for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    return _write(tmp_path_factory.mktemp("conc"), "events", t)
+
+
+def test_peak_concurrency_known_answers(spark, concurrency_dir):
+    rows = {
+        r.day - _T0 // _DAY: (r.n_sessions_active, r.peak_concurrent)
+        for r in QUERIES["behavior_peak_concurrency_daily"](
+            spark, concurrency_dir
+        ).collect()
+    }
+    # day 0: u1-u7 all overlap it (7 sessions); peak 3 at t=680
+    # (u1 [100,700] + u3 [650,1250] + u6 point); u5's point at u4's exact
+    # end instant gives 2, never 3 (closed intervals, both counted).
+    # day 1: u7's tail [86400, 87300] + u8's point at 87000 -> peak 2.
+    assert rows == {0: (7, 3), 1: (2, 2)}
+
+
+def test_peak_concurrency_python_recompute(spark, sf_dir):
+    """Daily peaks must equal a python sessionize + boundary-sweep
+    recompute over the real fixture."""
+    from collections import defaultdict
+
+    from spark_states_spark.sources import load_table
+
+    got = {
+        r.day: (r.n_sessions_active, r.peak_concurrent)
+        for r in QUERIES["behavior_peak_concurrency_daily"](
+            spark, sf_dir
+        ).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr("user_id", "event_id", "unix_micros(ts) as ts_us")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.ts_us, r.event_id))
+    gap = 1800 * 1_000_000
+    day_us = 86400 * 1_000_000
+    sessions = []
+    for seq in by_user.values():
+        seq.sort()
+        start = prev = seq[0][0]
+        for ts, _ in seq[1:]:
+            if ts - prev >= gap:
+                sessions.append((start, prev))
+                start = ts
+            prev = ts
+        sessions.append((start, prev))
+    deltas = defaultdict(lambda: defaultdict(int))
+    active = defaultdict(int)
+    for s, e in sessions:
+        for day in range(s // day_us, e // day_us + 1):
+            active[day] += 1
+            deltas[day][max(s, day * day_us)] += 1
+            deltas[day][min(e, (day + 1) * day_us - 1) + 1] -= 1
+    ref = {}
+    for day, dd in deltas.items():
+        c = peak = 0
+        for ts in sorted(dd):
+            c += dd[ts]
+            peak = max(peak, c)
+        ref[day] = (active[day], peak)
+    assert got == ref
