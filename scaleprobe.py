@@ -673,6 +673,20 @@ def main() -> int:
     finally:
         shutil.rmtree(scaled_dir, ignore_errors=True)
         spark.stop()
+        # AFTER spark.stop() and guarded: a cleanup failure here must
+        # neither leak the 24 GB-heap JVM nor mask a try-block exception.
+        # The replica's staged stream-chunks are dead cache the moment the
+        # replica is deleted (content-keyed on its path+stat identity): a
+        # 1000x run leaves ~1.6 GB per streaming entry behind, and 16 GB
+        # of such debris measurably slowed the r12 gate's writeback.
+        try:
+            from spark_states_spark.sources.tables import purge_staged_chunks
+
+            n_purged = purge_staged_chunks(scaled_dir)
+            if n_purged:
+                print(f"purged {n_purged} dead staged-chunk cache entries")
+        except Exception as exc:  # noqa: BLE001 — cleanup is best-effort
+            print(f"staged-chunk purge skipped: {exc}")
     return _write_artifact(rnd, rows, build_s, prev_entries, n_adjudicated)
 
 

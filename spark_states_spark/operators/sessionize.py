@@ -21,6 +21,54 @@ from ..sources import load_table
 
 GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, in microseconds
 
+# THE sessionization convention, spelled once per dialect (three entries —
+# sessionize_events, behavior_bounce_rate_daily,
+# behavior_peak_concurrency_daily — share it; a convention edit that missed
+# one of three verbatim copies would silently diverge the "shared
+# convention" their docstrings advertise). 30-minute gap on the
+# (ts_us, event_id) order; a session starts where the gap from the previous
+# event is >= GAP_US.
+_SESSION_CTES = """ordered AS (
+      SELECT user_id, event_id, value,
+             epoch_ns(ts) // 1000 AS ts_us,
+             lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
+                                             ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_us
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
+                     THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), numbered AS (
+      SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+                                            ORDER BY ts_us, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS session_id
+      FROM flagged
+    )"""
+
+
+def _session_frame(e: DataFrame) -> DataFrame:
+    """The Spark twin of ``_SESSION_CTES``: the input events frame with
+    ``ts_us`` and ``session_id`` columns appended (all original columns
+    kept). One user_id Exchange serves the lag and the cumsum; downstream
+    per-(user, session) aggregates reuse it (groupBy keys ⊃ partition
+    key)."""
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        e.withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn("prev_us", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("ts_us") - F.col("prev_us") >= GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(wrun))
+    )
+
 
 @register(
     "hourly_event_stats",
@@ -102,24 +150,8 @@ def rollup_hourly_to_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sessionize_events",
-    oracle="""
-    WITH ordered AS (
-      SELECT user_id, event_id, value,
-             epoch_ns(ts) // 1000 AS ts_us,
-             lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
-                                             ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_us
-      FROM events
-    ), flagged AS (
-      SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
-                     THEN 1 ELSE 0 END AS new_session
-      FROM ordered
-    ), numbered AS (
-      SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
-                                            ORDER BY ts_us, event_id
-                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                  AS session_id
-      FROM flagged
-    )
+    oracle=f"""
+    WITH {_SESSION_CTES}
     SELECT user_id, session_id,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(min(ts_us) // 1000000 AS BIGINT) AS start_s,
@@ -130,23 +162,9 @@ def rollup_hourly_to_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization: lag + cumsum of session-start flags."""
-    e = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
-    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    sess = (
-        e.withColumn("ts_us", F.unix_micros("ts"))
-        .withColumn("prev_us", F.lag("ts_us").over(w))
-        .withColumn(
-            "new_session",
-            F.when(
-                F.col("prev_us").isNull()
-                | (F.col("ts_us") - F.col("prev_us") >= GAP_US),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn("session_id", F.sum("new_session").over(wrun))
-    )
+    """Gap-based sessionization: lag + cumsum of session-start flags
+    (``_session_frame`` — the shared convention)."""
+    sess = _session_frame(load_table(spark, sf_dir, "events"))
     return sess.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         F.expr("min(ts_us) div 1000000").alias("start_s"),
@@ -288,29 +306,12 @@ def user_gap_median_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "behavior_bounce_rate_daily",
-    # Same 30-minute-gap sessionization convention as sessionize_events
-    # (lag + conditional cumsum on the (ts_us, event_id) order); a
-    # "bounce" is a single-event session, bucketed by the session's start
-    # day (epoch-day of the first event). Counts are BIGINT; the rate is
-    # one BIGINT->DOUBLE division — identical both engines.
-    oracle="""
-    WITH ordered AS (
-      SELECT user_id, event_id,
-             epoch_ns(ts) // 1000 AS ts_us,
-             lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
-                                             ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_us
-      FROM events
-    ), flagged AS (
-      SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
-                     THEN 1 ELSE 0 END AS new_session
-      FROM ordered
-    ), numbered AS (
-      SELECT *, sum(new_session) OVER (PARTITION BY user_id
-                                       ORDER BY ts_us, event_id
-                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS session_id
-      FROM flagged
-    ), sessions AS (
+    # Shared sessionization convention (_SESSION_CTES / _session_frame);
+    # a "bounce" is a single-event session, bucketed by the session's
+    # start day (epoch-day of the first event). Counts are BIGINT; the
+    # rate is one BIGINT->DOUBLE division — identical both engines.
+    oracle=f"""
+    WITH {_SESSION_CTES}, sessions AS (
       SELECT user_id, session_id,
              min(ts_us) // 1000000 // 86400 AS day,
              count(*) AS n_events
@@ -338,22 +339,7 @@ def behavior_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     final day rollup aggregates ≤ |days| × partial rows. Per-user state
     never leaves its partition — the identical plan at 100 TB.
     """
-    e = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
-    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    sess = (
-        e.withColumn("ts_us", F.unix_micros("ts"))
-        .withColumn("prev_us", F.lag("ts_us").over(w))
-        .withColumn(
-            "new_session",
-            F.when(
-                F.col("prev_us").isNull()
-                | (F.col("ts_us") - F.col("prev_us") >= GAP_US),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn("session_id", F.sum("new_session").over(wrun))
-    )
+    sess = _session_frame(load_table(spark, sf_dir, "events"))
     per_session = sess.groupBy("user_id", "session_id").agg(
         F.expr("min(ts_us) div 1000000 div 86400").alias("day"),
         F.count("*").alias("n_events"),
@@ -377,24 +363,8 @@ def behavior_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregated PER INSTANT before the running sum, so equal-timestamp
     # boundaries can never make the cumsum order-dependent — the peak is
     # deterministic without any tie-break. All-BIGINT arithmetic.
-    oracle="""
-    WITH ordered AS (
-      SELECT user_id, event_id,
-             epoch_ns(ts) // 1000 AS ts_us,
-             lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id
-                                             ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_us
-      FROM events
-    ), flagged AS (
-      SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
-                     THEN 1 ELSE 0 END AS new_session
-      FROM ordered
-    ), numbered AS (
-      SELECT *, sum(new_session) OVER (PARTITION BY user_id
-                                       ORDER BY ts_us, event_id
-                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS session_id
-      FROM flagged
-    ), sessions AS (
+    oracle=f"""
+    WITH {_SESSION_CTES}, sessions AS (
       SELECT user_id, session_id,
              min(ts_us) AS start_us, max(ts_us) AS end_us
       FROM numbered GROUP BY user_id, session_id
@@ -453,21 +423,8 @@ def behavior_peak_concurrency_daily(
     width is bounded by distinct boundary instants in that day. The
     final join is a broadcast of a ≤|days|-row frame.
     """
-    e = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
-    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     sess = (
-        e.withColumn("ts_us", F.unix_micros("ts"))
-        .withColumn("prev_us", F.lag("ts_us").over(w))
-        .withColumn(
-            "new_session",
-            F.when(
-                F.col("prev_us").isNull()
-                | (F.col("ts_us") - F.col("prev_us") >= GAP_US),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn("session_id", F.sum("new_session").over(wrun))
+        _session_frame(load_table(spark, sf_dir, "events"))
         .groupBy("user_id", "session_id")
         .agg(F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us"))
     )

@@ -187,6 +187,16 @@ def staged_chunks(
             f = os.path.join(tmp, f"part-{i:05d}.parquet")
             pq.write_table(t.slice(bounds[i], bounds[i + 1] - bounds[i]), f)
             os.utime(f, (now + ranks[i], now + ranks[i]))
+        # Provenance marker (leading "_" = ignored by Spark's file listing
+        # and by the *.parquet count above): records which source this
+        # cache entry was staged FROM, so purge_staged_chunks can find and
+        # drop entries for deleted scale-probe replicas — a 1000x events
+        # replica stages ~1.6 GB of chunks whose content key can never hit
+        # again once the replica dir is rmtree'd (r12: 16 GB of such dead
+        # cache had accumulated in /tmp and was measurably slowing the
+        # gate's writeback).
+        with open(os.path.join(tmp, "_source_path.txt"), "w") as fh:
+            fh.write(os.path.abspath(path))
         try:
             os.rename(tmp, d)
         except OSError:  # concurrent builder won the race; theirs is identical
@@ -194,6 +204,34 @@ def staged_chunks(
 
             shutil.rmtree(tmp, ignore_errors=True)
     return d
+
+
+def purge_staged_chunks(src_prefix: str) -> int:
+    """Remove every staged-chunk cache entry whose recorded source path
+    lives under ``src_prefix``; returns the number removed. Used by
+    scale-probe teardown: replica fixtures are deleted after the run, so
+    their staged chunks are permanently-dead cache (the content key
+    embeds the replica's path and stat identity). Entries predating the
+    provenance marker are left alone — they can still be validated
+    against a live source by the normal key path."""
+    import shutil
+
+    root = os.path.join(tempfile.gettempdir(), "sss_stream_chunks")
+    if not os.path.isdir(root):
+        return 0
+    prefix = os.path.abspath(src_prefix) + os.sep
+    n = 0
+    for entry in os.listdir(root):
+        marker = os.path.join(root, entry, "_source_path.txt")
+        try:
+            with open(marker) as fh:
+                src = fh.read().strip()
+        except OSError:
+            continue
+        if src.startswith(prefix):
+            shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+            n += 1
+    return n
 
 
 def chunked_stream(

@@ -28,7 +28,8 @@ from ..catalog import register
 from .tables import load_table
 
 # 8 bits per dimension -> 16-bit Morton code; buckets of 16 codes each
-# model "files" (256 of them over the 65536-cell space).
+# model "files" (4096 of them over the 65536-cell space; each bucket's
+# 16 aligned codes cover exactly one 4x4 tile of the 2-D plane).
 _DIM_BITS = 8
 _DIM_MASK = (1 << _DIM_BITS) - 1
 _BUCKET_SHIFT = 4
@@ -101,7 +102,7 @@ def layout_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the z-value is a pure codegen'd bit-arithmetic
     projection (zero Python, zero joins); the bucket stats are one
-    map-side-combinable aggregate over ≤256 groups. In a real write
+    map-side-combinable aggregate over ≤4096 groups. In a real write
     path the same expression feeds ``repartitionByRange(z)`` before the
     sink — the assignment computed here IS the layout decision, and the
     aggregate is its audit.

@@ -136,3 +136,48 @@ def test_ij_sink_and_state_parts_follow_the_kv_size_gate(
     assert _ij_sink(sf_dir_small) == "memory"  # fixtures sit below the gate
     monkeypatch.setenv("SPARK_GRAFT_KV_SINK", "parquet")
     assert _ij_sink(sf_dir_small) == "parquet"
+
+
+def test_staged_chunks_purge_by_source(tmp_path):
+    """purge_staged_chunks removes exactly the cache entries staged from
+    a given (deleted) source tree — the scale-probe teardown contract —
+    and leaves entries from other sources and marker-less legacy entries
+    untouched."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_states_spark.sources.tables import (
+        purge_staged_chunks,
+        staged_chunks,
+    )
+
+    def mk_fixture(name):
+        d = tmp_path / name
+        d.mkdir()
+        t = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "ts": pa.array(
+                    [1704067200_000000 + i for i in range(4)],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        pq.write_table(t, str(d / "events.parquet"))
+        return str(d)
+
+    a, b = mk_fixture("replica_a"), mk_fixture("other_b")
+    da = staged_chunks(a, n_chunks=2, order_cols=("ts", "event_id"))
+    db = staged_chunks(b, n_chunks=2, order_cols=("ts", "event_id"))
+    assert os.path.isdir(da) and os.path.isdir(db)
+    assert open(os.path.join(da, "_source_path.txt")).read().startswith(a)
+    n = purge_staged_chunks(a)
+    assert n == 1
+    assert not os.path.isdir(da)   # the replica's entry is gone
+    assert os.path.isdir(db)       # the other source's entry survives
+    assert purge_staged_chunks(a) == 0  # idempotent
+    # clean up b's entry too: its tmp_path source dies with the test, so
+    # leaving it would leak exactly the dead-cache class under test
+    assert purge_staged_chunks(b) == 1
