@@ -462,6 +462,15 @@ def touched_entries(
 # entries are displaced, and only by the MOST-STALE touched outsiders.
 _DRIVER_WINDOW = 50
 _TOUCHED_QUOTA = 5
+# When an infra-module edit propagates "touched" to most of the catalog,
+# the signal carries no per-entry information — the quota would promote
+# essentially arbitrary newest-green entries while displacing genuinely
+# stale rows (r12: a tables.py hygiene edit marked all 188 entries touched
+# and the quota pushed 2 of the round's 42 stale-rotation targets out of
+# the window). Past this saturation fraction the promotion step is skipped
+# outright; staleness-first then allocates every slot, which is the
+# quota's own documented rationale for infra-wide touches.
+_TOUCHED_SATURATION = 0.5
 
 
 def verification_order(
@@ -513,6 +522,13 @@ def verification_order(
     # staleness inversion at the boundary (a fresher touched outsider
     # over the window's freshest row) is the quota's deliberate trade.
     window, rest = order[:_DRIVER_WINDOW], order[_DRIVER_WINDOW:]
+    green_names = set(greens) & set(QUERIES)
+    if green_names and (
+        len(touched & green_names) > _TOUCHED_SATURATION * len(green_names)
+    ):
+        # Saturated touched signal (infra-wide edit) — see
+        # _TOUCHED_SATURATION above: promotion would be noise.
+        return order
     promoted = sorted(
         (n for n in rest if n in touched and n in greens),
         key=lambda n: -greens[n],

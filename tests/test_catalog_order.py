@@ -212,11 +212,15 @@ def test_touched_quota_never_displaces_tier0_rows(monkeypatch):
     (judge-review r07 finding)."""
     monkeypatch.setattr(catalog, "_DRIVER_WINDOW", 3)
     monkeypatch.setattr(catalog, "_TOUCHED_QUOTA", 2)
-    # window = [never1, never2, stale_green]; outsiders: two touched.
-    greens = {"stale_green": 2, "touched_a": 4, "touched_b": 5}
+    # window = [never1, never2, stale_green]; outsiders: two touched plus
+    # enough untouched greens that the touched signal stays below the
+    # saturation guard (2 of 5 greens).
+    greens = {"stale_green": 2, "touched_a": 4, "touched_b": 5,
+              "plain_a": 6, "plain_b": 6}
     monkeypatch.setattr(catalog, "QUERIES", {
         "never1": None, "never2": None,
         "stale_green": None, "touched_a": None, "touched_b": None,
+        "plain_a": None, "plain_b": None,
     })
     order = catalog.verification_order(
         greens=greens, touched={"touched_a", "touched_b"}
@@ -338,3 +342,28 @@ def test_package_init_edit_propagates_like_infra(tmp_path):
     )
     modules = {"e_dep": "spark_states_spark.ops"}
     assert catalog.touched_entries(str(tmp_path), modules=modules) == {"e_dep"}
+
+
+def test_touched_quota_skips_on_saturated_signal(monkeypatch):
+    """r12: an infra-module edit (tables.py) propagated 'touched' to the
+    entire catalog, and the quota promoted 5 arbitrary newest-green
+    entries — displacing 2 of the round's stale-rotation targets. When
+    the touched signal saturates (> _TOUCHED_SATURATION of green
+    entries), it carries no per-entry information and promotion must be
+    skipped: pure staleness order wins every slot."""
+    monkeypatch.setattr(catalog, "_DRIVER_WINDOW", 4)
+    monkeypatch.setattr(catalog, "_TOUCHED_QUOTA", 2)
+    greens = {f"e{r}": r for r in range(1, 9)}
+    monkeypatch.setattr(
+        catalog, "QUERIES", {f"e{r}": None for r in range(1, 9)}
+    )
+    # 5 of 8 greens touched (> 0.5 saturation) -> NO promotion at all
+    order = catalog.verification_order(
+        greens=greens, touched={"e4", "e5", "e6", "e7", "e8"}
+    )
+    assert order == [f"e{r}" for r in range(1, 9)]  # pure staleness
+    # exactly at the 0.5 boundary (4 of 8): quota still applies
+    order = catalog.verification_order(
+        greens=greens, touched={"e5", "e6", "e7", "e8"}
+    )
+    assert order[:4] == ["e1", "e2", "e8", "e7"]
