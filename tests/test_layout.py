@@ -121,3 +121,64 @@ def test_zorder_clustering_matches_python_recompute(spark, sf_dir):
     for b, (_, dlo, dhi, ulo, uhi) in got.items():
         assert dlo // 4 == dhi // 4, f"bucket {b} crosses a day tile"
         assert ulo // 4 == uhi // 4, f"bucket {b} crosses a user tile"
+
+
+def test_zorder_extreme_ids_match_python_and_oracle(spark, tmp_path):
+    """Adversarial id values (negative, > 2^32, exact mask boundaries):
+    the low-byte masking and Morton interleave must agree bit-for-bit
+    across Spark, DuckDB, and the python reference — two's-complement &
+    has the same semantics in all three."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_states_spark.catalog import ORACLES, QUERIES
+    from spark_states_spark.sources.zorder import python_z16
+    from tests.oracle_utils import canonicalize
+
+    users = [-1, -256, -255, 0, 255, 256, 2**40 + 123, -(2**40) - 7, 97]
+    t0_us = 1704067200 * 1_000_000
+    t = pa.table(
+        {
+            "event_id": pa.array(range(1, len(users) + 1), pa.int64()),
+            "ts": pa.array(
+                [t0_us + i * 86400_000_000 for i in range(len(users))],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(["view"] * len(users), pa.string()),
+            "value": pa.array([1.0] * len(users), pa.float64()),
+            "props": pa.array(["{}"] * len(users), pa.string()),
+        }
+    )
+    d = str(tmp_path / "zx")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    sdf = QUERIES["layout_zorder_clustering"](spark, d)
+    srows = [tuple(r) for r in sdf.collect()]
+    # python reference
+    ref = {}
+    for i, u in enumerate(users):
+        day = (t0_us // 1_000_000 // 86400 + i) & 255
+        du = u & 255
+        b = python_z16(day, du) >> 4
+        n, dlo, dhi, ulo, uhi = ref.get(b, (0, 255, 0, 255, 0))
+        ref[b] = (n + 1, min(dlo, day), max(dhi, day),
+                  min(ulo, du), max(uhi, du))
+    assert {r[0]: tuple(r[1:]) for r in srows} == ref
+    # DuckDB oracle on the same fixture
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        res = con.execute(ORACLES["layout_zorder_clustering"])
+        ocols = [c[0] for c in res.description]
+        orows = res.fetchall()
+    finally:
+        con.close()
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert canonicalize(sdf.columns, srows) == canonicalize(ocols, orows)

@@ -329,3 +329,69 @@ def test_peak_concurrency_python_recompute(spark, sf_dir):
             peak = max(peak, c)
         ref[day] = (active[day], peak)
     assert got == ref
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_peak_concurrency_randomized_vs_python_sweep(spark, tmp_path, seed):
+    """Randomized differential: arbitrary event layouts (user collisions,
+    same-second ties, multi-day spans, singleton users) against an
+    independent python sessionize + boundary-sweep reference."""
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(seed)
+    n = 250
+    rows = []
+    for eid in range(1, n + 1):
+        # offsets cluster inside sessions but jump across gaps and days
+        user = rng.randint(1, 12)
+        off = rng.choice(
+            [rng.randint(0, 3600), rng.randint(0, 3 * 86400)]
+        )
+        rows.append((eid, off, user))
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [(_T0 + r[1]) * 1_000_000 for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = _write(tmp_path, "events", t)
+    got = {
+        r.day: (r.n_sessions_active, r.peak_concurrent)
+        for r in QUERIES["behavior_peak_concurrency_daily"](spark, d).collect()
+    }
+    # independent reference sweep
+    by_user = defaultdict(list)
+    for eid, off, user in rows:
+        by_user[user].append(((_T0 + off) * 1_000_000, eid))
+    gap, day_us = 1800 * 1_000_000, 86400 * 1_000_000
+    sessions = []
+    for seq in by_user.values():
+        seq.sort()
+        start = prev = seq[0][0]
+        for ts, _ in seq[1:]:
+            if ts - prev >= gap:
+                sessions.append((start, prev))
+                start = ts
+            prev = ts
+        sessions.append((start, prev))
+    deltas, active = defaultdict(lambda: defaultdict(int)), defaultdict(int)
+    for s, e in sessions:
+        for day in range(s // day_us, e // day_us + 1):
+            active[day] += 1
+            deltas[day][max(s, day * day_us)] += 1
+            deltas[day][min(e, (day + 1) * day_us - 1) + 1] -= 1
+    ref = {}
+    for day, dd in deltas.items():
+        c = peak = 0
+        for ts in sorted(dd):
+            c += dd[ts]
+            peak = max(peak, c)
+        ref[day] = (active[day], peak)
+    assert got == ref
