@@ -656,9 +656,14 @@ def main() -> None:
     # get isolated_s even under the 2× tripwire — unless the tripwire path
     # itself went systemic (the box is implicated; fresh re-runs on it
     # adjudicate nothing).
+    # ``systemic`` means the probe VERDICT was systemic, not merely that a
+    # probe ran (ADVICE r12): _adjudicate_tripwires returns a dict for ANY
+    # >_SYSTEMIC_FLAGS run, including systemic_contention=False — the case
+    # where regressions reproduced isolated (engine implicated, box
+    # healthy), where fresh budget re-runs DO adjudicate.
     budget_breaches = _adjudicate_budget_breaches(
         timings, regressions, isolated_rerun, drains,
-        systemic=contention is not None,
+        systemic=bool(contention and contention["systemic_contention"]),
     )
     # Streaming-specific ambient: the batch-dominated median above cannot
     # clear wall-clock-sensitive drains; this one is the median over the
@@ -756,8 +761,16 @@ def main() -> None:
         # re-run isolated — the number that distinguishes session-tail
         # noise from a real breach. Detail rows ride the full artifact.
         "n_budget_breaches": len(budget_breaches),
+        # .get(): note-only rows (slot-capped / systemic-suppressed) carry
+        # no isolated_* keys — r12's artifact avoided the KeyError only
+        # because one of its 6 breaches reused a tripwire isolated_s
+        # (ADVICE r12). Those rows are counted separately rather than
+        # silently read as under-budget.
         "n_isolated_over_budget": sum(
-            1 for r in budget_breaches if r["isolated_over_budget"]
+            1 for r in budget_breaches if r.get("isolated_over_budget")
+        ),
+        "n_breaches_unadjudicated": sum(
+            1 for r in budget_breaches if "isolated_over_budget" not in r
         ),
         # Only the slowest 8 make the printed line; the full map is in
         # bench_result.json (queries_full points the reader there).
@@ -794,6 +807,7 @@ def main() -> None:
             "core_total", "prefix_total", "n_regressions",
             "ambient_ratio", "systemic_contention",
             "n_budget_breaches", "n_isolated_over_budget",
+            "n_breaches_unadjudicated",
         )
         line = json.dumps({k: compact[k] for k in minimal_keys if k in compact})
     # Unload providers BEFORE stop: most of the shutdown stderr flood that

@@ -469,7 +469,11 @@ _TOUCHED_QUOTA = 5
 # and the quota pushed 2 of the round's 42 stale-rotation targets out of
 # the window). Past this saturation fraction the promotion step is skipped
 # outright; staleness-first then allocates every slot, which is the
-# quota's own documented rationale for infra-wide touches.
+# quota's own documented rationale for infra-wide touches. The fraction is
+# of the WHOLE catalog, not of the green set (ADVICE r12): early in a
+# round the green set can be tiny, and 2-of-3 greens touched by one
+# targeted module edit is exactly the signal the quota exists for — only
+# a touch that sweeps most of the catalog is infra-wide noise.
 _TOUCHED_SATURATION = 0.5
 
 
@@ -524,7 +528,7 @@ def verification_order(
     window, rest = order[:_DRIVER_WINDOW], order[_DRIVER_WINDOW:]
     green_names = set(greens) & set(QUERIES)
     if green_names and (
-        len(touched & green_names) > _TOUCHED_SATURATION * len(green_names)
+        len(touched & green_names) > _TOUCHED_SATURATION * len(QUERIES)
     ):
         # Saturated touched signal (infra-wide edit) — see
         # _TOUCHED_SATURATION above: promotion would be noise.

@@ -96,6 +96,18 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Character-class ratios via strip-and-measure; classes are explicit ASCII
 # sets so Java regex and RE2 agree.
+def _guard_decimal_sum(agg: Column, msg: str) -> Column:
+    """Fail-loud wrapper for an exact decimal aggregate whose operands are
+    provably non-null over non-empty groups: under those preconditions a
+    NULL result can only mean the decimal(38) sum overflowed, which Spark's
+    non-ANSI mode signals silently while the DuckDB oracle's HUGEINT twin
+    raises. assert_true returns NULL on pass, so the coalesce passes the
+    sum through untouched (the 1e9 pack-guard pattern, ADVICE r12)."""
+    return F.coalesce(
+        F.assert_true(agg.isNotNull(), F.lit(msg)).cast("decimal(38,0)"), agg
+    )
+
+
 def _ratio(col: Column, keep_class: str) -> Column:
     kept = F.length(F.regexp_replace(col, f"[^{keep_class}]", ""))
     return F.when(
@@ -936,10 +948,21 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             # widen BEFORE the multiply (the oracle's HUGEINT twin): a
             # bigint*bigint product overflows int64 at corpus scale;
             # decimal(19,0) operands give an exact decimal(38,0) product
-            # (each factor < 2^63 ≈ 9.2e18, so the product < 8.5e37)
-            F.sum(
-                F.col("tf").cast("decimal(19,0)")
-                * F.col("cf").cast("decimal(19,0)")
+            # (each factor < 2^63 ≈ 9.2e18, so the product < 8.5e37).
+            # The SUM over those products is still capped at decimal(38)
+            # and in non-ANSI mode an overflowed decimal sum returns NULL
+            # silently, while the oracle's HUGEINT (128-bit) raises — so
+            # guard the sum fail-loud (ADVICE r12, the 1e9-pack
+            # discipline): groups are non-empty (inner join, tf >= 1)
+            # with non-null operands, hence NULL ⇔ sum overflow.
+            _guard_decimal_sum(
+                F.sum(
+                    F.col("tf").cast("decimal(19,0)")
+                    * F.col("cf").cast("decimal(19,0)")
+                ),
+                "text_rarity_score: decimal(38,0) tf*cf sum overflowed — "
+                "widen the weighted sum (split-sum or higher-precision "
+                "two-column carry) before trusting mean_token_corpus_freq",
             )
             .cast("double")
             / n_tok.cast("double")

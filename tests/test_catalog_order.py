@@ -367,3 +367,33 @@ def test_touched_quota_skips_on_saturated_signal(monkeypatch):
         greens=greens, touched={"e5", "e6", "e7", "e8"}
     )
     assert order[:4] == ["e1", "e2", "e8", "e7"]
+
+
+def test_touched_saturation_is_fraction_of_catalog_not_greens(monkeypatch):
+    """ADVICE r12: the saturation guard denominates over the WHOLE catalog,
+    not the green set — early in a round (tiny green set) a genuinely
+    targeted edit touching 2 of 3 greens is a per-entry signal, not an
+    infra-wide sweep, and promotion must still fire."""
+    monkeypatch.setattr(catalog, "_DRIVER_WINDOW", 2)
+    monkeypatch.setattr(catalog, "_TOUCHED_QUOTA", 1)
+    # 8-entry catalog, only 3 externally green, 2 of those touched by a
+    # targeted module edit: 2 > 0.5*3 (old green-denominated guard would
+    # skip) but 2 <= 0.5*8 (catalog-denominated guard keeps the quota).
+    monkeypatch.setattr(
+        catalog, "QUERIES", {f"e{r}": None for r in range(1, 9)}
+    )
+    greens = {"e1": 1, "e2": 2, "e3": 3}
+    order = catalog.verification_order(
+        greens=greens, touched={"e2", "e3"}
+    )
+    # window = [never-verified e4..e8 would rank first...]: with W=2 the
+    # window is two tier-0 rows; tier-0 is undisplaceable, so promotion
+    # finds no green victim and order stays pure — instead check the
+    # promotion path directly with an all-green catalog of 8 where only
+    # 3 are green is impossible; use a window wide enough to hold greens.
+    monkeypatch.setattr(catalog, "_DRIVER_WINDOW", 7)
+    order = catalog.verification_order(greens=greens, touched={"e2", "e3"})
+    # window (7) = 5 tier-0 + 2 greens; pure staleness puts e1, e2 in; the
+    # quota promotes the newest-green touched outsider e3 over freshest
+    # green window row e2.
+    assert "e3" in order[:7]

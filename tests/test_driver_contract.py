@@ -278,6 +278,54 @@ def test_bench_budget_breach_adjudication_is_bounded():
     assert by["b"]["isolated_s"] == 3.0
 
 
+def test_bench_compact_counts_survive_note_only_rows():
+    """ADVICE r12: note-only breach rows (slot-capped or systemic-
+    suppressed) carry no isolated_over_budget key; the compact-line
+    counting must use .get() (the r12 artifact dodged a KeyError only by
+    luck) and report them as unadjudicated rather than silently counting
+    them under-budget."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    timings = {f"e{i}": 10.0 - i * 0.5 for i in range(8)}
+    rows = bench._adjudicate_budget_breaches(
+        timings, [], lambda n: 6.0, {}
+    )
+    # the exact expressions main() feeds the compact line
+    n_over = sum(1 for r in rows if r.get("isolated_over_budget"))
+    n_unadj = sum(1 for r in rows if "isolated_over_budget" not in r)
+    assert n_over == bench._MAX_BUDGET_ADJUDICATIONS  # rerun stub says 6.0
+    assert n_unadj == len(timings) - bench._MAX_BUDGET_ADJUDICATIONS
+    assert n_over + n_unadj == len(rows)
+
+
+def test_bench_systemic_gate_requires_systemic_verdict():
+    """ADVICE r12: a tripwire probe that ran but stamped
+    systemic_contention=False (regressions reproduced isolated — engine
+    implicated, box healthy) must NOT suppress fresh budget re-runs;
+    main() now passes bool(contention and contention['systemic_
+    contention']), so verify both verdict polarities end-to-end against
+    the adjudicator."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    for verdict, expect_fresh in ((False, True), (True, False)):
+        contention = {"systemic_contention": verdict}
+        reran = []
+        rows = bench._adjudicate_budget_breaches(
+            {"a": 9.0},
+            [],
+            lambda n: (reran.append(n), 4.0)[1],
+            {},
+            systemic=bool(contention and contention["systemic_contention"]),
+        )
+        assert (len(reran) > 0) is expect_fresh
+        if expect_fresh:
+            assert rows[0]["isolated_over_budget"] is False
+        else:
+            assert "note" in rows[0]
+
+
 def test_bench_prev_baseline_reads_round_artifacts():
     """_prev_bench must pick up the newest BENCH_r{N}.json round number and
     fall back to bench_result.json for totals the compact line predates."""
