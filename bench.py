@@ -217,6 +217,13 @@ _BUDGET_S = 5.0
 # budget at once, and best-of-3 re-running each on the still-contended box
 # adds minutes of wall for numbers that adjudicate nothing.
 _MAX_BUDGET_ADJUDICATIONS = 5
+# Noise band on the breach VERDICT only (VERDICT r12 #3: an isolated
+# 5.016 s = 1.003x budget carried isolated_over_budget=true for 16 ms —
+# below the best-of-3 run-to-run jitter on this box, which is ~3-5% even
+# quiet). The raw isolated_s is stamped unrounded either way; only the
+# boolean tolerates the jitter floor. The ~5 s budget itself is a derived
+# working target (BASELINE.md), not a published reference number.
+_BUDGET_VERDICT_BAND = 1.05
 
 
 def _prev_bench(root: str = _ROOT) -> dict:
@@ -497,7 +504,7 @@ def _adjudicate_budget_breaches(
             fresh += 1
             iso = rerun(name)
         row["isolated_s"] = iso
-        row["isolated_over_budget"] = iso > budget_s
+        row["isolated_over_budget"] = iso > budget_s * _BUDGET_VERDICT_BAND
         rows.append(row)
     return rows
 

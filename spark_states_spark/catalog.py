@@ -59,26 +59,45 @@ def register(name: str, oracle: str | None = None):
 # (ADVICE r07). Modules register their memos at import time.
 SHARED_MEMOS: dict[str, tuple[dict, frozenset, Callable[[], None] | None]] = {}
 
+# Tags whose memo is deterministic INPUT STAGING (a pure function of
+# (session, fixture) whose product the entry then operates ON — e.g. the
+# restart entry's phase-1 checkpoint snapshot), as opposed to a shared
+# RESULT materialization (the funnel/KV drains, where the entry's own
+# output reads the memo). bench.py's best-of-N re-run clearing exists to
+# stop result memos from degenerating a re-run into timing a memo read;
+# staging memos have the opposite contract — the measured operation
+# re-executes in full against the staged input every run, exactly like
+# sources.staged_chunks (also per-session, also never cleared by bench)
+# — so clear_shared_memos skips them unless asked (VERDICT r12 #1).
+STAGING_MEMO_TAGS: set[str] = set()
+
 
 def register_shared_memo(
     tag: str,
     memo: dict,
     entries: set[str],
     cleanup: Callable[[], None] | None = None,
+    staging: bool = False,
 ) -> None:
     SHARED_MEMOS[tag] = (memo, frozenset(entries), cleanup)
+    if staging:
+        STAGING_MEMO_TAGS.add(tag)
 
 
-def clear_shared_memos(entry: str) -> None:
+def clear_shared_memos(entry: str, include_staging: bool = False) -> None:
     """Release and clear every shared memo ``entry`` participates in.
 
     Cleanup runs first (best-effort — a failed block release must not turn
     a timing re-run into an error) so the memoized DataFrames' pinned
     resources are freed while the handles still exist; then the memo dict
-    is emptied so the next participating call re-materializes.
+    is emptied so the next participating call re-materializes. Staging
+    memos (STAGING_MEMO_TAGS) are skipped unless ``include_staging`` —
+    see the registry note above.
     """
-    for memo, entries, cleanup in SHARED_MEMOS.values():
-        if entry in entries:
+    for tag, (memo, entries, cleanup) in SHARED_MEMOS.items():
+        if entry in entries and (
+            include_staging or tag not in STAGING_MEMO_TAGS
+        ):
             if cleanup is not None:
                 try:
                     cleanup()

@@ -323,6 +323,22 @@ def streaming_late_arrival_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Phase-1 snapshot memo for the restart entry: key -> run_dir whose
+# ``snap_ckpt``/``snap_sink`` hold the post-stop state of the first
+# lifecycle (see the entry docstring). Registered below as a STAGING
+# memo (catalog.STAGING_MEMO_TAGS) — bench re-runs keep it, explicit
+# clear_shared_memos(..., include_staging=True) re-pays phase 1; the
+# cleanup removes the run dirs.
+_RESTART_SNAP_MEMO: dict = {}
+
+
+def _drop_restart_run_dirs() -> None:
+    import shutil as _shutil
+
+    for d in list(_RESTART_SNAP_MEMO.values()):
+        _shutil.rmtree(d, ignore_errors=True)
+
+
 @register(
     "streaming_restart_recovery",
     # The oracle is the batch GROUP BY restricted to the final-watermark
@@ -373,46 +389,43 @@ def streaming_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: restart cost is the state reload (bounded by live state,
     not input history) plus the new files — the whole point of checkpointed
     state at scale. The file copies are fixture staging only.
+
+    Phase-1 snapshot share (VERDICT r12 #1): the first run's drain of
+    chunks 0-1 is a pure function of (session, fixture), so it is paid
+    ONCE per (applicationId, fixture generation) and its post-stop
+    ``ckpt``/``sink`` state snapshotted beside the run dir — the same
+    shared-materialization contract as the funnel/wall-clock drains.
+    Later invocations restore the snapshot INTO THE SAME absolute paths
+    (the file-stream source's seen-files log and the file sink's
+    ``_spark_metadata`` both record absolute paths, so the run dir must
+    not move) and pay only the part the entry exists to measure: the
+    restart — offset-log replay, RocksDB version reload, watermark
+    restore — plus the 2 new chunks, all genuinely re-executed every
+    run. Registered as a STAGING memo (tag ``restart_phase1``): like
+    ``staged_chunks``, it is deterministic input staging, so bench
+    best-of-N re-runs do NOT clear it — every timed run measures a full
+    recovery lifecycle, never a memo read (the result is the phase-2
+    sink, which is never memoized).
     """
     import os as _os
     import shutil as _shutil
     import tempfile as _tempfile
 
     from ..sources import staged_chunks
-    from ..sources.tables import _stream_from_chunk_dir
+    from ..sources.tables import _source_identity, _stream_from_chunk_dir, table_path
     from .windows import windowed_counts
 
     chunks = staged_chunks(sf_dir, "events", n_chunks=4)
     parts = sorted(
         f for f in _os.listdir(chunks) if f.endswith(".parquet")
     )
-    # All run dirs live under one parent; stale runs are swept with the
-    # shared PID-keyed policy (runner.sweep_stale_dirs): a prior run of
-    # THIS process or a dead process is reclaimed, but a concurrent
-    # invocation (pytest -n worker, bench racing the driver's sampler)
-    # keeps its live src/ckpt/sink — the old wipe-all-siblings sweep would
-    # delete it mid-run and fail nondeterministically.
-    from .runner import sweep_stale_dirs
+    memo_key = (
+        spark.sparkContext.applicationId,
+        _os.path.abspath(sf_dir),
+        _source_identity(table_path(sf_dir, "events")),
+    )
 
-    parent = _os.path.join(_tempfile.gettempdir(), "sss_restart_runs")
-    _os.makedirs(parent, exist_ok=True)
-    pid_mine = f"run_pid{_os.getpid()}_"
-    for old in _os.listdir(parent):
-        if old.startswith(pid_mine):
-            _shutil.rmtree(_os.path.join(parent, old), ignore_errors=True)
-    sweep_stale_dirs(parent)
-    run_dir = _tempfile.mkdtemp(prefix=pid_mine, dir=parent)
-    src = _os.path.join(run_dir, "src")
-    ckpt = _os.path.join(run_dir, "ckpt")
-    sink = _os.path.join(run_dir, "sink")
-    for d in (src, ckpt, sink):
-        _os.makedirs(d)
-    # copy2 preserves mtimes, keeping delivery order identical to the
-    # staged chunk sequence across both phases.
-    for f in parts[:2]:
-        _shutil.copy2(_os.path.join(chunks, f), _os.path.join(src, f))
-
-    def run() -> None:
+    def run(src: str, ckpt: str, sink: str) -> None:
         agg = windowed_counts(_stream_from_chunk_dir(spark, src, "events"))
         query = (
             agg.writeStream.outputMode("append")
@@ -424,10 +437,61 @@ def streaming_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         query.awaitTermination()
 
-    _with_state_parts(spark, STATE_PARTS, run)
+    hit = _RESTART_SNAP_MEMO.get(memo_key)
+    if hit is None:
+        # All run dirs live under one parent; stale runs are swept with the
+        # shared PID-keyed policy (runner.sweep_stale_dirs): a prior run of
+        # THIS process or a dead process is reclaimed, but a concurrent
+        # invocation (pytest -n worker, bench racing the driver's sampler)
+        # keeps its live src/ckpt/sink — the old wipe-all-siblings sweep
+        # would delete it mid-run and fail nondeterministically.
+        from .runner import sweep_stale_dirs
+
+        parent = _os.path.join(_tempfile.gettempdir(), "sss_restart_runs")
+        _os.makedirs(parent, exist_ok=True)
+        pid_mine = f"run_pid{_os.getpid()}_"
+        for old in _os.listdir(parent):
+            if old.startswith(pid_mine):
+                _shutil.rmtree(_os.path.join(parent, old), ignore_errors=True)
+        sweep_stale_dirs(parent)
+        run_dir = _tempfile.mkdtemp(prefix=pid_mine, dir=parent)
+        src = _os.path.join(run_dir, "src")
+        ckpt = _os.path.join(run_dir, "ckpt")
+        sink = _os.path.join(run_dir, "sink")
+        for d in (src, ckpt, sink):
+            _os.makedirs(d)
+        # copy2 preserves mtimes, keeping delivery order identical to the
+        # staged chunk sequence across both phases.
+        for f in parts[:2]:
+            _shutil.copy2(_os.path.join(chunks, f), _os.path.join(src, f))
+        _with_state_parts(
+            spark, STATE_PARTS, lambda: run(src, ckpt, sink)
+        )  # phase 1: drain chunks 0-1, commit, stop
+        for tag in ("ckpt", "sink"):
+            _shutil.copytree(
+                _os.path.join(run_dir, tag),
+                _os.path.join(run_dir, "snap_" + tag),
+            )
+        _RESTART_SNAP_MEMO[memo_key] = run_dir
+    else:
+        run_dir = hit
+        src = _os.path.join(run_dir, "src")
+        ckpt = _os.path.join(run_dir, "ckpt")
+        sink = _os.path.join(run_dir, "sink")
+        # Restore the post-phase-1 state in place: the live ckpt/sink are
+        # post-phase-2 from the previous invocation, so recovery against
+        # them would drain nothing (and time nothing).
+        for tag in ("ckpt", "sink"):
+            live = _os.path.join(run_dir, tag)
+            _shutil.rmtree(live)
+            _shutil.copytree(_os.path.join(run_dir, "snap_" + tag), live)
     for f in parts[2:]:
-        _shutil.copy2(_os.path.join(chunks, f), _os.path.join(src, f))
-    _with_state_parts(spark, STATE_PARTS, run)
+        dst = _os.path.join(src, f)
+        if not _os.path.exists(dst):
+            _shutil.copy2(_os.path.join(chunks, f), dst)
+    _with_state_parts(
+        spark, STATE_PARTS, lambda: run(src, ckpt, sink)
+    )  # phase 2: restart on the same checkpoint, drain chunks 2-3
     return spark.read.parquet(sink)
 
 
@@ -2393,6 +2457,13 @@ _register_shared_memo(
     _VIRTUAL_DRAIN_MEMO,
     {"keyed_state_ttl_per_query", "keyed_state_ttl_lazy_bounds"},
     cleanup=lambda: _drop_memo_sink_tables(_VIRTUAL_DRAIN_MEMO),
+)
+_register_shared_memo(
+    "restart_phase1",
+    _RESTART_SNAP_MEMO,
+    {"streaming_restart_recovery"},
+    cleanup=_drop_restart_run_dirs,
+    staging=True,
 )
 
 

@@ -211,6 +211,8 @@ def test_bench_budget_breach_adjudication():
         "drain_a": 6.5,   # over budget, not tripwired
         "drain_b": 5.5,   # over budget, tripwired (already has isolated_s)
         "solo": 5.1,      # over budget, no drain group
+        "band": 5.05,     # over budget swept; isolated lands inside the
+                          # 5% verdict noise band (VERDICT r12 #3)
     }
     regressions = [
         {"entry": "drain_b", "prev_s": 2.0, "now_s": 5.5, "ratio": 2.75,
@@ -222,20 +224,25 @@ def test_bench_budget_breach_adjudication():
 
     def rerun(name):
         reran.append(name)
-        return {"drain_a": 4.1, "solo": 5.3}[name]
+        return {"drain_a": 4.1, "solo": 5.3, "band": 5.2}[name]
 
     rows = bench._adjudicate_budget_breaches(
         timings, regressions, rerun, groups
     )
-    assert reran == ["drain_a", "solo"]  # drain_b reused, fast skipped
-    assert [r["entry"] for r in rows] == ["drain_a", "drain_b", "solo"]
+    assert reran == ["drain_a", "solo", "band"]  # drain_b reused, fast skipped
+    assert [r["entry"] for r in rows] == ["drain_a", "drain_b", "solo", "band"]
     by = {r["entry"]: r for r in rows}
     assert by["drain_a"]["isolated_s"] == 4.1
     assert by["drain_a"]["isolated_over_budget"] is False
     assert by["drain_a"]["drain_group"] == "kv"
     assert by["drain_b"]["isolated_s"] == 2.1  # reused from the tripwire
+    # 5.3 > 5.0 * _BUDGET_VERDICT_BAND (5.25): a real breach even with the
+    # noise band; 5.2 sits inside the band — raw isolated_s still stamped,
+    # only the verdict boolean tolerates the jitter floor.
     assert by["solo"]["isolated_over_budget"] is True
     assert "drain_group" not in by["solo"]
+    assert by["band"]["isolated_s"] == 5.2
+    assert by["band"]["isolated_over_budget"] is False
     # nothing over budget -> empty, no re-runs
     assert bench._adjudicate_budget_breaches(
         {"fast": 1.0}, [], rerun, {}

@@ -410,3 +410,37 @@ def test_funnel_state_survives_checkpoint_restart(spark, tmp_path):
     assert (7, 2) in second, "k1 slot lost across restart — no conversion"
     # and the recovered run must not re-emit stage 1
     assert (7, 1) not in second
+
+
+def test_restart_recovery_phase1_staging_memo(spark, sf_dir_small):
+    """VERDICT r12 #1: the restart entry's phase-1 drain is per-session
+    input STAGING — a second invocation must hit the snapshot memo, re-run
+    only the recovery lifecycle against restored ckpt/sink state, and
+    produce identical results; bench's per-entry memo clearing must leave
+    the staging memo alone, while an explicit include_staging clear
+    removes the run dirs and re-pays phase 1."""
+    from spark_states_spark.catalog import clear_shared_memos
+    from spark_states_spark.streaming import queries as sq
+
+    clear_shared_memos("streaming_restart_recovery", include_staging=True)
+    assert not sq._RESTART_SNAP_MEMO
+    first = sq.streaming_restart_recovery(spark, sf_dir_small)
+    rows1 = sorted(map(tuple, first.collect()))
+    assert sq._RESTART_SNAP_MEMO, "phase-1 snapshot not memoized"
+    run_dir = next(iter(sq._RESTART_SNAP_MEMO.values()))
+    snap = os.path.join(run_dir, "snap_ckpt")
+    assert os.path.isdir(snap)
+
+    # bench-style per-entry clear (re-run path): staging memo survives
+    clear_shared_memos("streaming_restart_recovery")
+    assert sq._RESTART_SNAP_MEMO, "staging memo wrongly cleared"
+
+    second = sq.streaming_restart_recovery(spark, sf_dir_small)
+    rows2 = sorted(map(tuple, second.collect()))
+    assert rows1 == rows2, "memo-hit recovery diverged from cold run"
+    assert next(iter(sq._RESTART_SNAP_MEMO.values())) == run_dir
+
+    # explicit staging clear releases the run dir and forces re-pay
+    clear_shared_memos("streaming_restart_recovery", include_staging=True)
+    assert not sq._RESTART_SNAP_MEMO
+    assert not os.path.exists(run_dir), "cleanup left the run dir behind"
