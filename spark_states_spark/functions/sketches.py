@@ -550,3 +550,276 @@ def streaming_hll_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"cast({_HLL_ALPHA!r} as double) * {_HLL_M} * {_HLL_M}"
         f" / (cast(s_occ as double) + ({_HLL_M} - n_occupied)) AS hll_estimate",
     )
+
+
+# --- Mergeable quantile sketch (deterministic KLL-style) --------------------
+#
+# The fourth classic distributed-summary shape beside cardinality (HLL),
+# frequency (Misra-Gries) and membership (Bloom): a bounded summary that
+# answers rank/quantile queries with a provable rank-error bound and is
+# MERGEABLE (Agarwal et al., PODS'12; Karnin-Lall-Liberty, FOCS'16 for the
+# KLL compactor). Production role: the one-pass answer where the exact
+# narrowing kernels (operators/orderstats.py) need a second scan.
+#
+# Cross-engine determinism (the catalog's standing discipline): classic
+# KLL flips a coin per compaction to keep odd- or even-ranked items; this
+# implementation always keeps ODD ranks under the unique total order
+# (value, event_id), making every survivor, weight and estimate a pure
+# function of the data — the DuckDB oracle replays the identical
+# compaction and the value hash must match bit-for-bit. Cost of
+# determinism: the ±w/2 per-compaction rank drift is one-directional
+# instead of zero-mean, so the error BOUND (not just the variance) is the
+# guarantee; the pinned tests check the measured drift against it.
+#
+# Structure per entry: partition rows into sub-streams (hash shards here,
+# calendar days in the merge entry), run L=2 keep-odd compactions INSIDE
+# each sub-stream (weight 4 survivors, a 4x reduction — each compaction is
+# one window + filter over the sub-stream, map-side parallel across
+# shards), then answer quantiles from the weighted survivor multiset: a
+# global cumulative weight (4 * row_number) and a 5-row band join picking
+# the first survivor whose cumulative weight reaches each target rank.
+# Rank-error budget: <= 3 weight-units per sub-stream (1 from L1 + 2 from
+# L2) plus the final weight quantization — shards*3 + w ranks total.
+#
+# 100 TB shape: the per-shard compactions scale out with the shard count
+# (the only full-data ops, each a sorted window inside its shard); the
+# global stage consumes the 4x-compacted SUMMARY, and the level count L is
+# the compile-time size/accuracy knob — at production scale L grows
+# log(n/k) so survivors fit one executor (the KLL guarantee), after which
+# the final stage is trivially small. L=2 here keeps the fixture's
+# survivor set large enough that the oracle exercises a non-degenerate
+# merge. The exact-rank audit columns (est_rank, rank_err_frac) exist so
+# the oracle VERIFIES the sketch's error; a deployment drops them — the
+# n_exact-column convention of the HLL entries.
+
+_KLL_SHARDS = 32
+_KLL_QS = (10, 25, 50, 75, 90)  # integer percents: exact arithmetic
+
+
+def _kll_oracle_sql(shard_expr: str, weight: int, merge_compact: bool) -> str:
+    """The whole sketch pipeline in DuckDB SQL (the Spark side mirrors it
+    with DataFrame windows). ``shard_expr`` defines the sub-streams;
+    ``merge_compact`` adds the union-then-compact step (weight doubles)."""
+    qs = ", ".join(f"({q})" for q in _KLL_QS)
+    merged = (
+        """
+    merged AS (
+      SELECT v, i, row_number() OVER (ORDER BY v, i) AS rn FROM sk0
+    ),
+    sk AS (SELECT v, i FROM merged WHERE rn % 2 = 1),"""
+        if merge_compact
+        else """
+    sk AS (SELECT v, i FROM sk0),"""
+    )
+    return f"""
+    WITH base AS (
+      SELECT value AS v, event_id AS i, ({shard_expr}) AS shard FROM events
+    ),
+    l1 AS (
+      SELECT v, i, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY v, i) AS rn
+      FROM base
+    ),
+    l2 AS (
+      SELECT v, i, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY v, i) AS rn
+      FROM l1 WHERE rn % 2 = 1
+    ),
+    sk0 AS (SELECT v, i FROM l2 WHERE rn % 2 = 1),{merged}
+    ranked AS (
+      SELECT v, i,
+             {weight} * row_number() OVER (ORDER BY v, i) AS cw
+      FROM sk
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    tgt AS (
+      SELECT CAST(q_pct AS INTEGER) AS q_pct,
+             CAST((q_pct * n + 99) // 100 AS BIGINT) AS target_rank, n
+      FROM (VALUES {qs}) AS qv(q_pct), nn
+    ),
+    est AS (
+      SELECT t.q_pct, t.target_rank, t.n, r.v AS est_value, r.i AS est_i
+      FROM ranked r JOIN tgt t
+        ON t.target_rank <= r.cw AND t.target_rank > r.cw - {weight}
+    ),
+    audit AS (
+      -- the 5-row est frame's columns ride THROUGH the audit groupBy
+      -- (each q_pct is one group), so the final projection reads the
+      -- audit alone — the sketch pipeline is computed exactly once
+      SELECT e.q_pct, e.est_value, e.target_rank, e.n,
+             CAST(sum(CASE WHEN b.v < e.est_value
+                             OR (b.v = e.est_value AND b.i <= e.est_i)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS est_rank
+      FROM base b, est e
+      GROUP BY e.q_pct, e.est_value, e.target_rank, e.n
+    )
+    SELECT q_pct, est_value, target_rank, est_rank,
+           abs(CAST(est_rank AS DOUBLE) - CAST(target_rank AS DOUBLE))
+             / CAST(n AS DOUBLE) AS rank_err_frac
+    FROM audit
+    """
+
+
+def _kll_survivors(base: DataFrame) -> DataFrame:
+    """Two keep-odd compactions inside each sub-stream of ``base``
+    (columns v, i, shard) -> weight-4 survivors (v, i)."""
+    w = Window.partitionBy("shard").orderBy("v", "i")
+    l1 = (
+        base.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") % 2 == 1)
+        .drop("rn")
+    )
+    l2 = (
+        l1.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") % 2 == 1)
+        .drop("rn")
+    )
+    return l2.select("v", "i", "shard")
+
+
+def _kll_quantile_frame(
+    spark: SparkSession, base: DataFrame, sk: DataFrame, weight: int
+) -> DataFrame:
+    """Weighted-rank quantile answers + exact-rank audit, shared by both
+    sketch entries. ``sk`` holds uniform-``weight`` survivors (v, i)."""
+    ranked = sk.withColumn(
+        "cw",
+        (F.row_number().over(Window.orderBy("v", "i")) * weight).cast(
+            "bigint"
+        ),
+    )
+    nn = base.agg(F.count("*").cast("bigint").alias("n"))
+    tgt = (
+        spark.createDataFrame([(q,) for q in _KLL_QS], "q_pct int")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("q_pct").cast("int").alias("q_pct"),
+            F.expr("CAST((q_pct * n + 99) DIV 100 AS BIGINT)").alias(
+                "target_rank"
+            ),
+            "n",
+        )
+    )
+    est = ranked.join(
+        F.broadcast(tgt),
+        (F.col("target_rank") <= F.col("cw"))
+        & (F.col("target_rank") > F.col("cw") - weight),
+    ).select(
+        "q_pct",
+        "target_rank",
+        "n",
+        F.col("v").alias("est_value"),
+        F.col("i").alias("est_i"),
+    )
+    # The 5-row est frame's columns ride THROUGH the audit groupBy (each
+    # q_pct is one group), so the final projection reads the audit alone —
+    # without this the est lineage feeds both the audit build side and a
+    # join-back, and Spark computes the whole sketch pipeline twice.
+    audit = (
+        base.crossJoin(F.broadcast(est))
+        .groupBy("q_pct", "est_value", "target_rank", "n")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("v") < F.col("est_value"))
+                    | (
+                        (F.col("v") == F.col("est_value"))
+                        & (F.col("i") <= F.col("est_i"))
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("est_rank")
+        )
+    )
+    return audit.select(
+        "q_pct",
+        "est_value",
+        "target_rank",
+        "est_rank",
+        (
+            F.abs(
+                F.col("est_rank").cast("double")
+                - F.col("target_rank").cast("double")
+            )
+            / F.col("n").cast("double")
+        ).alias("rank_err_frac"),
+    )
+
+
+@register(
+    "sketch_quantile_kll",
+    oracle=_kll_oracle_sql(
+        shard_expr=f"{duck_h32('CAST(event_id AS VARCHAR)')} % {_KLL_SHARDS}",
+        weight=4,
+        merge_compact=False,
+    ),
+)
+def sketch_quantile_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KLL-style quantile sketch over ``events.value``:
+    32 hash shards, two keep-odd compactions per shard (weight-4
+    survivors), quantiles answered from the weighted survivor multiset,
+    with the exact rank of every estimate audited in-query. See the
+    section comment for the determinism contract, the error budget
+    (<= 3 ranks/shard + weight quantization ~= 100 ranks here), and the
+    100 TB shape. Contrast with ``exact_quantiles_multi``
+    (operators/orderstats.py): that entry computes exact order statistics
+    via the extent-histogram narrowing kernel (two passes over the data);
+    this one is the one-pass bounded-summary answer whose survivors — not
+    the data — feed the final stage, the trade a pipeline makes when the
+    quantile is a monitoring/routing signal rather than a published exact
+    statistic.
+    """
+    from .hashes import spark_h32
+
+    base = load_table(spark, sf_dir, "events").select(
+        F.col("value").alias("v"),
+        F.col("event_id").alias("i"),
+        (
+            F.expr(spark_h32("cast(event_id as string)")) % _KLL_SHARDS
+        ).alias("shard"),
+    )
+    sk = _kll_survivors(base).select("v", "i")
+    return _kll_quantile_frame(spark, base, sk, weight=4)
+
+
+@register(
+    "sketch_quantile_merge_daily",
+    oracle=_kll_oracle_sql(
+        shard_expr="epoch_ns(ts) // 1000000000 // 86400",
+        weight=8,
+        merge_compact=True,
+    ),
+)
+def sketch_quantile_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE of independently-built per-day quantile sketches — the
+    operation that makes the structure a distributed summary (the reason
+    the family exists at 100 TB: yesterday's sketch is never rebuilt,
+    today's is folded in). Each calendar day builds its own weight-4
+    sketch (two keep-odd compactions inside the day, exactly
+    ``sketch_quantile_kll``'s kernel with day as the sub-stream); the
+    merge step unions the day sketches — all survivors carry EQUAL weight,
+    so the union is itself a valid sketch — and runs one more keep-odd
+    compaction over the union (weight 8), the KLL merge-then-compact.
+    Quantile answers + exact-rank audit then read the merged sketch only.
+    Contrast with ``sketch_quantile_kll``: same compaction kernel, but the
+    sub-streams are REAL partial datasets (days) and the entry's subject
+    is the merge; with ``ohlc_daily_bars``/``window_distribution_family``:
+    those compute per-day exact statistics, this one ships a bounded
+    per-day summary that still answers GLOBAL quantiles after merging.
+    """
+    base = load_table(spark, sf_dir, "events").select(
+        F.col("value").alias("v"),
+        F.col("event_id").alias("i"),
+        F.expr("unix_timestamp(ts) div 86400").alias("shard"),
+    )
+    day_sk = _kll_survivors(base)
+    merged = (
+        day_sk.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "i"))
+        )
+        .where(F.col("rn") % 2 == 1)
+        .select("v", "i")
+    )
+    return _kll_quantile_frame(spark, base, merged, weight=8)

@@ -206,6 +206,12 @@ _NON_EQUI_BY_DESIGN = {
     # broadcast — both cross-join sides bounded by constants, not data
     "source_divergence_chi2",
     "kmeans_lloyd_step",  # broadcast of K=8 centroid rows x corpus scan
+    # 5-row target-rank frame band-joined onto the compacted survivor
+    # stream (which cw bucket holds each target) + the same 5-row
+    # estimate frame broadcast back over the scan for the exact-rank
+    # audit — the exact_quantiles_multi shape on a sketch
+    "sketch_quantile_kll",
+    "sketch_quantile_merge_daily",
     "similarity_lsh_recall",  # composes the two exempt similarity pipelines
     # 10-row per-group rank frame × bounded per-group histogram range join
     "exact_median_by_group",

@@ -140,3 +140,109 @@ def test_misra_gries_bigint_keys_exact_past_2_53(spark):
     assert got == set(base + i for i in range(8))
     total = [r.mg_count for r in sketch.collect() if r.key is None]
     assert total == [len(ids)]
+
+
+# --- Deterministic KLL-style quantile sketch --------------------------------
+
+
+def _py_kll_reference(rows, shard_of, qs, merge_compact):
+    """Bit-by-bit pure-Python mirror of the sketch pipeline (the zorder
+    Morton-reference pattern): rows = [(v, i)], shard_of maps (v, i) ->
+    sub-stream key. Returns {q_pct: (est_value, est_i, target_rank)}."""
+    from collections import defaultdict
+
+    shards = defaultdict(list)
+    for v, i in rows:
+        shards[shard_of(v, i)].append((v, i))
+    survivors = []
+    for items in shards.values():
+        lvl = sorted(items)
+        for _ in range(2):  # two keep-odd compactions per sub-stream
+            lvl = lvl[::2]  # ranks 1,3,5,... (1-based odd)
+        survivors.extend(lvl)
+    weight = 4
+    survivors.sort()
+    if merge_compact:
+        survivors = survivors[::2]
+        weight = 8
+    n = len(rows)
+    out = {}
+    for q in qs:
+        target = -((-q * n) // 100)  # ceil(q*n/100)
+        idx = -(-target // weight) - 1  # first survivor with cw >= target
+        v, i = survivors[idx]
+        out[q] = (v, i, target)
+    return out
+
+
+def test_kll_sketch_matches_python_reference(spark):
+    """The Spark pipeline's estimates equal a pure-Python replay of the
+    identical deterministic compaction on the same rows — pins that the
+    windows implement keep-odd-under-(v,i) exactly, independent of the
+    DuckDB oracle."""
+    import hashlib
+
+    from spark_states_spark.functions.sketches import (
+        _KLL_QS,
+        _KLL_SHARDS,
+        _kll_quantile_frame,
+        _kll_survivors,
+    )
+
+    rows = [(float((j * 37) % 1009) + 0.25, j) for j in range(2000)]
+    base = spark.createDataFrame(
+        [(v, i, int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+          % _KLL_SHARDS) for v, i in rows],
+        "v double, i bigint, shard int",
+    )
+    got = {
+        r.q_pct: (r.est_value, r.target_rank)
+        for r in _kll_quantile_frame(
+            spark, base, _kll_survivors(base).select("v", "i"), weight=4
+        ).collect()
+    }
+    ref = _py_kll_reference(
+        rows,
+        shard_of=lambda v, i: int(
+            hashlib.md5(str(i).encode()).hexdigest()[:8], 16
+        )
+        % _KLL_SHARDS,
+        qs=_KLL_QS,
+        merge_compact=False,
+    )
+    assert got == {q: (v, t) for q, (v, _i, t) in ref.items()}
+
+
+def test_kll_sketch_rank_error_within_bound(spark, sf_dir):
+    """The deterministic keep-odd drift is one-directional, so the BOUND
+    is the guarantee: <= 3 weight-units per sub-stream + final weight
+    quantization, over n. Checked on the fixture for both entries, with
+    the sub-stream count taken from the data."""
+    from spark_states_spark.functions.sketches import (
+        _KLL_SHARDS,
+        sketch_quantile_kll,
+        sketch_quantile_merge_daily,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = events.count()
+    n_days = events.selectExpr(
+        "count(distinct unix_timestamp(ts) div 86400) AS d"
+    ).first().d
+
+    for fn, n_streams, weight in (
+        (sketch_quantile_kll, _KLL_SHARDS, 4),
+        (sketch_quantile_merge_daily, n_days, 8),
+    ):
+        bound = (3 * n_streams + weight + (4 if weight == 8 else 0)) / n
+        out = fn(spark, sf_dir).collect()
+        assert len(out) == 5
+        worst = max(r.rank_err_frac for r in out)
+        assert worst <= bound, f"{fn.__name__}: {worst} > bound {bound}"
+        # estimates are monotone in q (a total-order sketch cannot invert)
+        by_q = sorted((r.q_pct, r.est_value) for r in out)
+        vals = [v for _, v in by_q]
+        assert vals == sorted(vals)
+        # audit columns are self-consistent: est_rank is a true rank
+        for r in out:
+            assert 1 <= r.est_rank <= n
