@@ -546,8 +546,12 @@ def verification_order(
     # over the window's freshest row) is the quota's deliberate trade.
     window, rest = order[:_DRIVER_WINDOW], order[_DRIVER_WINDOW:]
     green_names = set(greens) & set(QUERIES)
+    # Numerator = touched CATALOG entries, green or not (review r13: a
+    # touched∩green numerator is bounded by the green count, so with
+    # greens ≤ half the catalog an infra-wide touch could never reach a
+    # whole-catalog threshold and the skip silently never fired).
     if green_names and (
-        len(touched & green_names) > _TOUCHED_SATURATION * len(QUERIES)
+        len(touched & set(QUERIES)) > _TOUCHED_SATURATION * len(QUERIES)
     ):
         # Saturated touched signal (infra-wide edit) — see
         # _TOUCHED_SATURATION above: promotion would be noise.

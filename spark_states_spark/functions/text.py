@@ -94,8 +94,6 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- quality scoring -------------------------------------------------------
 
-# Character-class ratios via strip-and-measure; classes are explicit ASCII
-# sets so Java regex and RE2 agree.
 def _guard_decimal_sum(agg: Column, msg: str) -> Column:
     """Fail-loud wrapper for an exact decimal aggregate whose operands are
     provably non-null over non-empty groups: under those preconditions a
@@ -108,6 +106,8 @@ def _guard_decimal_sum(agg: Column, msg: str) -> Column:
     )
 
 
+# Character-class ratios via strip-and-measure; classes are explicit ASCII
+# sets so Java regex and RE2 agree.
 def _ratio(col: Column, keep_class: str) -> Column:
     kept = F.length(F.regexp_replace(col, f"[^{keep_class}]", ""))
     return F.when(

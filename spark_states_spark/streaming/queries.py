@@ -405,7 +405,9 @@ def streaming_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``staged_chunks``, it is deterministic input staging, so bench
     best-of-N re-runs do NOT clear it — every timed run measures a full
     recovery lifecycle, never a memo read (the result is the phase-2
-    sink, which is never memoized).
+    sink, which is never memoized). Re-invoking the entry invalidates a
+    previously returned (uncollected) frame — the same contract as
+    before the memo, when each invocation wiped the prior run dir.
     """
     import os as _os
     import shutil as _shutil
@@ -438,20 +440,32 @@ def streaming_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         query.awaitTermination()
 
     hit = _RESTART_SNAP_MEMO.get(memo_key)
+    if hit is not None and not _os.path.isdir(_os.path.join(hit, "snap_ckpt")):
+        # The memoized dir vanished (explicit staging clear raced us, or
+        # an external /tmp sweep) — treat as a miss rather than restoring
+        # into a ghost path.
+        _RESTART_SNAP_MEMO.pop(memo_key, None)
+        hit = None
     if hit is None:
         # All run dirs live under one parent; stale runs are swept with the
         # shared PID-keyed policy (runner.sweep_stale_dirs): a prior run of
         # THIS process or a dead process is reclaimed, but a concurrent
         # invocation (pytest -n worker, bench racing the driver's sampler)
         # keeps its live src/ckpt/sink — the old wipe-all-siblings sweep
-        # would delete it mid-run and fail nondeterministically.
+        # would delete it mid-run and fail nondeterministically. Dirs still
+        # referenced by LIVE memo entries (another fixture's snapshot in
+        # this same process) are likewise excluded, or an sf0.01→sf0.001→
+        # sf0.01 alternation would restore into a deleted path.
         from .runner import sweep_stale_dirs
 
         parent = _os.path.join(_tempfile.gettempdir(), "sss_restart_runs")
         _os.makedirs(parent, exist_ok=True)
         pid_mine = f"run_pid{_os.getpid()}_"
+        live = {
+            _os.path.basename(d) for d in _RESTART_SNAP_MEMO.values()
+        }
         for old in _os.listdir(parent):
-            if old.startswith(pid_mine):
+            if old.startswith(pid_mine) and old not in live:
                 _shutil.rmtree(_os.path.join(parent, old), ignore_errors=True)
         sweep_stale_dirs(parent)
         run_dir = _tempfile.mkdtemp(prefix=pid_mine, dir=parent)

@@ -374,7 +374,6 @@ def test_touched_saturation_is_fraction_of_catalog_not_greens(monkeypatch):
     not the green set — early in a round (tiny green set) a genuinely
     targeted edit touching 2 of 3 greens is a per-entry signal, not an
     infra-wide sweep, and promotion must still fire."""
-    monkeypatch.setattr(catalog, "_DRIVER_WINDOW", 2)
     monkeypatch.setattr(catalog, "_TOUCHED_QUOTA", 1)
     # 8-entry catalog, only 3 externally green, 2 of those touched by a
     # targeted module edit: 2 > 0.5*3 (old green-denominated guard would
@@ -383,17 +382,20 @@ def test_touched_saturation_is_fraction_of_catalog_not_greens(monkeypatch):
         catalog, "QUERIES", {f"e{r}": None for r in range(1, 9)}
     )
     greens = {"e1": 1, "e2": 2, "e3": 3}
-    order = catalog.verification_order(
-        greens=greens, touched={"e2", "e3"}
-    )
-    # window = [never-verified e4..e8 would rank first...]: with W=2 the
-    # window is two tier-0 rows; tier-0 is undisplaceable, so promotion
-    # finds no green victim and order stays pure — instead check the
-    # promotion path directly with an all-green catalog of 8 where only
-    # 3 are green is impossible; use a window wide enough to hold greens.
     monkeypatch.setattr(catalog, "_DRIVER_WINDOW", 7)
     order = catalog.verification_order(greens=greens, touched={"e2", "e3"})
     # window (7) = 5 tier-0 + 2 greens; pure staleness puts e1, e2 in; the
     # quota promotes the newest-green touched outsider e3 over freshest
     # green window row e2.
     assert "e3" in order[:7]
+    # The numerator counts touched CATALOG entries, green or not (review
+    # r13): an infra-wide touch of all 8 entries must trip the skip even
+    # though touched∩greens (3) never exceeds half the catalog — under
+    # the old touched∩green numerator this skip was unreachable whenever
+    # greens <= half the catalog.
+    order = catalog.verification_order(
+        greens=greens, touched={f"e{r}" for r in range(1, 9)}
+    )
+    tier0 = [n for n in order[:7] if n not in greens]
+    assert len(tier0) == 5  # pure staleness: all tier-0 keep their slots
+    assert order[5:8] == ["e1", "e2", "e3"]  # no promotion reordering

@@ -444,3 +444,29 @@ def test_restart_recovery_phase1_staging_memo(spark, sf_dir_small):
     clear_shared_memos("streaming_restart_recovery", include_staging=True)
     assert not sq._RESTART_SNAP_MEMO
     assert not os.path.exists(run_dir), "cleanup left the run dir behind"
+
+
+def test_restart_recovery_memo_survives_fixture_alternation(
+    spark, sf_dir, sf_dir_small
+):
+    """Review r13: a memo MISS for fixture B must not wipe fixture A's
+    still-memoized run dir (the own-PID sweep predates the memo); the
+    A -> B -> A alternation then hits A's snapshot instead of restoring
+    into a deleted path."""
+    from spark_states_spark.catalog import clear_shared_memos
+    from spark_states_spark.streaming import queries as sq
+
+    clear_shared_memos("streaming_restart_recovery", include_staging=True)
+    rows_a1 = sorted(
+        map(tuple, sq.streaming_restart_recovery(spark, sf_dir_small).collect())
+    )
+    dir_a = next(iter(sq._RESTART_SNAP_MEMO.values()))
+    sq.streaming_restart_recovery(spark, sf_dir).collect()  # miss for B
+    assert os.path.isdir(os.path.join(dir_a, "snap_ckpt")), (
+        "fixture B's miss wiped fixture A's live snapshot dir"
+    )
+    rows_a2 = sorted(
+        map(tuple, sq.streaming_restart_recovery(spark, sf_dir_small).collect())
+    )
+    assert rows_a1 == rows_a2
+    clear_shared_memos("streaming_restart_recovery", include_staging=True)
