@@ -18,6 +18,9 @@ the fifth family, embedding-cosine near-dup, lives in ``similarity.py``:
 - **n-gram Jaccard**: candidates-then-verify — inverted index on rare
   (df ≤ 50) shingle hashes, pairs with ≥ 3 shared rare shingles, exact
   Jaccard via array_intersect on the survivors.
+- **prefix-filtered exact Jaccard**: the zero-recall-loss counterpart —
+  AllPairs/PPJoin prefix + length + positional filters prune candidates
+  with a completeness guarantee instead of a df cap.
 """
 
 from __future__ import annotations
@@ -832,4 +835,203 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "component_size",
             F.col("alpha_ratio").alias("keeper_alpha_ratio"),
         )
+    )
+
+
+# --- Prefix-filtered exact set-similarity self-join (AllPairs/PPJoin) ------
+# The EXACT counterpart of dedup_ngram_jaccard's recall-traded candidate
+# scheme, at a higher bar (trigram-set Jaccard >= 3/5 vs >= 0.3). The
+# threshold is carried as the rational 3/5 so every pruning predicate and
+# the final acceptance test are integer comparisons — no float threshold
+# crosses an engine boundary.
+_PF_TN = 3  # Jaccard threshold numerator
+_PF_TD = 5  # denominator
+
+
+@register(
+    "dedup_prefix_filter_jaccard",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {DUCK_TOKS.format(col='text')} AS toks FROM documents),
+    tl AS (
+      SELECT DISTINCT doc_id, {duck_h60('s')} AS h
+      FROM (SELECT doc_id,
+                   unnest([array_to_string(toks[i + 1 : i + {_SHINGLE_K}], ' ')
+                           for i in range(greatest(len(toks) - {_SHINGLE_K - 1}, 0))]) AS s
+            FROM tok)
+    ),
+    wdf AS (
+      SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS dfc FROM tl
+    ),
+    ordered AS (
+      SELECT doc_id, h,
+             row_number() OVER (PARTITION BY doc_id ORDER BY dfc, h) AS pos,
+             count(*) OVER (PARTITION BY doc_id) AS n
+      FROM wdf
+    ),
+    pref AS (
+      SELECT doc_id, h, pos, n FROM ordered
+      WHERE pos <= n - ({_PF_TN} * n + {_PF_TD - 1}) // {_PF_TD} + 1
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             max(least(a.n - a.pos, b.n - b.pos)) + 1 AS ub,
+             max(a.n) AS n_a, max(b.n) AS n_b
+      FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id
+      WHERE {_PF_TD} * least(a.n, b.n) >= {_PF_TN} * greatest(a.n, b.n)
+      GROUP BY 1, 2
+    ),
+    sets AS (
+      SELECT doc_id, list(h ORDER BY h) AS hs, max(n) AS n
+      FROM ordered GROUP BY 1
+    ),
+    ver AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS n_inter,
+             sa.n AS n_a, sb.n AS n_b
+      FROM (SELECT doc_a, doc_b FROM cand
+            WHERE ({_PF_TD} + {_PF_TN}) * ub >= {_PF_TN} * (n_a + n_b)) c
+      JOIN sets sa ON c.doc_a = sa.doc_id
+      JOIN sets sb ON c.doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b, n_inter,
+           CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+    FROM ver
+    WHERE ({_PF_TD} + {_PF_TN}) * n_inter >= {_PF_TN} * (n_a + n_b)
+    """,
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trigram-set Jaccard >= 3/5 self-join via prefix filtering
+    (SSJoin, Chaudhuri et al. ICDE'06; positional filter from PPJoin,
+    Xiao et al. WWW'08) — zero recall loss, unlike its sibling.
+
+    Contrast with ``dedup_ngram_jaccard`` (the catalog's other exact-verify
+    entry): that one trades recall for bounded index buckets — it drops
+    shingles with df > 50 and pairs with < 3 shared rare shingles, so a
+    pair whose overlap is entirely common shingles is never surfaced.
+    This entry is COMPLETE at its threshold: order each document's shingle
+    set by (global df, hash) — rarest first — and index only the PREFIX
+    (first n - ceil(t*n) + 1 shingles). The AllPairs lemma guarantees any
+    pair with Jaccard >= t shares at least one prefix shingle, so pruning
+    costs no recall. Candidates are then cut twice more, still exactly:
+    the length filter (min(n_a,n_b) >= t*max — J <= min/max) and PPJoin's
+    positional upper bound (a shared prefix shingle at positions
+    (pos_a, pos_b) caps the intersection at min(n_a-pos_a, n_b-pos_b)+1;
+    keep the max bound over shared shingles — still sufficient). Measured
+    on the fixture: the positional filter prunes candidates to EXACTLY the
+    result set at sf0.01 (113 -> 25) and 193k -> 69k at sf0.1.
+
+    Scale shape: the inverted index holds only the rarest ~(1-t)*n + 1
+    shingles per document, so bucket sizes are skew-resistant BY
+    CONSTRUCTION — the global df order puts every document's stop-shingles
+    outside its prefix (the exact failure mode the sibling's df cap
+    guards against, solved here without discarding anything). One
+    shingle-keyed shuffle builds df; the df join is vocabulary-sized on
+    the build side (broadcast / AQE-skew at scale, the text_rarity_score
+    argument); one doc_id exchange serves the ordering window, the size
+    count AND the verify-phase collect_list; the candidate join shuffles
+    prefix rows only. Verification is a JVM array_intersect over the
+    candidate pairs — no per-shingle shuffle. All thresholds are integer
+    predicates: acceptance is (td+tn)*n_inter >= tn*(n_a+n_b).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return prefix_filter_pairs(
+        _exploded_shingle_hashes(d, spark_h60)
+        .withColumnRenamed("s", "h")
+        .distinct()
+    )
+
+
+def prefix_filter_pairs(tl: DataFrame) -> DataFrame:
+    """The AllPairs/PPJoin kernel over a DISTINCT (doc_id, h) element
+    frame — factored so tests can drive it with synthetic sets (the KLL
+    convention). Returns (doc_a, doc_b, n_inter, jaccard) for every pair
+    with set-Jaccard >= _PF_TN/_PF_TD, exactly.
+
+    The global document frequency is a COUNT window over h, not a
+    groupBy-then-join — one h exchange instead of an aggregate exchange
+    plus a join back (and no second pass over the element frame: measured
+    on the join spelling, Catalyst rebuilt the distinct under both
+    branches). Pipeline: one (doc_id, h) distinct, one h window, one
+    doc_id exchange serving the ordering window, the size count and the
+    verify-phase collect_list."""
+    w = W.partitionBy("doc_id")
+    ordered = (
+        tl.withColumn("dfc", F.count("*").over(W.partitionBy("h")))
+        .withColumn("pos", F.row_number().over(w.orderBy("dfc", "h")))
+        .withColumn("n", F.count("*").over(w))
+        .cache()
+    )
+    pref = ordered.filter(
+        F.col("pos")
+        <= F.col("n")
+        - F.expr(f"({_PF_TN} * n + {_PF_TD - 1}) DIV {_PF_TD}")
+        + F.lit(1)
+    )
+    pa = pref.select(
+        F.col("doc_id").alias("doc_a"), "h",
+        F.col("pos").alias("pos_a"), F.col("n").alias("n_a"),
+    )
+    pb = pref.select(
+        F.col("doc_id").alias("doc_b"), "h",
+        F.col("pos").alias("pos_b"), F.col("n").alias("n_b"),
+    )
+    cand = (
+        pa.join(pb, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            _PF_TD * F.least("n_a", "n_b")
+            >= _PF_TN * F.greatest("n_a", "n_b")
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (
+                F.max(
+                    F.least(
+                        F.col("n_a") - F.col("pos_a"),
+                        F.col("n_b") - F.col("pos_b"),
+                    )
+                )
+                + 1
+            ).alias("ub"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
+        .filter(
+            (_PF_TD + _PF_TN) * F.col("ub")
+            >= _PF_TN * (F.col("n_a") + F.col("n_b"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    sets = ordered.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("h")).alias("hs"),
+        F.max("n").alias("n"),
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"), F.col("n").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hs_b"), F.col("n").alias("n_b"),
+    )
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "n_inter",
+            F.size(F.array_intersect("hs_a", "hs_b")).cast("bigint"),
+        )
+        .filter(
+            (_PF_TD + _PF_TN) * F.col("n_inter")
+            >= _PF_TN * (F.col("n_a") + F.col("n_b"))
+        )
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "n_inter",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        ).alias("jaccard"),
     )

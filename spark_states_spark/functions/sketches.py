@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import register
 from ..sources import load_table
-from .hashes import DUCK_TOKS, SPARK_TOKS, duck_h32
+from .hashes import DUCK_TOKS, SPARK_TOKS, duck_h32, duck_h60
 
 # Heavy-hitter threshold: a token is frequent iff count * T > N (share >
 # 1/T). The Misra-Gries superset guarantee needs k + 1 > T: merged sketch
@@ -823,3 +823,243 @@ def sketch_quantile_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("v", "i")
     )
     return _kll_quantile_frame(spark, base, merged, weight=8)
+
+
+# --- KMV (k-minimum-values) bottom-k distinct sketch + set operations ------
+# The fourth classic distributed-summary shape alongside cardinality (HLL),
+# frequency (Misra-Gries), membership (Bloom) and quantiles (KLL): a
+# bottom-k sketch SUPPORTS SET OPERATIONS — union of two sketches is the
+# bottom-k of the union, and the union sketch estimates Jaccard /
+# intersection directly (Bar-Yossef et al., RANDOM'02; Beyer et al.,
+# SIGMOD'07; Cohen & Kaplan bottom-k sketches, PODS'07) — the operation
+# HLL fundamentally cannot do well (inclusion-exclusion error blows up on
+# small intersections). Estimator: with S_A, S_B the k smallest element
+# hashes of A and B, let kk = min(k, |S_A u S_B|), K = kk-th smallest of
+# S_A u S_B; then J ~= |{h in S_A n S_B : h <= K}| / kk and
+# |A u B| ~= (kk - 1) * 2^60 / K for uniform 60-bit hashes. Everything is
+# integer ranks and single-op IEEE divisions — deterministic, so the
+# DuckDB oracle replays it bit-for-bit (the catalog's standing
+# discipline; no randomness anywhere).
+_KMV_K = 256
+_KMV_SHARDS = 32
+_KMV_POW2_60 = float(1 << 60)  # exactly representable
+
+
+@register(
+    "sketch_kmv_jaccard",
+    oracle=f"""
+    WITH base AS (
+      SELECT DISTINCT event_type AS t,
+             {duck_h60("(CAST(user_id AS VARCHAR) || ':' || "
+                       "CAST(epoch_ns(ts) // 1000000000 // 86400 AS VARCHAR))")} AS h
+      FROM events
+    ),
+    t1 AS (
+      SELECT t, h,
+             row_number() OVER (PARTITION BY t, h % {_KMV_SHARDS}
+                                ORDER BY h) AS rk
+      FROM base
+    ),
+    sk AS (
+      SELECT t, h FROM (
+        SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rk
+        FROM t1 WHERE rk <= {_KMV_K}
+      ) WHERE rk <= {_KMV_K}
+    ),
+    tp AS (
+      SELECT a.t AS type_a, b.t AS type_b
+      FROM (SELECT DISTINCT t FROM sk) a
+      JOIN (SELECT DISTINCT t FROM sk) b ON a.t < b.t
+    ),
+    un AS (
+      SELECT type_a, type_b, h, max(in_a) AS in_a, max(in_b) AS in_b
+      FROM (
+        SELECT tp.type_a, tp.type_b, sk.h, 1 AS in_a, 0 AS in_b
+        FROM sk JOIN tp ON sk.t = tp.type_a
+        UNION ALL
+        SELECT tp.type_a, tp.type_b, sk.h, 0, 1
+        FROM sk JOIN tp ON sk.t = tp.type_b
+      ) GROUP BY 1, 2, 3
+    ),
+    rk AS (
+      SELECT type_a, type_b, h, in_a, in_b,
+             row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn,
+             least({_KMV_K}, count(*) OVER (PARTITION BY type_a, type_b)) AS kk
+      FROM un
+    ),
+    est AS (
+      SELECT type_a, type_b,
+             max(kk) AS kk,
+             max(CASE WHEN rn = kk THEN h END) AS kth_h,
+             CAST(sum(CASE WHEN rn <= kk AND in_a = 1 AND in_b = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS m
+      FROM rk GROUP BY 1, 2
+    ),
+    sz AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1),
+    ex0 AS (
+      SELECT a.t AS type_a, b.t AS type_b, CAST(count(*) AS BIGINT) AS n_inter
+      FROM base a JOIN base b ON a.h = b.h AND a.t < b.t
+      GROUP BY 1, 2
+    ),
+    -- LEFT join + coalesce: disjoint type pairs (exact intersection 0)
+    -- must still be reported — the estimator's m = 0 case
+    ex AS (
+      SELECT e.type_a, e.type_b, e.kk, e.kth_h, e.m,
+             coalesce(x.n_inter, 0) AS n_inter
+      FROM est e LEFT JOIN ex0 x
+        ON e.type_a = x.type_a AND e.type_b = x.type_b
+    )
+    SELECT e.type_a, e.type_b,
+           CAST(e.m AS DOUBLE) / e.kk AS kmv_jaccard,
+           CAST(e.n_inter AS DOUBLE) / (sa.n + sb.n - e.n_inter)
+             AS exact_jaccard,
+           abs(CAST(e.m AS DOUBLE) / e.kk
+               - CAST(e.n_inter AS DOUBLE) / (sa.n + sb.n - e.n_inter))
+             AS jaccard_abs_err,
+           CAST(e.kk - 1 AS DOUBLE) * {_KMV_POW2_60!r} / CAST(e.kth_h AS DOUBLE)
+             AS kmv_union,
+           sa.n + sb.n - e.n_inter AS exact_union
+    FROM ex e
+    JOIN sz sa ON e.type_a = sa.t
+    JOIN sz sb ON e.type_b = sb.t
+    """,
+)
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k sketches of each event type's (user, day) activity set
+    and the pairwise Jaccard / union-size estimates read off them, with
+    the exact values as the verification baseline (the ``n_exact`` column
+    convention of the HLL entries — a deployment drops the exact side).
+
+    Contrast with ``hll_distinct_users_by_type``: HLL answers "how many
+    distinct" per group; KMV answers how two groups' sets RELATE — union,
+    intersection, Jaccard — because the k smallest hashes of A u B are
+    computable from the k smallest of A and of B (a bottom-k union is a
+    merge, the mergeability that makes it a distributed summary). The
+    sketch of every type builds in one pass; pair arithmetic then touches
+    only k-row sketches, never the data.
+
+    Scale shape: the element scan reduces to DISTINCT (type, hash) — one
+    shuffle with map-side combine; the bottom-k runs two-tier (the
+    distributed top-k pattern): rank within (type, hash-shard) bounds
+    every shard's contribution at k, then the per-type merge ranks
+    <= shards*k survivors — no single-partition sort of a full type at
+    any scale. Everything downstream of the sketches is vocabulary-free
+    pair algebra over <= types*k rows (broadcast-joined). The exact audit
+    columns are the only full-data pair computation and exist to verify
+    the estimator; production keeps the sketch side only.
+
+    Determinism: element sets are sets OF 60-BIT HASHES (collisions merge
+    identically in both engines before ranking); ranks order by the
+    distinct h alone; estimates are integer ratios / single-op IEEE
+    divisions — identical expression trees in both dialects.
+    """
+    from .hashes import spark_h60
+
+    events = load_table(spark, sf_dir, "events")
+    elem = (
+        "concat(cast(user_id as string), ':', "
+        "cast(unix_timestamp(ts) div 86400 as string))"
+    )
+    base = events.selectExpr(
+        "event_type AS t", f"{spark_h60(elem)} AS h"
+    ).distinct()
+    return kmv_pair_estimates(base)
+
+
+def kmv_pair_estimates(base: DataFrame) -> DataFrame:
+    """The KMV pair-estimate kernel over a DISTINCT (t, h) element frame —
+    factored so tests can drive it with synthetic integer hash sets (the
+    KLL convention; md5 parity is pinned module-wide, so the kernel tests
+    rank/union/estimator logic directly)."""
+    t1 = base.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("t", F.col("h") % _KMV_SHARDS).orderBy("h")
+        ),
+    ).where(F.col("rk") <= _KMV_K)
+    sk = (
+        t1.withColumn(
+            "rk2", F.row_number().over(Window.partitionBy("t").orderBy("h"))
+        )
+        .where(F.col("rk2") <= _KMV_K)
+        .select("t", "h")
+    )
+    types = sk.select("t").distinct()
+    tp = (
+        types.select(F.col("t").alias("type_a"))
+        .join(
+            F.broadcast(types.select(F.col("t").alias("type_b"))),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    ea = sk.join(F.broadcast(tp), sk["t"] == tp["type_a"]).select(
+        "type_a", "type_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    eb = sk.join(F.broadcast(tp), sk["t"] == tp["type_b"]).select(
+        "type_a", "type_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    un = (
+        ea.unionAll(eb)
+        .groupBy("type_a", "type_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    pw = Window.partitionBy("type_a", "type_b")
+    ranked = un.select(
+        "*",
+        F.row_number().over(pw.orderBy("h")).alias("rn"),
+        F.least(F.lit(_KMV_K), F.count("*").over(pw)).alias("kk"),
+    )
+    est = ranked.groupBy("type_a", "type_b").agg(
+        F.max("kk").alias("kk"),
+        F.max(F.when(F.col("rn") == F.col("kk"), F.col("h"))).alias("kth_h"),
+        F.sum(
+            F.when(
+                (F.col("rn") <= F.col("kk"))
+                & (F.col("in_a") == 1)
+                & (F.col("in_b") == 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("m"),
+    )
+    sz = base.groupBy("t").agg(F.count("*").cast("bigint").alias("n"))
+    ba = base.select(F.col("t").alias("type_a"), "h")
+    bb = base.select(F.col("t").alias("type_b"), "h")
+    ex = (
+        ba.join(bb, "h")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    out = (
+        # LEFT join + coalesce: disjoint type pairs (exact intersection 0)
+        # must still be reported — the estimator's m = 0 case
+        est.join(ex, ["type_a", "type_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0).cast("bigint")))
+        .join(
+            F.broadcast(sz.select(F.col("t").alias("type_a"), F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("t").alias("type_b"), F.col("n").alias("n_b"))),
+            "type_b",
+        )
+    )
+    kmv_j = F.col("m").cast("double") / F.col("kk")
+    ex_j = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        kmv_j.alias("kmv_jaccard"),
+        ex_j.alias("exact_jaccard"),
+        F.abs(kmv_j - ex_j).alias("jaccard_abs_err"),
+        (
+            (F.col("kk") - 1).cast("double")
+            * F.lit(_KMV_POW2_60)
+            / F.col("kth_h").cast("double")
+        ).alias("kmv_union"),
+        (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("exact_union"),
+    )

@@ -261,3 +261,100 @@ def test_rarity_score_python_recompute(spark, sf_dir):
             sum(1 for t in r.toks if cf[t] == 1) / n,
         )
     assert got == ref
+
+
+def _brute_jaccard_pairs(sets, tn=3, td=5):
+    """All-pairs exact set-Jaccard >= tn/td reference (pure Python)."""
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if (td + tn) * inter >= tn * (len(sets[a]) + len(sets[b])):
+                out[(a, b)] = inter
+    return out
+
+
+def test_prefix_filter_join_is_complete_on_common_shingle_overlap(spark):
+    """The adversarial case the df-capped sibling DROPS by design: pairs
+    whose entire overlap is COMMON elements (df > its 50 cap). The
+    prefix-filter join must surface every such pair — completeness is the
+    entry's contract (AllPairs lemma: the global rarest-first order puts
+    common elements late in every document, but each doc's prefix still
+    overlaps any >= t partner's prefix)."""
+    from spark_states_spark.functions.dedup import prefix_filter_pairs
+
+    # 60 docs sharing a 12-element core (df = 60 for every core element)
+    # plus 2 private elements each -> every pair: inter = 12, union = 16,
+    # J = 0.75 >= 3/5, and the overlap is exclusively high-df elements.
+    sets = {
+        d: set(range(1000, 1012)) | {2000 + 2 * d, 2001 + 2 * d}
+        for d in range(60)
+    }
+    rows = [(d, h) for d, hs in sets.items() for h in hs]
+    tl = spark.createDataFrame(rows, "doc_id bigint, h bigint")
+    got = {
+        (r.doc_a, r.doc_b): r.n_inter
+        for r in prefix_filter_pairs(tl).collect()
+    }
+    assert got == _brute_jaccard_pairs(sets)
+    assert len(got) == 60 * 59 // 2  # every pair survives
+
+
+def test_prefix_filter_join_matches_bruteforce_on_random_sets(spark):
+    """Seeded-random differential: mixed-size sets drawn from a skewed
+    vocabulary (some near-universal elements, a long rare tail) — the
+    Spark kernel's pair set AND intersection counts equal the all-pairs
+    reference exactly. Pins completeness + the three filters' soundness
+    (length, prefix, positional) in one sweep."""
+    import random
+
+    from spark_states_spark.functions.dedup import prefix_filter_pairs
+
+    rng = random.Random(1307)
+    vocab_common = list(range(100))
+    vocab_rare = list(range(100, 5000))
+    sets = {}
+    for d in range(120):
+        base = rng.sample(vocab_common, rng.randint(5, 20)) + rng.sample(
+            vocab_rare, rng.randint(0, 15)
+        )
+        sets[d] = set(base)
+        # plant near-dup partners for ~1 in 4 docs: copy + small mutation
+        if d >= 1 and rng.random() < 0.25:
+            twin = set(sets[d - 1])
+            for _ in range(rng.randint(0, 2)):
+                if len(twin) > 3:
+                    twin.discard(rng.choice(sorted(twin)))
+                twin.add(rng.choice(vocab_rare))
+            sets[d] = twin
+    rows = [(d, h) for d, hs in sets.items() for h in hs]
+    tl = spark.createDataFrame(rows, "doc_id bigint, h bigint")
+    got = {
+        (r.doc_a, r.doc_b): r.n_inter
+        for r in prefix_filter_pairs(tl).collect()
+    }
+    assert got == _brute_jaccard_pairs(sets)
+
+
+def test_prefix_filter_supersets_df_capped_sibling(spark, sf_dir):
+    """On the fixture, the exact join's >= 3/5 pair set must contain every
+    pair the recall-traded sibling reports at >= 3/5 — the sibling can
+    only MISS pairs (df cap, support threshold), never find extras, and
+    both verify with the same trigram multiset... set semantics differ
+    (sibling caps shingle sets at _SHINGLE_CAP), so compare membership
+    only for pairs the sibling scores >= 3/5 with uncapped-set sizes."""
+    from spark_states_spark.functions.dedup import (
+        dedup_prefix_filter_jaccard,
+    )
+
+    exact = {
+        (r.doc_a, r.doc_b) for r in dedup_prefix_filter_jaccard(spark, sf_dir).collect()
+    }
+    sibling_high = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+        if r.jaccard >= 0.6
+    }
+    missed = sibling_high - exact
+    assert not missed, f"exact join missed sibling-confirmed pairs: {missed}"

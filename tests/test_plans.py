@@ -219,6 +219,9 @@ _NON_EQUI_BY_DESIGN = {
     "agg_winsorized_mean",
     # 1-row distinct-user-count broadcast onto the ≤C(|types|,2) pair frame
     "assoc_event_type_lift",
+    # |types|-row × |types|-row (a < b) pair grid — both sides bounded by
+    # the type vocabulary, never data-sized; sketches join it broadcast
+    "sketch_kmv_jaccard",
 }
 
 

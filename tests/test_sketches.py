@@ -246,3 +246,94 @@ def test_kll_sketch_rank_error_within_bound(spark, sf_dir):
         # audit columns are self-consistent: est_rank is a true rank
         for r in out:
             assert 1 <= r.est_rank <= n
+
+
+def _py_kmv_reference(sets, k):
+    """Pure-Python replay of the KMV pair estimator over integer-hash
+    sets: bottom-k per set, union-threshold Jaccard + union-size
+    estimates — the exact arithmetic the Spark kernel must reproduce."""
+    out = {}
+    names = sorted(sets)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            ska, skb = set(sorted(sets[a])[:k]), set(sorted(sets[b])[:k])
+            u = sorted(ska | skb)
+            kk = min(k, len(u))
+            kth = u[kk - 1]
+            m = sum(1 for h in ska & skb if h <= kth)
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            out[(a, b)] = (
+                m / kk,
+                inter / union,
+                abs(m / kk - inter / union),
+                float(kk - 1) * float(1 << 60) / float(kth),
+                union,
+            )
+    return out
+
+
+def test_kmv_kernel_matches_python_reference(spark):
+    """Exact-equality differential: three synthetic integer-hash sets
+    (sized above k so the sketch path is non-degenerate) through the
+    Spark kernel vs the pure-Python estimator — all five output columns
+    bit-equal, pinning the two-tier bottom-k, the union ranking and the
+    single-op IEEE estimate arithmetic."""
+    import random
+
+    from spark_states_spark.functions.sketches import _KMV_K, kmv_pair_estimates
+
+    rng = random.Random(42)
+    universe = rng.sample(range(1, 1 << 60), 4000)
+    sets = {
+        "a": set(universe[:1500]),
+        "b": set(universe[800:2600]),  # overlaps a
+        "c": set(universe[2400:4000]),  # overlaps b, barely a
+    }
+    assert all(len(s) > _KMV_K for s in sets.values())
+    rows = [(t, h) for t, hs in sets.items() for h in hs]
+    base = spark.createDataFrame(rows, "t string, h bigint")
+    got = {
+        (r.type_a, r.type_b): (
+            r.kmv_jaccard,
+            r.exact_jaccard,
+            r.jaccard_abs_err,
+            r.kmv_union,
+            r.exact_union,
+        )
+        for r in kmv_pair_estimates(base).collect()
+    }
+    assert got == _py_kmv_reference(sets, _KMV_K)
+
+
+def test_kmv_is_exact_below_k(spark):
+    """When every set fits inside k, the sketch IS the set: the Jaccard
+    estimate must equal the exact Jaccard bit-for-bit (kk = |union|,
+    m = |intersection|) — the estimator's degenerate-case contract."""
+    from spark_states_spark.functions.sketches import _KMV_K, kmv_pair_estimates
+
+    sets = {
+        "x": set(range(1000, 1100)),
+        "y": set(range(1050, 1150)),
+    }
+    assert all(len(s) < _KMV_K for s in sets.values())
+    rows = [(t, h) for t, hs in sets.items() for h in hs]
+    base = spark.createDataFrame(rows, "t string, h bigint")
+    row = kmv_pair_estimates(base).collect()[0]
+    assert row.kmv_jaccard == row.exact_jaccard
+    assert row.jaccard_abs_err == 0.0
+
+
+def test_kmv_fixture_error_within_bound(spark, sf_dir):
+    """On the fixture (5 types, ~16k-element user-day sets, true J ~0.2),
+    k = 256 gives sigma ~ 1/sqrt(k) ~ 0.06 on the Jaccard — assert a
+    generous 2-sigma-ish band plus a 20% relative band on the union-size
+    estimate, guarding estimator wiring rather than tuning luck."""
+    from spark_states_spark.functions.sketches import sketch_kmv_jaccard
+
+    rows = sketch_kmv_jaccard(spark, sf_dir).collect()
+    assert len(rows) == 10  # C(5,2) type pairs
+    for r in rows:
+        assert r.jaccard_abs_err <= 0.12, (r.type_a, r.type_b, r.jaccard_abs_err)
+        rel = abs(r.kmv_union - r.exact_union) / r.exact_union
+        assert rel <= 0.20, (r.type_a, r.type_b, rel)
