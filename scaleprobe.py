@@ -76,6 +76,11 @@ PROBE_ENTRIES = [
     "q1_pricing_summary",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
+    # r13: the exact prefix-filtered sibling — replicas rewrite every
+    # token per copy, so cross-copy Jaccard is 0 and output scales
+    # linearly; candidate pressure (the quadratic term prefix filtering
+    # exists to bound) grows within-copy only.
+    "dedup_prefix_filter_jaccard",
     "dedup_cluster_connected_components",
     "streaming_hourly_agg_update",
     "streaming_funnel_stages",
