@@ -846,6 +846,12 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # crosses an engine boundary.
 _PF_TN = 3  # Jaccard threshold numerator
 _PF_TD = 5  # denominator
+# Fail-loud bound on a single document's distinct-shingle count: the
+# verify phase carries full (uncapped — exactness) per-doc arrays, so a
+# pathological multi-million-shingle document would replicate multi-MB
+# rows into every candidate pair. 256k shingles ~ 2 MB/row, far above any
+# length-gated corpus document and far below executor trouble.
+_PF_SET_GUARD = 262_144
 
 
 @register(
@@ -881,7 +887,11 @@ _PF_TD = 5  # denominator
       GROUP BY 1, 2
     ),
     sets AS (
-      SELECT doc_id, list(h ORDER BY h) AS hs, max(n) AS n
+      SELECT doc_id, list(h ORDER BY h) AS hs,
+             CASE WHEN max(n) > {_PF_SET_GUARD} OR max(n) IS NULL
+                  THEN CAST(error('prefix_filter_pairs: document shingle '
+                                  'set exceeds {_PF_SET_GUARD}') AS BIGINT)
+                  ELSE max(n) END AS n
       FROM ordered GROUP BY 1
     ),
     ver AS (
@@ -1002,9 +1012,26 @@ def prefix_filter_pairs(tl: DataFrame) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
+    # The verify-phase set arrays are deliberately UNCAPPED — exactness is
+    # the entry's contract, so the sibling's _SHINGLE_CAP bottom-k is not
+    # available here. The row size is bounded by document length (shingles
+    # <= tokens), which production corpora bound upstream (the curation
+    # pipeline's length gates); the guard below turns the residual
+    # pathological-document case (a single doc whose set would replicate
+    # multi-MB arrays into every candidate row) from a silent executor OOM
+    # into a loud error naming the bound, the 1e9 pack-guard discipline.
     sets = ordered.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("h")).alias("hs"),
-        F.max("n").alias("n"),
+        F.coalesce(
+            F.assert_true(
+                F.max("n") <= _PF_SET_GUARD,
+                F.lit(
+                    "prefix_filter_pairs: document shingle set exceeds "
+                    f"{_PF_SET_GUARD} — cap document length upstream"
+                ),
+            ).cast("bigint"),
+            F.max("n"),
+        ).alias("n"),
     )
     sa = sets.select(
         F.col("doc_id").alias("doc_a"),

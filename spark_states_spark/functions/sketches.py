@@ -970,7 +970,12 @@ def kmv_pair_estimates(base: DataFrame) -> DataFrame:
     """The KMV pair-estimate kernel over a DISTINCT (t, h) element frame —
     factored so tests can drive it with synthetic integer hash sets (the
     KLL convention; md5 parity is pinned module-wide, so the kernel tests
-    rank/union/estimator logic directly)."""
+    rank/union/estimator logic directly).
+
+    ``base`` is cached: the hash+distinct frame feeds four subtrees (the
+    sketch ranks, the per-type sizes, and both sides of the exact
+    intersection join) — the dedup module's reused-distinct convention."""
+    base = base.cache()
     t1 = base.withColumn(
         "rk",
         F.row_number().over(

@@ -340,12 +340,32 @@ def test_prefix_filter_join_matches_bruteforce_on_random_sets(spark):
 def test_prefix_filter_supersets_df_capped_sibling(spark, sf_dir):
     """On the fixture, the exact join's >= 3/5 pair set must contain every
     pair the recall-traded sibling reports at >= 3/5 — the sibling can
-    only MISS pairs (df cap, support threshold), never find extras, and
-    both verify with the same trigram multiset... set semantics differ
-    (sibling caps shingle sets at _SHINGLE_CAP), so compare membership
-    only for pairs the sibling scores >= 3/5 with uncapped-set sizes."""
+    only MISS pairs (df cap, support threshold), never find extras.
+
+    PREMISE: this holds only while every fixture document's shingle set
+    fits _SHINGLE_CAP — past the cap the sibling's jaccard is a bottom-k
+    ESTIMATE that can over-score a pair above 3/5 whose true Jaccard is
+    below it. The premise is asserted first so a fixture change fails
+    loudly here instead of as a spurious superset miss."""
     from spark_states_spark.functions.dedup import (
+        _SHINGLE_CAP,
+        _exploded_shingle_hashes,
         dedup_prefix_filter_jaccard,
+        spark_h60,
+    )
+    from spark_states_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    max_set = (
+        _exploded_shingle_hashes(docs, spark_h60)
+        .distinct()
+        .groupBy("doc_id")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_set < _SHINGLE_CAP, (
+        f"fixture breaks the capped == uncapped premise ({max_set})"
     )
 
     exact = {
@@ -358,3 +378,21 @@ def test_prefix_filter_supersets_df_capped_sibling(spark, sf_dir):
     }
     missed = sibling_high - exact
     assert not missed, f"exact join missed sibling-confirmed pairs: {missed}"
+
+
+def test_prefix_filter_set_guard_fires_loudly(spark):
+    """A document whose distinct-shingle set exceeds _PF_SET_GUARD must
+    raise (both dialects carry the guard), never silently build the
+    multi-MB verify arrays — the 1e9 pack-guard discipline."""
+    import pytest as _pytest
+
+    from spark_states_spark.functions.dedup import (
+        _PF_SET_GUARD,
+        prefix_filter_pairs,
+    )
+
+    tl = spark.range(_PF_SET_GUARD + 1).selectExpr(
+        "CAST(0 AS BIGINT) AS doc_id", "id AS h"
+    )
+    with _pytest.raises(Exception, match="shingle set exceeds"):
+        prefix_filter_pairs(tl).collect()
