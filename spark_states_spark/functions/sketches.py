@@ -854,17 +854,21 @@ _KMV_POW2_60 = float(1 << 60)  # exactly representable
                        "CAST(epoch_ns(ts) // 1000000000 // 86400 AS VARCHAR))")} AS h
       FROM events
     ),
+    -- Distinct rank names per tier (ADVICE r13): the shard rank and the
+    -- per-type rank must not share a name, or the inner WHERE's binding
+    -- (t1's column vs the same-named row_number alias) rests on the
+    -- engine's shadowing rules instead of being spelled out.
     t1 AS (
       SELECT t, h,
              row_number() OVER (PARTITION BY t, h % {_KMV_SHARDS}
-                                ORDER BY h) AS rk
+                                ORDER BY h) AS rk_shard
       FROM base
     ),
     sk AS (
       SELECT t, h FROM (
-        SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rk
-        FROM t1 WHERE rk <= {_KMV_K}
-      ) WHERE rk <= {_KMV_K}
+        SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rk_type
+        FROM t1 WHERE rk_shard <= {_KMV_K}
+      ) WHERE rk_type <= {_KMV_K}
     ),
     tp AS (
       SELECT a.t AS type_a, b.t AS type_b
@@ -916,8 +920,18 @@ _KMV_POW2_60 = float(1 << 60)  # exactly representable
            abs(CAST(e.m AS DOUBLE) / e.kk
                - CAST(e.n_inter AS DOUBLE) / (sa.n + sb.n - e.n_inter))
              AS jaccard_abs_err,
-           CAST(e.kk - 1 AS DOUBLE) * {_KMV_POW2_60!r} / CAST(e.kth_h AS DOUBLE)
-             AS kmv_union,
+           -- Fail-loud zero guard (ADVICE r13): a 60-bit hash of 0 is
+           -- representable, and kk=1 with that single hash would divide
+           -- by zero — both engines would emit Infinity, a silent
+           -- nonsense estimate. The IS NULL disjunct mirrors the
+           -- _PACK_GUARD convention (Spark's otherwise-raise fires on
+           -- NULL; a bare CASE would fall through silently).
+           CASE WHEN e.kth_h IS NULL OR e.kth_h <= 0
+                THEN error('KMV union estimator: kth union hash <= 0 '
+                           || '(degenerate kk=1 sketch) — estimate undefined')
+                ELSE CAST(e.kk - 1 AS DOUBLE) * {_KMV_POW2_60!r}
+                     / CAST(e.kth_h AS DOUBLE)
+           END AS kmv_union,
            sa.n + sb.n - e.n_inter AS exact_union
     FROM ex e
     JOIN sz sa ON e.type_a = sa.t
@@ -1061,10 +1075,23 @@ def kmv_pair_estimates(base: DataFrame) -> DataFrame:
         kmv_j.alias("kmv_jaccard"),
         ex_j.alias("exact_jaccard"),
         F.abs(kmv_j - ex_j).alias("jaccard_abs_err"),
-        (
+        # Fail-loud zero guard (ADVICE r13) — see the oracle's CASE:
+        # kth_h <= 0 (degenerate kk=1 sketch whose one hash is 0) would
+        # divide by zero into a silent Infinity estimate in both engines.
+        # F.when's otherwise-raise also fires when kth_h is NULL, matching
+        # the oracle's IS NULL disjunct.
+        F.when(
+            F.col("kth_h") > 0,
             (F.col("kk") - 1).cast("double")
             * F.lit(_KMV_POW2_60)
-            / F.col("kth_h").cast("double")
-        ).alias("kmv_union"),
+            / F.col("kth_h").cast("double"),
+        )
+        .otherwise(
+            F.raise_error(
+                "KMV union estimator: kth union hash <= 0 (degenerate "
+                "kk=1 sketch) — estimate undefined"
+            )
+        )
+        .alias("kmv_union"),
         (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("exact_union"),
     )

@@ -440,10 +440,16 @@ def streaming_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         query.awaitTermination()
 
     hit = _RESTART_SNAP_MEMO.get(memo_key)
-    if hit is not None and not _os.path.isdir(_os.path.join(hit, "snap_ckpt")):
+    if hit is not None and not (
+        _os.path.isdir(_os.path.join(hit, "snap_ckpt"))
+        and _os.path.isdir(_os.path.join(hit, "snap_sink"))
+    ):
         # The memoized dir vanished (explicit staging clear raced us, or
         # an external /tmp sweep) — treat as a miss rather than restoring
-        # into a ghost path.
+        # into a ghost path. Both snapshots are checked (ADVICE r13): a
+        # partial sweep that took snap_sink but left snap_ckpt would
+        # otherwise pass the hit check and raise inside the restore
+        # copytree instead of degrading to a miss like this path.
         _RESTART_SNAP_MEMO.pop(memo_key, None)
         hit = None
     if hit is None:
@@ -461,6 +467,19 @@ def streaming_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         parent = _os.path.join(_tempfile.gettempdir(), "sss_restart_runs")
         _os.makedirs(parent, exist_ok=True)
         pid_mine = f"run_pid{_os.getpid()}_"
+        # Evict memo entries from DEAD sessions of this process (ADVICE
+        # r13): the memo key includes applicationId, so after an
+        # in-process Spark restart the old session's run dir would stay
+        # pinned in the live set for the process lifetime — bounded but
+        # unreclaimed. Evicting here (the miss path) frees the old dirs
+        # before the live-set exclusion below is computed.
+        app_id = spark.sparkContext.applicationId
+        for stale_key in [
+            k for k in _RESTART_SNAP_MEMO if k[0] != app_id
+        ]:
+            _shutil.rmtree(
+                _RESTART_SNAP_MEMO.pop(stale_key), ignore_errors=True
+            )
         live = {
             _os.path.basename(d) for d in _RESTART_SNAP_MEMO.values()
         }
