@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import register
-from ..sources import load_table
+from ..sources import load_table, load_table_fanned
 from .hashes import (
     DUCK_TOKS,
     MINHASH_P,
@@ -137,7 +137,7 @@ def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``min`` is duplicate-insensitive, so the signature is identical to
     the distinct-shingle-set definition the oracle computes.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_fanned(spark, sf_dir, "documents", key="doc_id")
     ex = _exploded_shingle_hashes(d, spark_h32).withColumnRenamed("s", "h")
     mins = [
         F.expr(f"min(({PERM_A[j]}L * h + {PERM_B[j]}L) % {MINHASH_P})").alias(f"m{j}")
@@ -366,7 +366,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     surfaced — the documented candidate-recall trade of df-capped,
     support-thresholded dedup; the oracle applies the identical rule.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_fanned(spark, sf_dir, "documents", key="doc_id")
     ex = _exploded_shingle_hashes(d, spark_h60).distinct().cache()
     # Bottom-k cap BEFORE collect_list so a pathological document never
     # materializes an unbounded array row (_SHINGLE_CAP rationale above).
@@ -943,7 +943,7 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs — no per-shingle shuffle. All thresholds are integer
     predicates: acceptance is (td+tn)*n_inter >= tn*(n_a+n_b).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_fanned(spark, sf_dir, "documents", key="doc_id")
     return prefix_filter_pairs(
         _exploded_shingle_hashes(d, spark_h60)
         .withColumnRenamed("s", "h")

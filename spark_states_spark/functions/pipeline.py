@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import register
-from ..sources import load_table
+from ..sources import load_table, load_table_fanned
 from .hashes import (
     DUCK_TOKS,
     SPARK_TOKS,
@@ -83,7 +83,7 @@ def pack_token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     anyway. One shuffle on the bucket key, then the per-bin GROUP BY
     reuses the same partitioning (no second exchange).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_fanned(spark, sf_dir, "documents", key="doc_id")
     toks = SPARK_TOKS.format(col="text")
     per_doc = d.selectExpr(
         "doc_id",
@@ -230,7 +230,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py policy); at 100 TB you would `broadcast()` the
     real, size-bounded benchmark gram set explicitly.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_fanned(spark, sf_dir, "documents", key="doc_id")
     toks = SPARK_TOKS.format(col="text")
     idx = (
         f"explode(CASE WHEN size(toks) >= {_CONTAM_K} "
@@ -303,7 +303,7 @@ def dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded-span shuffle. Docs shorter than {_SPAN_K} tokens contribute no
     spans and drop out in both engines.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_fanned(spark, sf_dir, "documents", key="doc_id")
     toks = SPARK_TOKS.format(col="text")
     idx = (
         f"explode(CASE WHEN size(toks) >= {_SPAN_K} "

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import register
-from ..sources import load_table
+from ..sources import load_table, load_table_fanned
 from .hashes import hyperplane_weights
 
 _N_QUERIES = 8  # vec_id < 8 are the query vectors
@@ -67,7 +67,7 @@ def _duck_norm(v: str) -> str:
 )
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast queries × one corpus scan."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table_fanned(spark, sf_dir, "embeddings", key="vec_id")
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -170,7 +170,7 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is pre-partitioned by bucket); only candidates get the exact
     cosine, and DISTINCT dedups multi-table hits before re-ranking.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table_fanned(spark, sf_dir, "embeddings", key="vec_id")
     bucketed = e.selectExpr(
         "vec_id", "embedding", f"explode({_spark_buckets()}) AS bucket"
     )
@@ -544,7 +544,7 @@ def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the same arithmetic, so results (including rank order) are
     verified bit-for-bit.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table_fanned(spark, sf_dir, "embeddings", key="vec_id")
     mx = _spark_absmax("embedding")
     qv = (
         f"transform(embedding, x -> "
@@ -642,7 +642,7 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     would let float ties flip assignments); means are order-free integer
     sums of floor-quantized components, divided once.
     """
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = load_table_fanned(spark, sf_dir, "embeddings", key="vec_id").select("vec_id", "embedding")
     cents = e.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
     )

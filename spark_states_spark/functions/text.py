@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import register
-from ..sources import load_table
+from ..sources import load_table, load_table_fanned
 from .hashes import DUCK_TOKS, SPARK_TOKS, duck_h32, duck_h60, spark_h32, spark_h60
 
 # Tokenizer: lowercase, strip everything but [a-z0-9] to spaces, split.
@@ -70,7 +70,7 @@ _BPE_ISH = "[a-z]+|[0-9]|[^a-z0-9\\s]"
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace words + BPE-ish subword pieces) and
     type-token ratio (lexical diversity) per document."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_fanned(spark, sf_dir, "documents", key="doc_id")
     toks = tokens_col(F.col("text"))
     d = d.withColumn("toks", toks)
     return d.select(
@@ -151,7 +151,7 @@ _STOPWORDS_EN = (
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality signals: character-class ratios, token length,
     stopword density — the standard cheap filters of a pretraining pipeline."""
-    d = load_table(spark, sf_dir, "documents").withColumn(
+    d = load_table_fanned(spark, sf_dir, "documents", key="doc_id").withColumn(
         "toks", tokens_col(F.col("text"))
     )
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS_EN])
@@ -218,7 +218,7 @@ _STOPLISTS = {
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram-free language ID: stopword-profile argmax + CJK by alpha ratio."""
-    d = load_table(spark, sf_dir, "documents").withColumn(
+    d = load_table_fanned(spark, sf_dir, "documents", key="doc_id").withColumn(
         "toks", tokens_col(F.col("text"))
     )
 
@@ -278,7 +278,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hashes.py) — the operator shape (normalize → k-gram → min) is the
     same.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_fanned(spark, sf_dir, "documents", key="doc_id")
     norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
     gram_hash = spark_h32("substring(n, i + 1, 8)")
     return d.selectExpr("doc_id", f"{norm} AS n").selectExpr(
@@ -400,7 +400,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the df side is broadcastable) + one per-doc window. No Python,
     no driver loop.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_fanned(spark, sf_dir, "documents", key="doc_id")
     tok = d.select("doc_id", tokens_col(F.col("text")).alias("toks")).filter(
         F.size("toks") > 0
     )
@@ -461,7 +461,7 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``s + overlap < n_tokens``), the standard de-duplication rule for
     strided chunkers.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_fanned(spark, sf_dir, "documents", key="doc_id")
     return (
         d.select("doc_id", tokens_col(F.col("text")).alias("toks"))
         .filter(F.size("toks") > 0)
@@ -522,7 +522,7 @@ def sample_balanced_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window as W
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_fanned(spark, sf_dir, "documents", key="doc_id")
     target = (
         d.groupBy("lang")
         .agg(F.count("*").alias("n"))
@@ -596,7 +596,7 @@ def text_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     with any downstream op without a shuffle (the standard first stage of
     a training-data curation pipeline, before the expensive dedup).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_fanned(spark, sf_dir, "documents", key="doc_id")
     toks = tokens_col(F.col("text"))
     m = d.select("doc_id", toks.alias("toks")).select(
         "doc_id",
@@ -680,7 +680,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, gram) then doc_id, so the data shuffles once on doc_id — and
     AQE coalesces the tiny post-agg partitions.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_fanned(spark, sf_dir, "documents", key="doc_id")
     base = d.select("doc_id", "text", tokens_col(F.col("text")).alias("toks"))
     lines = base.withColumn(
         "ls",
@@ -765,7 +765,7 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window as W
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_fanned(spark, sf_dir, "documents", key="doc_id")
     cnt = (
         d.select(F.explode(tokens_col(F.col("text"))).alias("token"))
         .groupBy("token")
@@ -843,7 +843,7 @@ def text_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     document in the bigram count k; no per-gram state leaves the row, so
     document length never creates cross-task skew.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table_fanned(spark, sf_dir, "documents", key="doc_id")
     g = (
         d.select("doc_id", tokens_col(F.col("text")).alias("t"))
         .where(F.size("t") >= 2)

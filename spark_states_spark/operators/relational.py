@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import register
-from ..sources import load_table
+from ..sources import load_table, load_table_fanned
 from .exact import davg, dec2, dsum, rate, sql_davg, sql_dec2, sql_dsum, sql_rate
 
 _DISC_PRICE_SQL = f"{sql_dec2('l_extendedprice')} * {sql_rate('1.0 - l_discount')}"
@@ -60,7 +60,7 @@ def _disc_price():
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 — wide aggregation with map-side partial agg before shuffle."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_fanned(spark, sf_dir, "lineitem", key="l_orderkey")
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
@@ -103,7 +103,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < "1997-03-15"
     )
-    li = load_table(spark, sf_dir, "lineitem").filter(
+    li = load_table_fanned(spark, sf_dir, "lineitem", key="l_orderkey").filter(
         F.col("l_shipdate") > "1997-03-15"
     )
     return (
@@ -465,7 +465,7 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 — pure scan-side query: every predicate pushes to parquet,
     no shuffle at all (single global agg), the canonical pushdown probe."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_fanned(spark, sf_dir, "lineitem", key="l_orderkey")
     return (
         li.filter(
             (F.col("l_shipdate") >= "1996-01-01")
@@ -595,7 +595,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 — large-volume orders. The HAVING collapses lineitem to a
     tiny keyset before any join: aggregate first, join the survivors."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table_fanned(spark, sf_dir, "lineitem", key="l_orderkey")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     big = (

@@ -2,6 +2,7 @@ from .tables import (
     TABLES,
     chunked_stream,
     load_table,
+    load_table_fanned,
     load_tables,
     read_stream,
     staged_chunks,
@@ -13,6 +14,7 @@ __all__ = [
     "TABLES",
     "chunked_stream",
     "load_table",
+    "load_table_fanned",
     "load_tables",
     "read_stream",
     "staged_chunks",

@@ -84,6 +84,85 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Fan-out sizing: target one task per ~this many rows, capped at the
+# session's core count. Small because the call sites are the CPU-heavy
+# per-row operators (md5 over every k-gram position, stoplist scans,
+# dense-vector dot products) where even a few dozen rows per task amortize
+# the scheduling overhead many times over.
+_FANOUT_ROWS_PER_TASK = 32
+
+
+def parquet_split_count(path: str, cap: int = 1 << 10) -> int:
+    """Parquet's NATIVE parallelism floor for ``path``: the number of row
+    groups (a row group is the smallest schedulable scan split — a
+    single-row-group file yields one non-empty task no matter how
+    ``maxPartitionBytes``/``openCostInBytes`` slice it). For a directory,
+    sums across part files, short-circuiting at ``cap`` so a large staged
+    replica never pays a full metadata sweep just to learn it is already
+    parallel enough."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        total = 0
+        for f in os.listdir(path):
+            if f.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(path, f)).num_row_groups
+                if total >= cap:
+                    return total
+        return total
+    return pq.read_metadata(path).num_row_groups
+
+
+def load_table_fanned(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    key: str | None = None,
+    rows_per_task: int = _FANOUT_ROWS_PER_TASK,
+) -> DataFrame:
+    """``load_table`` plus a scale-adaptive map-side fan-out for
+    compute-bound operators (optimization guide §2.6/§8: the per-task work
+    is the bottleneck, not the bytes).
+
+    The driver's fixtures are single-row-group parquet files, so every scan
+    plans ONE non-empty task and per-row-heavy expression work (md5 per
+    k-gram position, regex passes, per-row dot products) runs serially on a
+    32-core box. When — and only when — the source's native split count is
+    below what the row count warrants, repartition to
+    ``min(cores, rows / rows_per_task)``:
+
+    - ``key`` given: hash-partition on it. Downstream groupBy/window on the
+      same key then satisfies its ClusteredDistribution from this exchange
+      (no second shuffle), and hash partitioning skips round-robin's
+      sort-before-repartition pass.
+    - no ``key``: round-robin (pure projections with no downstream shuffle).
+
+    At production scale this is a structural NO-OP: a 100 TB table has
+    orders of magnitude more row groups than cores, so the metadata check
+    short-circuits and no exchange is added. The knob is the generic
+    parallelism floor, not a local[32] constant — ``defaultParallelism``
+    is executor cores on a real cluster. Adds one parquet-footer metadata
+    read (no Spark job); results are row-identical (the driver's compare is
+    order-insensitive; every ordered operator downstream declares its own
+    ordering)."""
+    df = load_table(spark, sf_dir, name)
+    cores = spark.sparkContext.defaultParallelism
+    path = table_path(sf_dir, name)
+    try:
+        n_rows = parquet_row_count(path)
+        native = parquet_split_count(path, cap=cores)
+    except Exception:
+        return df  # unreadable metadata — never fail the query for a hint
+    target = min(cores, max(1, n_rows // rows_per_task))
+    if native >= target or target <= 1:
+        return df
+    if key is not None:
+        from pyspark.sql import functions as F
+
+        return df.repartition(target, F.col(key))
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
