@@ -34,6 +34,13 @@ def _ensure_conf(spark: SparkSession) -> None:
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
             "true",
         )
+        # Commit-speed default (r14, see session.py): row-count tracking
+        # costs an extra RocksDB point lookup per put/delete purely for the
+        # numRowsTotal observability counter; results are unaffected.
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+            "false",
+        )
     except Exception:
         pass  # non-modifiable at runtime in some harnesses; fine for batch
 

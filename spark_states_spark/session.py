@@ -61,6 +61,22 @@ def use_rocksdb_state_store(builder: SparkSession.Builder) -> SparkSession.Build
         .config("spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB", "64")
         .config("spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber", "3")
         .config("spark.sql.streaming.stateStore.rocksdb.compression", "lz4")
+        # Row-count tracking OFF by default (optimization r14): with it on,
+        # every put/delete pays an extra RocksDB point lookup solely to
+        # maintain the numRowsTotal/numRowsRemoved observability counters —
+        # Spark's own structured-streaming docs call this out as the knob
+        # for write-heavy state. Measured on this harness: state commit is
+        # >50% of a chunked drain's wall, and disabling tracking cuts
+        # 10-25% off every stateful entry (hourly update 4.72→4.27 s,
+        # strict TTL 2.65→1.98 s, session append 3.30→2.94 s at sf0.1,
+        # interleaved best-of-3). Query RESULTS are unaffected — eviction
+        # still happens; only the counters read -1. Metric consumers
+        # (streaming.metrics facade, the eviction-metric tests) opt back
+        # in per-session/per-test with this conf set to "true".
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+            "false",
+        )
     )
 
 

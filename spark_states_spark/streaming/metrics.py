@@ -6,6 +6,12 @@ Parity with the reference's ``StateStore.metrics`` surface
 modern Spark actually reports: ``StreamingQuery.lastProgress
 ["stateOperators"]`` carries real per-operator state metrics from the
 RocksDB provider.
+
+Note (r14): the engine session disables RocksDB row-count tracking by
+default for commit speed (session.py) — with it off, ``numRowsTotal``
+reads -1. Sessions that consume these counters set
+``spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows=true``
+(runtime-settable; read at query start).
 """
 
 from __future__ import annotations

@@ -26,18 +26,26 @@ def test_rocksdb_provider_is_active(spark):
 def test_state_metrics_from_streaming_agg(spark, sf_dir_small, tmp_path):
     """lastProgress exposes state rows/memory for a stateful query —
     the engine's answer to StateStore.metrics (Provider.scala:282-283)."""
-    events = read_stream(spark, sf_dir_small, "events")
-    agg = events.groupBy("event_type").count()
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(f"m_{uuid.uuid4().hex[:8]}")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    ms = state_metrics(q)
+    # num_rows_total needs the row-count tracking the engine session turns
+    # off by default for commit speed (session.py, r14) — opt back in.
+    track = "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+    saved_track = spark.conf.get(track)
+    spark.conf.set(track, "true")
+    try:
+        events = read_stream(spark, sf_dir_small, "events")
+        agg = events.groupBy("event_type").count()
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(f"m_{uuid.uuid4().hex[:8]}")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        ms = state_metrics(q)
+    finally:
+        spark.conf.set(track, saved_track)
     assert ms, "no state operators reported"
     assert ms[0].num_rows_total > 0
     assert ms[0].memory_used_bytes > 0

@@ -7,6 +7,22 @@ must not."""
 
 from pyspark.sql import functions as F
 
+import pytest
+
+_TRACK = "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+
+
+@pytest.fixture(autouse=True)
+def _row_count_metrics(spark):
+    """These tests assert on numRowsTotal/numRowsRemoved, which the engine
+    session disables by default for commit speed (session.py, r14): opt the
+    counters back in for the duration of each test here."""
+    saved = spark.conf.get(_TRACK)
+    spark.conf.set(_TRACK, "true")
+    yield
+    spark.conf.set(_TRACK, saved)
+
+
 from spark_states_spark.sources import chunked_stream
 from spark_states_spark.streaming.runner import run_stream_to_table
 from spark_states_spark.streaming.windows import windowed_counts

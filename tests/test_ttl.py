@@ -277,6 +277,12 @@ def test_wallclock_timeout_fires_without_traffic(spark, tmp_path):
     """
     from spark_states_spark.streaming.ttl import ttl_kv_ops_wallclock
 
+    # Phase 2 below polls numRowsTotal, which the engine session disables
+    # by default for commit speed (session.py, r14) — opt back in here.
+    track = "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+    saved_track = spark.conf.get(track)
+    spark.conf.set(track, "true")
+
     src = _write_batches(tmp_path, [[("a", "put", 7, 0), ("a", "get", None, 0)]])
     stream = (
         spark.readStream.schema(OPS_SCHEMA)
@@ -338,6 +344,7 @@ def test_wallclock_timeout_fires_without_traffic(spark, tmp_path):
         )
     finally:
         q.stop()
+        spark.conf.set(track, saved_track)
 
 
 def test_per_query_ttl_registry():
