@@ -462,9 +462,12 @@ def streaming_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         # referenced by LIVE memo entries (another fixture's snapshot in
         # this same process) are likewise excluded, or an sf0.01→sf0.001→
         # sf0.01 alternation would restore into a deleted path.
-        from .runner import sweep_stale_dirs
+        from .runner import ephemeral_root, sweep_stale_dirs
 
-        parent = _os.path.join(_tempfile.gettempdir(), "sss_restart_runs")
+        # Throwaway same-process run dirs (src/ckpt/sink + staging
+        # snapshots): RAM-backed when available, same contract and
+        # rationale as runner.ephemeral_root (r14).
+        parent = _os.path.join(ephemeral_root(), "sss_restart_runs")
         _os.makedirs(parent, exist_ok=True)
         pid_mine = f"run_pid{_os.getpid()}_"
         # Evict memo entries from DEAD sessions of this process (ADVICE
