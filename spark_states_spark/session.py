@@ -112,6 +112,20 @@ def build_session(
     builder = builder.config(
         "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     )
+    # Scratch space (shuffle files, RocksDB working dirs) on the fastest
+    # local storage available (optimization r14, guide §2.1: local disk
+    # bandwidth can be the shuffle's tighter limit). On this harness /tmp
+    # is disk-backed ext4 while the box has 128 GiB RAM, so a RAM-backed
+    # scratch dir is the local equivalent of the NVMe scratch volumes a
+    # production cluster mounts for spark.local.dir. Data here is MBs —
+    # far below any RAM-pressure concern; a real deployment sets its own
+    # spark.local.dir per node. Env-overridable; static conf, so it only
+    # applies when this process launches the JVM.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/sss_spark_local"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     if rocksdb_state:
         builder = use_rocksdb_state_store(builder)
     for k, v in (extra_conf or {}).items():
