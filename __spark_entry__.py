@@ -25,10 +25,6 @@ def _ensure_conf(spark: SparkSession) -> None:
     """Session confs the engine needs regardless of who built the session."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Planner may choose shuffled-hash join where its size conditions hold
-    # (r14, see session.py) — a strategy preference, not a hint; results
-    # are join-semantics-identical.
-    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     try:
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass",

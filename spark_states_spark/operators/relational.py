@@ -465,7 +465,7 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 — pure scan-side query: every predicate pushes to parquet,
     no shuffle at all (single global agg), the canonical pushdown probe."""
-    li = load_table_fanned(spark, sf_dir, "lineitem", key="l_orderkey")
+    li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(
             (F.col("l_shipdate") >= "1996-01-01")

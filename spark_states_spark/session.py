@@ -30,15 +30,6 @@ _LOCAL_DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Let the planner pick shuffled-hash join where its size conditions
-    # hold instead of always sort-merge (optimization guide §3.1/§9): SHJ
-    # skips both sort passes. Interleaved best-of-3 at sf0.1: 9 of 12
-    # join-heavy entries faster (q18 0.84→0.59 s, exact_median_by_group
-    # 1.26→0.88 s, range_band_join 0.98→0.78 s), two flat, one (q5)
-    # −0.15 s. Still a planner CHOICE guarded by its per-partition
-    # build-size conditions — not a forced hint — so at 100 TB oversized
-    # builds fall back to sort-merge exactly as before.
-    "spark.sql.join.preferSortMergeJoin": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
