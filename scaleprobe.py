@@ -321,12 +321,29 @@ _KV_SINK_TIER_NOTE = (
     "LocalTableScan -> FileScan — the documented scale tier activating; "
     "sink equivalence is value-pinned in test_streaming_modes"
 )
+_FANOUT_TIER_NOTE = (
+    "scale-adaptive scan fan-out (sources/tables.py::load_table_fanned, "
+    "r14): when the source's native split count (parquet row groups) is "
+    "below min(cores, rows/32) — true for the single-row-group fixture "
+    "and small replicas — a keyed repartition parallelizes the "
+    "compute-bound map side; once a replica carries enough part files "
+    "(~cores), the helper structurally no-ops and the Exchange vanishes "
+    "— the documented no-op-at-scale contract activating "
+    "(tests/test_fanout.py pins it)"
+)
 ADAPTIVE_PLAN_ENTRIES = {
     "dedup_minhash_lsh_pairs": (
         "two-tier salted_pair_join (functions/skew.py): past "
         "_BAND_BUCKET_CAP the hot-bucket probe pre-pass runs and the "
         "signature table is cached — the documented scale tier activating"
+        "; also " + _FANOUT_TIER_NOTE
     ),
+    "q1_pricing_summary": _FANOUT_TIER_NOTE,
+    "dedup_ngram_jaccard": _FANOUT_TIER_NOTE,
+    "dedup_prefix_filter_jaccard": _FANOUT_TIER_NOTE,
+    "dedup_cluster_connected_components": _FANOUT_TIER_NOTE,
+    "similarity_cosine_topk": _FANOUT_TIER_NOTE,
+    "similarity_lsh_ann": _FANOUT_TIER_NOTE,
     # (the non-probed drain siblings keyed_state_ttl_per_query /
     # keyed_state_wallclock_infinite share the same tier via the shared
     # drains; only probed entries are listed here — test_scaleprobe_infra
