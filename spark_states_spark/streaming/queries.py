@@ -1410,11 +1410,17 @@ _PER_QUERY_TTLS = {"kv_fast": 3600, "kv_slow": 86400}
 
 # One virtual-clock drain serving the per-query-TTL pair AND the lazy-bounds
 # entry (VERDICT r07 #4, the wall-clock dual-drain pattern at r06 #7): all
-# three bindings ride _make_kernel event-time kernels over the SAME op
-# stream, so running three full chunked drains duplicated pure micro-batch
-# infrastructure. Each op row is exploded into binding-tagged copies
-# ('kv_fast|'/'kv_slow|'/'lazy|' key prefixes) and each (binding, key) group
-# dispatches to its binding's UNCHANGED production kernel.
+# three bindings ride event-time kernels over the SAME op stream, so running
+# three full chunked drains duplicated pure micro-batch infrastructure.
+# Through r13 each op row was exploded into binding-tagged copies
+# ('kv_fast|'/'kv_slow|'/'lazy|' key prefixes) dispatching each (binding,
+# key) group to its binding's solo kernel; since r14 a COMPOSITE kernel
+# (ttl.make_composite_virtual_kernel, guide §4) processes each bare key
+# once per batch and runs every binding's UNCHANGED production fold
+# (replay_virtual, the single source of truth) against one composite state
+# row — 3× fewer shuffled rows and per-group Python calls, sink contents
+# identical row-for-row (binding-prefixed keys; differential-pinned by
+# tests/test_funnel_drain_share.py::test_virtual_drain_bindings_equal_solo_drains).
 #
 # Soundness of sharing one 2-chunk replay across the bindings:
 # - the lazy binding ran 2-chunk solo (_LAZY_BOUNDS_CHUNKS) — identical here;
@@ -1462,7 +1468,12 @@ def _virtual_kv_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
         parquet_row_count,
         table_path,
     )
-    from .ttl import OUTPUT_SCHEMA, STATE_SCHEMA, GroupStateTimeout, _make_kernel
+    from .ttl import (
+        OUTPUT_SCHEMA,
+        GroupStateTimeout,
+        composite_state_schema,
+        make_composite_virtual_kernel,
+    )
 
     key = (
         spark.sparkContext.applicationId,
@@ -1472,12 +1483,7 @@ def _virtual_kv_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _VIRTUAL_DRAIN_MEMO.get(key)
     if hit is not None:
         return hit
-    kernels = {b: _make_kernel(t) for b, t in _virtual_ttl_bindings().items()}
-
-    def dispatch(key, pdfs, state):
-        # Dispatch on the binding prefix; the row keys already carry it,
-        # so each production kernel's emitted keys stay consistent.
-        yield from kernels[key[0].split("|", 1)[0]](key, pdfs, state)
+    bindings = _virtual_ttl_bindings()
 
     # The chunked replay leans on the fixture's (ts, event_id) ordering
     # contract — assert it once, like the solo lazy entry did.
@@ -1485,19 +1491,13 @@ def _virtual_kv_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops = _kv_op_select(
         chunked_stream(spark, sf_dir, "events", n_chunks=_LAZY_BOUNDS_CHUNKS)
     )
-    tagged = ops.select(
-        F.explode(
-            F.array(*[F.lit(b) for b in sorted(kernels)])
-        ).alias("binding"),
-        "key", "op", "value", "ts_s", "seq",
-    ).select(
-        F.concat("binding", F.lit("|"), "key").alias("key"),
-        "op", "value", "ts_s", "seq",
-    )
-    stream = tagged.groupBy("key").applyInPandasWithState(
-        dispatch,
+    # Composite kernel (r14, guide §4 — see the block comment above): one
+    # group per BARE key, every binding's fold per call; replaces the
+    # binding explode that tripled shuffle rows and Python group calls.
+    stream = ops.groupBy("key").applyInPandasWithState(
+        make_composite_virtual_kernel(bindings),
         outputStructType=OUTPUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
+        stateStructType=composite_state_schema(len(bindings)),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -1550,9 +1550,10 @@ def keyed_state_ttl_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     both get-outcome summaries, tagged by query name.
 
     Both bindings execute on the shared virtual-clock drain (VERDICT r07
-    #4 — see the soundness note on ``_VIRTUAL_DRAIN_MEMO``): each
-    (binding, key) group runs the unchanged strict production kernel with
-    its own resolved TTL; only the micro-batch infrastructure is shared.
+    #4 — see the soundness note on ``_VIRTUAL_DRAIN_MEMO``): the composite
+    kernel runs the unchanged strict production fold (``replay_virtual``)
+    once per binding per key group, each with its own resolved TTL; only
+    the micro-batch infrastructure and the group-call boundary are shared.
     """
     parts = [
         _get_outcome_summary(
@@ -1670,15 +1671,18 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (never arms a timeout) and finite-strict (arms ProcessingTimeTimeout at
 # 1 day) — over the same op stream, so running two full
 # processing-time-trigger drains duplicated pure micro-batch infrastructure
-# (query start/stop, trailing-empty-batch wait, poll latency). The shared
-# drain EXPLODES each op row into two binding-tagged copies ('inf|'/'fin|'
-# key prefixes) and dispatches each key group to its binding's untouched
-# production kernel, so per-(binding, key) lifecycle — fold order, timeout
-# arming, strict read-side expiry — is exactly what a solo drain runs;
-# total kernel invocations are unchanged, only the drain fixed cost is
-# paid once. Memo contract identical to _FUNNEL_DRAIN_MEMO.
+# (query start/stop, trailing-empty-batch wait, poll latency). Through r13
+# the shared drain EXPLODED each op row into two binding-tagged copies
+# ('inf|'/'fin|' key prefixes) dispatching each key group to its binding's
+# solo kernel; since r14 a COMPOSITE kernel
+# (ttl.make_composite_wallclock_kernel, guide §4 — same move as the
+# virtual drain) folds both bindings per bare-key group against one
+# composite state row: 2× fewer shuffled rows and Python group calls, the
+# same binding-prefixed sink rows, per-binding fold order / timeout arming
+# / strict read-side expiry preserved (see the kernel's contract note;
+# differential-pinned by test_funnel_drain_share's wallclock test). Memo
+# contract identical to _FUNNEL_DRAIN_MEMO.
 _WALLCLOCK_DRAIN_MEMO: dict = {}
-_WALLCLOCK_BINDINGS = ("inf", "fin")
 
 
 def _wallclock_kv_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1696,9 +1700,9 @@ def _wallclock_kv_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .runner import run_stream_drain_wallclock
     from .ttl import (
         WALL_OUTPUT_SCHEMA,
-        WALL_STATE_SCHEMA,
         GroupStateTimeout,
-        _make_wallclock_kernel,
+        composite_state_schema,
+        make_composite_wallclock_kernel,
     )
 
     key = (
@@ -1721,33 +1725,23 @@ def _wallclock_kv_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
             "events_kv_wall_finite",
         ),
     }
-    kernels = {b: _make_wallclock_kernel(t) for b, t in ttls.items()}
-
-    def dual_kernel(key, pdfs, state):
-        # Dispatch on the binding prefix; the row keys already carry it,
-        # so the production kernel's emitted keys stay consistent.
-        yield from kernels[key[0].split("|", 1)[0]](key, pdfs, state)
-
+    # Composite kernel (r14, guide §4 — same move as the virtual drain):
+    # one group per BARE key running both bindings' replay_wallclock folds
+    # against one composite state row, instead of exploding every op row
+    # into binding-tagged copies. Sink contents keep the same
+    # binding-prefixed keys; the engine timeout arms for the finite
+    # binding exactly as its solo kernel did (see
+    # ttl.make_composite_wallclock_kernel's contract note).
     ops = _event_kv_ops(spark, sf_dir)
-    tagged = ops.select(
-        F.explode(
-            F.array(*[F.lit(b) for b in _WALLCLOCK_BINDINGS])
-        ).alias("binding"),
-        "key", "op", "value", "ts_s", "seq",
-    ).select(
-        F.concat("binding", F.lit("|"), "key").alias("key"),
-        "op", "value", "ts_s", "seq",
-    )
-    stream = tagged.groupBy("key").applyInPandasWithState(
-        dual_kernel,
+    stream = ops.groupBy("key").applyInPandasWithState(
+        make_composite_wallclock_kernel(ttls),
         outputStructType=WALL_OUTPUT_SCHEMA,
-        stateStructType=WALL_STATE_SCHEMA,
+        stateStructType=composite_state_schema(len(ttls)),
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
-    # numInputRows is a SOURCE metric — it counts rows before the
-    # binding-explode doubles them, so the drain target is the raw count
-    # (footer metadata, not a scan — see _virtual_kv_drained).
+    # numInputRows is a SOURCE metric — the raw events row count (footer
+    # metadata, not a scan — see _virtual_kv_drained).
     n_rows = parquet_row_count(table_path(sf_dir, "events"))
     # The drain deadline is a STALL detector, not a size cap: scale it
     # with the input so a healthy 10-100x run (observed kernel throughput
@@ -1928,12 +1922,13 @@ def keyed_state_ttl_lazy_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     expired is allowed, serving beyond the infinite fold or dropping a
     still-alive key is not.
 
-    The lazy kernel executes on the shared virtual-clock drain (VERDICT
+    The lazy fold executes on the shared virtual-clock drain (VERDICT
     r07 #4, ``_VIRTUAL_DRAIN_MEMO``) with the SAME chunked replay
     (``_LAZY_BOUNDS_CHUNKS`` time-ordered micro-batches) and state
-    partitioning the solo drain used — its per-(batch, key) lifecycle,
-    including the real between-batch sweeps the bounds sandwich needs, is
-    unchanged.
+    partitioning the solo drain used — its per-(batch, key) fold inputs,
+    including the real between-batch sweeps the bounds sandwich needs
+    (a swept binding restarts the next batch from have=False, exactly as
+    a removed solo-state row would), are unchanged.
     """
     lazy = _get_outcome_summary(
         _virtual_binding_outcomes(spark, sf_dir, _VIRTUAL_LAZY_BINDING)

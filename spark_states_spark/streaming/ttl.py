@@ -292,46 +292,12 @@ def _make_wallclock_kernel(ttl: TtlConfig):
         else:
             value, last_access_ms, have = None, None, False
 
-        ttl_ms = ttl.ttl_secs * 1000 if ttl.ttl_secs and ttl.ttl_secs > 0 else None
-
-        def alive(now_ms: int) -> bool:
-            if not have or ttl.is_stateless:
-                return False
-            if ttl.is_infinite or not ttl.strict or ttl_ms is None:
-                return True
-            return now_ms - last_access_ms < ttl_ms
-
-        out: list[tuple[str, bool, int | None]] = []
         frames = list(pdfs)
         rows = frames[0] if len(frames) == 1 else pd.concat(frames)
-        # Same numpy hot-path treatment as replay_virtual: one invocation
-        # per (key group, micro-batch) makes per-call pandas overhead the
-        # dominant cost at scale.
-        keys = rows["key"].to_numpy()
-        ops = rows["op"].to_numpy()
-        vals = rows["value"].to_numpy()
-        # dtype pinned for the same reason as replay_virtual's ts/seq.
-        order = np.argsort(rows["seq"].to_numpy(dtype="int64"), kind="stable")
-        for i in order:
-            now_ms = int(time.time() * 1000)
-            op = ops[i]
-            if op == "put":
-                value, last_access_ms, have = int(vals[i]), now_ms, True
-            elif op == "get":
-                if alive(now_ms):
-                    out.append((keys[i], True, value))
-                    # reset-on-access (expireAfterAccess)
-                    last_access_ms = now_ms
-                else:
-                    out.append((keys[i], False, None))
-                    if have and ttl.strict:
-                        # strict read observes expiry → drop immediately
-                        value, last_access_ms, have = None, None, False
-            elif op == "remove":
-                value, last_access_ms, have = None, None, False
+        out, survived = replay_wallclock(rows, ttl, value, last_access_ms, have)
 
-        if have and not ttl.is_stateless:
-            state.update((value, last_access_ms))
+        if survived is not None:
+            state.update(survived)
             if not ttl.is_infinite:
                 # re-arm on every access: expireAfterAccess semantics.
                 state.setTimeoutDuration(ttl.ttl_secs * 1000)
@@ -339,22 +305,84 @@ def _make_wallclock_kernel(ttl: TtlConfig):
             state.remove()
 
         if out:
-            n = len(out)
-            mask = np.fromiter((o[2] is None for o in out), dtype=bool, count=n)
-            vals_out = np.fromiter(
-                (0 if o[2] is None else o[2] for o in out), dtype="int64", count=n
-            )
-            yield pd.DataFrame(
-                {
-                    "key": [o[0] for o in out],
-                    "found": np.fromiter(
-                        (o[1] for o in out), dtype=bool, count=n
-                    ),
-                    "value": pd.arrays.IntegerArray(vals_out, mask=mask),
-                }
-            )
+            yield wall_outcomes_frame(out)
 
     return kernel
+
+
+def replay_wallclock(
+    rows: pd.DataFrame,
+    ttl: TtlConfig,
+    value: int | None,
+    last_access_ms: int | None,
+    have: bool,
+) -> tuple[list[tuple[str, bool, int | None]], tuple[int, int] | None]:
+    """Replay one batch of (key, op, value, seq) rows through the
+    wall-clock TTL contract; return (get outcomes, surviving state).
+
+    The wall-clock twin of :func:`replay_virtual` — the single source of
+    truth for the kernel semantics, shared by the solo kernel builder and
+    the composite multi-binding kernel so they cannot drift. ``now`` is
+    read from this module's ``time`` per op (tests monkeypatch it).
+    Surviving state is None when the key should be dropped."""
+    ttl_ms = ttl.ttl_secs * 1000 if ttl.ttl_secs and ttl.ttl_secs > 0 else None
+
+    def alive(now_ms: int) -> bool:
+        if not have or ttl.is_stateless:
+            return False
+        if ttl.is_infinite or not ttl.strict or ttl_ms is None:
+            return True
+        return now_ms - last_access_ms < ttl_ms
+
+    out: list[tuple[str, bool, int | None]] = []
+    # Same numpy hot-path treatment as replay_virtual: one invocation
+    # per (key group, micro-batch) makes per-call pandas overhead the
+    # dominant cost at scale.
+    keys = rows["key"].to_numpy()
+    ops = rows["op"].to_numpy()
+    vals = rows["value"].to_numpy()
+    # dtype pinned for the same reason as replay_virtual's ts/seq.
+    order = np.argsort(rows["seq"].to_numpy(dtype="int64"), kind="stable")
+    for i in order:
+        now_ms = int(time.time() * 1000)
+        op = ops[i]
+        if op == "put":
+            value, last_access_ms, have = int(vals[i]), now_ms, True
+        elif op == "get":
+            if alive(now_ms):
+                out.append((keys[i], True, value))
+                # reset-on-access (expireAfterAccess)
+                last_access_ms = now_ms
+            else:
+                out.append((keys[i], False, None))
+                if have and ttl.strict:
+                    # strict read observes expiry → drop immediately
+                    value, last_access_ms, have = None, None, False
+        elif op == "remove":
+            value, last_access_ms, have = None, None, False
+
+    if have and not ttl.is_stateless:
+        return out, (value, last_access_ms)
+    return out, None
+
+
+def wall_outcomes_frame(
+    out: list[tuple[str, bool, int | None]]
+) -> pd.DataFrame:
+    """Get-outcome rows → the WALL_OUTPUT_SCHEMA frame (same nullable-int
+    treatment as :func:`outcomes_frame`)."""
+    n = len(out)
+    mask = np.fromiter((o[2] is None for o in out), dtype=bool, count=n)
+    vals_out = np.fromiter(
+        (0 if o[2] is None else o[2] for o in out), dtype="int64", count=n
+    )
+    return pd.DataFrame(
+        {
+            "key": [o[0] for o in out],
+            "found": np.fromiter((o[1] for o in out), dtype=bool, count=n),
+            "value": pd.arrays.IntegerArray(vals_out, mask=mask),
+        }
+    )
 
 
 def ttl_kv_ops_wallclock(ops_stream: DataFrame, ttl: TtlConfig) -> DataFrame:
@@ -374,3 +402,184 @@ def ttl_kv_ops_wallclock(ops_stream: DataFrame, ttl: TtlConfig) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# --- composite multi-binding kernels (shared drains, r14) ----------------
+#
+# The shared drains (streaming/queries.py) run several TTL bindings over
+# the SAME op stream. Through r13 they did it by exploding every op row
+# into one binding-tagged copy per binding and dispatching each
+# ('<binding>|<key>') group to its binding's solo kernel — semantically
+# clean, but it multiplied the shuffle volume AND the per-group Python
+# call count by the binding count purely to reuse the solo kernel object
+# (guide §4: the JVM↔Python boundary crossings, not the fold itself, are
+# the cost). The composite kernels below process each BARE key once per
+# micro-batch and run every binding's unchanged replay fold
+# (replay_virtual / replay_wallclock — the single sources of truth) over
+# the same rows against one composite state row holding each binding's
+# (value, last_access, have) slot. Emitted rows carry the same
+# '<binding>|'-prefixed keys as the exploded design, so the sink contents
+# are identical row-for-row.
+#
+# Sweep equivalence: a binding whose solo kernel would remove its state is
+# recorded as have=False in the composite row (value slots zeroed); its
+# next replay starts from have=False exactly as a removed store row would,
+# and the composite row itself is removed once EVERY binding is dead — so
+# fold inputs, and therefore outcomes, are unchanged for any chunking.
+
+
+def composite_state_schema(n_bindings: int) -> T.StructType:
+    """State schema for a composite kernel: per binding a (value,
+    last_access, have) slot. ``last_access`` is virtual seconds for the
+    virtual-clock kernel and wall ms for the wall-clock kernel."""
+    fields = []
+    for i in range(n_bindings):
+        fields += [
+            T.StructField(f"v{i}", T.LongType()),
+            T.StructField(f"a{i}", T.LongType()),
+            T.StructField(f"h{i}", T.BooleanType()),
+        ]
+    return T.StructType(fields)
+
+
+def _binding_slot(st, i: int):
+    """Decode slot ``i`` of a composite state tuple → (value, last, have)."""
+    if st is None or not st[3 * i + 2]:
+        return None, None, False
+    return st[3 * i], st[3 * i + 1], True
+
+
+def make_composite_virtual_kernel(bindings: dict[str, TtlConfig]):
+    """One applyInPandasWithState kernel folding EVERY virtual-clock
+    binding over the same bare-key op rows (see the block comment above).
+    Binding order is the sorted name order; output keys are
+    '<binding>|<key>'."""
+    names = sorted(bindings)
+    ttls = [bindings[b] for b in names]
+    prefixes = [b + "|" for b in names]
+    n_b = len(names)
+
+    def kernel(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        st = state.get if state.exists else None
+        frames = list(pdfs)
+        rows = frames[0] if len(frames) == 1 else pd.concat(frames)
+        merged: list[tuple[str, int, bool, int | None]] = []
+        new_st: list = []
+        any_alive = False
+        for i in range(n_b):
+            value, last, have = _binding_slot(st, i)
+            out, survived = replay_virtual(rows, ttls[i], value, last, have)
+            p = prefixes[i]
+            merged.extend((p + k, t, f, v) for (k, t, f, v) in out)
+            if survived is None:
+                new_st += [0, 0, False]
+            else:
+                new_st += [survived[0], survived[1], True]
+                any_alive = True
+        if any_alive:
+            state.update(tuple(new_st))
+        else:
+            state.remove()
+        if merged:
+            yield outcomes_frame(merged)
+
+    return kernel
+
+
+def make_composite_wallclock_kernel(bindings: dict[str, TtlConfig]):
+    """One applyInPandasWithState kernel folding EVERY wall-clock binding
+    over the same bare-key op rows, with ProcessingTimeTimeout handling:
+
+    - data path: every binding replays via replay_wallclock; if any FINITE
+      binding survives, the timeout re-arms with the minimum finite ttl
+      (each surviving finite binding's last access was refreshed in this
+      batch, so this equals the solo kernels' per-binding re-arm);
+    - timeout path (no ops for the key for the armed duration): each
+      finite binding whose wall elapsed ≥ its ttl is dropped — exactly the
+      solo kernel's unconditional remove-on-fire, since the engine fires
+      only after the armed (minimum-ttl) duration passes; a finite binding
+      with a longer ttl that has not yet elapsed is kept and the timeout
+      re-arms with its remaining time. Infinite bindings never expire
+      (their solo kernels never arm a timeout)."""
+    names = sorted(bindings)
+    ttls = [bindings[b] for b in names]
+    prefixes = [b + "|" for b in names]
+    n_b = len(names)
+    finite_ms = [
+        (t.ttl_secs * 1000 if t.ttl_secs and t.ttl_secs > 0 else None)
+        for t in ttls
+    ]
+
+    def _rearm(state, new_st) -> None:
+        remaining = []
+        now_ms = int(time.time() * 1000)
+        for i in range(n_b):
+            if finite_ms[i] is None or not new_st[3 * i + 2]:
+                continue
+            remaining.append(
+                max(1, finite_ms[i] - (now_ms - new_st[3 * i + 1]))
+            )
+        if remaining:
+            state.setTimeoutDuration(min(remaining))
+
+    def kernel(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        st = state.get if state.exists else None
+
+        if state.hasTimedOut:
+            # The armed (minimum finite) duration elapsed with zero ops:
+            # drop every finite binding whose own ttl has elapsed.
+            now_ms = int(time.time() * 1000)
+            new_st: list = []
+            any_alive = False
+            for i in range(n_b):
+                value, last, have = _binding_slot(st, i)
+                if (
+                    have
+                    and finite_ms[i] is not None
+                    and now_ms - last >= finite_ms[i]
+                ):
+                    value, last, have = None, None, False
+                if have:
+                    new_st += [value, last, True]
+                    any_alive = True
+                else:
+                    new_st += [0, 0, False]
+            if any_alive:
+                state.update(tuple(new_st))
+                _rearm(state, new_st)
+            else:
+                state.remove()
+            return
+
+        frames = list(pdfs)
+        rows = frames[0] if len(frames) == 1 else pd.concat(frames)
+        merged: list[tuple[str, bool, int | None]] = []
+        new_st = []
+        any_alive = False
+        for i in range(n_b):
+            value, last, have = _binding_slot(st, i)
+            out, survived = replay_wallclock(rows, ttls[i], value, last, have)
+            p = prefixes[i]
+            merged.extend((p + k, f, v) for (k, f, v) in out)
+            if survived is None:
+                new_st += [0, 0, False]
+            else:
+                new_st += [survived[0], survived[1], True]
+                any_alive = True
+        if any_alive:
+            state.update(tuple(new_st))
+            _rearm(state, new_st)
+        elif state.exists:
+            state.remove()
+        if merged:
+            yield wall_outcomes_frame(merged)
+
+    return kernel
