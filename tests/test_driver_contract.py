@@ -61,11 +61,20 @@ def test_bench_drain_groups_mark_carrier_and_sum():
 
     timings = {q: 1.0 for q in bench.HEADLINE}
     groups = bench._drain_groups(timings)
-    assert set(groups) == {"funnel", "wallclock_kv", "cc_labels", "virtual_kv"}
+    assert set(groups) == {
+        "funnel", "wallclock_kv", "cc_labels", "virtual_kv", "interval_fo",
+    }
     wc = groups["wallclock_kv"]
     assert wc["carrier"] == "keyed_state_wallclock_finite_bounds"
     assert wc["sum_s"] == 2.0
     assert groups["funnel"]["carrier"] == "streaming_funnel_stages"
+    # The shared full-outer interval-join drain (r14): left_outer runs
+    # first in headline order; the semi entry is catalog-only, so the
+    # headline group is the three outer-family entries.
+    assert groups["interval_fo"]["carrier"] == (
+        "streaming_interval_join_left_outer"
+    )
+    assert groups["interval_fo"]["sum_s"] == 3.0
     # The virtual-clock drain's carrier is whichever participant runs
     # first in headline order — lazy_bounds sits in the r05 block, before
     # the r07 EXTENDED tail's per_query entry.

@@ -269,3 +269,25 @@ def test_parquet_sink_matches_memory_sink(spark, sf_dir_small):
         outs[sink] = sorted(tuple(r) for r in out.collect())
     assert outs["memory"] == outs["parquet"]
     assert len(outs["memory"]) > 0
+
+
+def test_interval_join_derived_shapes_equal_solo(spark, sf_dir):
+    """r14 shared full-outer interval-join drain: the derived left-outer /
+    right-outer / semi entries must equal their solo-operator drains
+    row-for-row (the equivalence argument on ``_IJ_FO_DRAIN_MEMO`` as an
+    executable claim, same discipline as the TTL composite kernels)."""
+    from collections import Counter
+
+    from spark_states_spark.streaming import queries as q
+
+    pairs = {
+        "leftOuter": q.streaming_interval_join_left_outer,
+        "rightOuter": q.streaming_interval_join_right_outer,
+        "leftSemi": q.streaming_interval_join_left_semi,
+    }
+    for how, entry in pairs.items():
+        solo = Counter(
+            tuple(r) for r in q._interval_join_solo(spark, sf_dir, how).collect()
+        )
+        derived = Counter(tuple(r) for r in entry(spark, sf_dir).collect())
+        assert solo == derived, (how, solo - derived, derived - solo)
