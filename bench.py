@@ -259,6 +259,18 @@ def _prev_bench(root: str = _ROOT) -> dict:
         out["source"] = "bench_result.json"
     except (OSError, ValueError):
         pass
+    # A dev-subset run (SPARK_GRAFT_BENCH_QUERIES) that wrote the default
+    # out path leaves a tiny map behind; using it as the baseline silently
+    # disables the ambient deflator (< min_common entries → None) and
+    # blinds the regression tripwire for every entry it lacks (r14: a
+    # 4-entry A/B leftover did exactly this to the next full run). A map
+    # covering less than half the headline set is not a full-run baseline —
+    # fall through to the per-round artifact instead.
+    if len(out["queries"]) < max(8, len(HEADLINE) // 2):
+        out["queries"] = {}
+        out["core_total"] = None
+        out["prefix_total"] = None
+        out["source"] = "none"
     best: tuple[int, str] | None = None
     for p in glob.glob(os.path.join(root, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)

@@ -65,11 +65,14 @@ def use_rocksdb_state_store(builder: SparkSession.Builder) -> SparkSession.Build
         # every put/delete pays an extra RocksDB point lookup solely to
         # maintain the numRowsTotal/numRowsRemoved observability counters —
         # Spark's own structured-streaming docs call this out as the knob
-        # for write-heavy state. Measured on this harness: state commit is
-        # >50% of a chunked drain's wall, and disabling tracking cuts
-        # 10-25% off every stateful entry (hourly update 4.72→4.27 s,
-        # strict TTL 2.65→1.98 s, session append 3.30→2.94 s at sf0.1,
-        # interleaved best-of-3). Query RESULTS are unaffected — eviction
+        # for write-heavy state. Measured on this harness (order-balanced
+        # A/B, OPTIMIZATION_r14.md Change 2): state commit is >50% of a
+        # chunked drain's wall; disabling tracking reads wall
+        # flat-to-slightly-better (never worse) with the mechanism visible
+        # in stateOperators.commitTimeMs — −8% on the RAM-backed checkpoint
+        # path, −37% on the disk-backed path where the extra point-gets
+        # interact with changelog fsyncs; the upside grows with state
+        # volume. Query RESULTS are unaffected — eviction
         # still happens; only the counters read -1. Metric consumers
         # (streaming.metrics facade, the eviction-metric tests) opt back
         # in per-session/per-test with this conf set to "true".

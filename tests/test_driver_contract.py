@@ -357,13 +357,14 @@ def test_bench_prev_baseline_reads_round_artifacts():
 
 def test_bench_prev_baseline_prefers_round_artifact_totals(tmp_path):
     """Once the compact line carries totals (r08+), the per-round artifact
-    outranks the re-run-overwritable full map; the full map still supplies
-    the per-entry queries for the tripwire."""
+    outranks the re-run-overwritable full map; a full-coverage local map
+    still supplies the per-entry queries for the tripwire."""
     sys.path.insert(0, REPO)
     import bench
 
+    full_map = {name: 1.0 for name in bench.HEADLINE}
     (tmp_path / "bench_result.json").write_text(json.dumps({
-        "queries": {"q1_pricing_summary": 1.0, "keyed_state_ttl_strict": 2.0}
+        "queries": full_map
     }))
     (tmp_path / "BENCH_r08.json").write_text(json.dumps({
         "core_total": 41.5, "prefix_total": 119.25
@@ -374,12 +375,35 @@ def test_bench_prev_baseline_prefers_round_artifact_totals(tmp_path):
     assert prev["core_total"] == 41.5
     assert prev["prefix_total"] == 119.25
     assert prev["source"] == "BENCH_r08.json"
-    assert prev["queries"] == {
-        "q1_pricing_summary": 1.0, "keyed_state_ttl_strict": 2.0
-    }
+    assert prev["queries"] == full_map
     # Missing everything degrades cleanly.
     empty = bench._prev_bench(str(tmp_path / "nope"))
     assert empty["round"] is None and empty["queries"] == {}
+
+
+def test_bench_prev_baseline_rejects_dev_subset_leftover(tmp_path):
+    """A tiny map left behind by a SPARK_GRAFT_BENCH_QUERIES dev run must
+    NOT become the baseline (r14: a 4-entry A/B leftover silently disabled
+    the ambient deflator and the tripwire for the next full run) — the
+    per-round artifact's slowest-8 takes over as the partial baseline."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    (tmp_path / "bench_result.json").write_text(json.dumps({
+        "queries": {"q1_pricing_summary": 1.0, "keyed_state_ttl_strict": 2.0}
+    }))
+    (tmp_path / "BENCH_r08.json").write_text(json.dumps({
+        "n": 8, "rc": 0, "parsed": {
+            "core_total": 41.266, "prefix_total": 174.401,
+            "queries": {"streaming_topk_per_day": 14.902},
+        },
+    }))
+    prev = bench._prev_bench(str(tmp_path))
+    assert prev["core_total"] == 41.266
+    assert prev["source"] == "BENCH_r08.json"
+    # The 2-entry leftover is discarded; the artifact's compact slowest-8
+    # is the (partial) tripwire baseline instead.
+    assert prev["queries"] == {"streaming_topk_per_day": 14.902}
 
 
 def test_bench_prev_baseline_reads_driver_wrapper(tmp_path):
