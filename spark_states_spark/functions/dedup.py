@@ -643,20 +643,31 @@ def connected_components(pairs: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
         # a one-aggregate convergence probe, no self-join needed.
         prev_sum = labels.agg(F.sum("label")).collect()[0][0]
         for _ in range(max_iters):
-            nbr_min = (
-                edges.join(labels, edges.v == labels.doc_id)
-                .groupBy("u")
-                .agg(F.min("label").alias("nbr_label"))
-            )
+            # (a) Neighbor-min step as ONE aggregation: the node's own label
+            # rides along as a union branch, so the groupBy's min IS
+            # least(own, min over neighbors) — same iterate as the former
+            # left-join + coalesce + least spelling (r14 A/B: row-identical
+            # on the pair graph and a 400-node path), with one fewer join
+            # per round.
+            ids_pre = _persistent_rdd_ids(spark)
             stepped = (
-                labels.join(nbr_min, labels.doc_id == nbr_min.u, "left")
-                .select(
-                    "doc_id",
-                    F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
-                )
+                edges.join(labels, edges.v == labels.doc_id)
+                .select(F.col("u").alias("doc_id"), "label")
+                .unionByName(labels)
+                .groupBy("doc_id")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=True)
             )
-            # Pointer jumping: label := label(label) where the label node
-            # has its own (possibly lower) label.
+            stepped_ids = _persistent_rdd_ids(spark) - ids_pre
+            # (b) Pointer jumping: label := label(label) where the label
+            # node has its own (possibly lower) label. The jump reads the
+            # MATERIALIZED stepped frame: before r14 the broadcast build of
+            # lmap re-executed the whole neighbor-min subtree (join +
+            # exchange + aggregate ran twice per round — visible in
+            # plans/r14/dedup_cluster_cc_round_before.txt as the duplicated
+            # aggregation under the outer BroadcastExchange); materializing
+            # the node-sized frame once is strictly cheaper than
+            # recomputing an edge-sized join at any scale.
             lmap = stepped.select(
                 F.col("doc_id").alias("l_id"), F.col("label").alias("l_label")
             )
@@ -671,6 +682,7 @@ def connected_components(pairs: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
             )
             new_ids = _persistent_rdd_ids(spark) - ids_pre
             _unpersist_rdd_ids(spark, live_ids)  # superseded round's blocks
+            _unpersist_rdd_ids(spark, stepped_ids)  # intra-round scratch
             live_ids = new_ids
             new_sum = labels.agg(F.sum("label")).collect()[0][0]
             if new_sum == prev_sum:

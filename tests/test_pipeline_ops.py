@@ -197,6 +197,62 @@ def test_connected_components_random_graphs_match_union_find(spark):
         assert got == expected, f"trial {trial} (n={n}, m={m}): {got} != {expected}"
 
 
+def test_connected_components_round_spelling_equivalence(spark):
+    """r14 optimization guard: the loop's neighbor-min step is spelled as
+    ONE aggregation (edge-join output unioned with the node's own label,
+    then groupBy.min) instead of the reference left-join + coalesce +
+    least shape. The two spellings must produce the SAME per-round
+    iterate — otherwise round counts (and the convergence probe) drift.
+    Checked on seeded random graphs including isolated-in-round nodes
+    (nodes whose neighbors all carry higher labels)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = rng.randint(3, 30)
+        m = rng.randint(1, 40)
+        raw = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        pairs = spark.createDataFrame(raw, "doc_a long, doc_b long")
+        edges = pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")),
+                    F.struct(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
+        labels = (
+            edges.select(F.col("u").alias("doc_id"))
+            .distinct()
+            .withColumn("label", F.col("doc_id"))
+        )
+        # Production spelling (one aggregation, own-label union branch).
+        agg_spelling = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .select(F.col("u").alias("doc_id"), "label")
+            .unionByName(labels)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+        )
+        # Reference spelling (left join + coalesce + least).
+        nbr_min = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        join_spelling = labels.join(
+            nbr_min, labels.doc_id == nbr_min.u, "left"
+        ).select(
+            "doc_id",
+            F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        got = sorted(map(tuple, agg_spelling.collect()))
+        want = sorted(map(tuple, join_spelling.collect()))
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
 def test_mixture_weights_no_upsample_and_floor_exact(spark, sf_dir):
     """The mixture resampler must (a) never keep more docs than a stratum
     has, (b) keep exactly floor(r_l * N / R) per stratum for the feasible
