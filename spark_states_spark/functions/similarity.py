@@ -206,6 +206,26 @@ _NEARDUP_COS = 0.4
 # a 4096² float64 GEMM is ~130 MB / sub-second per task.
 _GEMM_BUCKET_CAP = 4096
 
+# One pair-generation pass serves both embedding-dedup entries (r14, guide
+# §1.2: dedup_embedding_keep_first is a composition OVER the pair stream —
+# re-running the bucketing + GEMM-prefilter + exact-verify pipeline per
+# entry was pure duplicate work, the same shape the cc_labels /
+# funnel / interval_fo memos already eliminate). The memoized frame is the
+# carrier entry's OWN output (vec_a, vec_b, cosine), eagerly
+# localCheckpoint-materialized so the second reader gets real rows, not a
+# lazy plan; blocks are tagged on the frame and released by the memo
+# cleanup (same contract as _CC_LABELS_MEMO).
+_EMB_PAIRS_MEMO: dict = {}
+
+
+def _embedding_pairs_cleanup() -> None:
+    from .dedup import _unpersist_rdd_ids
+
+    for df in _EMB_PAIRS_MEMO.values():
+        ids = getattr(df, "_local_ckpt_rdd_ids", None)
+        if ids:
+            _unpersist_rdd_ids(df.sparkSession, ids)
+
 
 @register(
     "dedup_embedding_cosine",
@@ -232,6 +252,41 @@ _GEMM_BUCKET_CAP = 4096
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH candidates + exact verify.
+    Returns the memoized, materialized pair stream (_embedding_pairs) —
+    this entry is the pair pipeline's carrier; dedup_embedding_keep_first
+    derives from the same materialization."""
+    return _embedding_pairs(spark, sf_dir)
+
+
+def _embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (vec_a, vec_b, cosine) near-dup pair stream at the
+    ``_NEARDUP_COS`` threshold — one ingest serving both embedding-dedup
+    entries. Key contract identical to the other shared memos
+    (applicationId + fixture dir + fixture content identity)."""
+    import os as _os
+
+    from ..sources.tables import _source_identity, table_path
+    from .dedup import _persistent_rdd_ids
+
+    key = (
+        spark.sparkContext.applicationId,
+        _os.path.abspath(sf_dir),
+        _source_identity(table_path(sf_dir, "embeddings")),
+    )
+    hit = _EMB_PAIRS_MEMO.get(key)
+    if hit is not None:
+        return hit
+    ids_pre = _persistent_rdd_ids(spark)
+    pairs = _build_embedding_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    pairs._local_ckpt_rdd_ids = frozenset(
+        _persistent_rdd_ids(spark) - ids_pre
+    )
+    _EMB_PAIRS_MEMO[key] = pairs
+    return pairs
+
+
+def _build_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual pair pipeline (un-memoized).
 
     The all-pairs problem (quadratic in corpus size) is cut to bucket-local
     self-joins: vectors sharing ANY of the 8 hyperplane-LSH bucket ids
@@ -365,14 +420,25 @@ def dedup_embedding_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard first-order semantic dedup: each near-dup pair loses its
     later member, so at least one representative of every duplicate
     neighborhood survives. Scale shape: the pair generation dominates
-    (see dedup_embedding_cosine); the keep step is one left-anti join of
-    the corpus against the (far smaller) dropped-id set.
+    and is SHARED with dedup_embedding_cosine via the _EMB_PAIRS_MEMO
+    materialization (r14); the keep step is one left-anti join of the
+    corpus against the (far smaller) dropped-id set.
     """
-    dropped = dedup_embedding_cosine(spark, sf_dir).select("vec_b").distinct()
+    dropped = _embedding_pairs(spark, sf_dir).select("vec_b").distinct()
     e = load_table(spark, sf_dir, "embeddings")
     return e.join(
         dropped, e.vec_id == dropped.vec_b, "left_anti"
     ).select("vec_id", "label")
+
+
+from ..catalog import register_shared_memo as _register_shared_memo  # noqa: E402
+
+_register_shared_memo(
+    "embedding_pairs",
+    _EMB_PAIRS_MEMO,
+    {"dedup_embedding_cosine", "dedup_embedding_keep_first"},
+    cleanup=_embedding_pairs_cleanup,
+)
 
 
 # IVF-flavored ANN: a coarse quantizer partitions the corpus into cells;

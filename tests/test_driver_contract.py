@@ -63,6 +63,7 @@ def test_bench_drain_groups_mark_carrier_and_sum():
     groups = bench._drain_groups(timings)
     assert set(groups) == {
         "funnel", "wallclock_kv", "cc_labels", "virtual_kv", "interval_fo",
+        "embedding_pairs",
     }
     wc = groups["wallclock_kv"]
     assert wc["carrier"] == "keyed_state_wallclock_finite_bounds"
@@ -79,6 +80,10 @@ def test_bench_drain_groups_mark_carrier_and_sum():
     # first in headline order — lazy_bounds sits in the r05 block, before
     # the r07 EXTENDED tail's per_query entry.
     assert groups["virtual_kv"]["carrier"] == "keyed_state_ttl_lazy_bounds"
+    # The shared embedding-pair materialization (r14): the pair entry
+    # runs first in headline order and carries the pipeline; keep_first
+    # reads the memo.
+    assert groups["embedding_pairs"]["carrier"] == "dedup_embedding_cosine"
     # A subset run with only one participant present records no group
     # (nothing shared to adjudicate).
     solo = bench._drain_groups({"funnel_state_scan": 1.0})

@@ -396,3 +396,46 @@ def test_prefix_filter_set_guard_fires_loudly(spark):
     )
     with _pytest.raises(Exception, match="shingle set exceeds"):
         prefix_filter_pairs(tl).collect()
+
+
+def test_embedding_pairs_memo_equals_unmemoized(spark, sf_dir):
+    """r14: dedup_embedding_cosine / dedup_embedding_keep_first share one
+    materialized pair stream (_EMB_PAIRS_MEMO). The memoized frame must be
+    row-identical to a fresh, un-memoized run of the pipeline, and the
+    keep_first derivation over the memo must equal the corpus minus the
+    dropped ids computed from that same fresh stream."""
+    from pyspark.sql import functions as F
+
+    from spark_states_spark.catalog import QUERIES, clear_shared_memos
+    from spark_states_spark.functions.similarity import (
+        _build_embedding_pairs,
+        _embedding_pairs,
+    )
+    from spark_states_spark.sources import load_table
+
+    clear_shared_memos("dedup_embedding_cosine")
+    try:
+        memo_pairs = {
+            tuple(r) for r in _embedding_pairs(spark, sf_dir).collect()
+        }
+        fresh = _build_embedding_pairs(spark, sf_dir)
+        fresh_pairs = {tuple(r) for r in fresh.collect()}
+        assert memo_pairs == fresh_pairs and memo_pairs
+
+        got = {
+            tuple(r)
+            for r in QUERIES["dedup_embedding_keep_first"](
+                spark, sf_dir
+            ).collect()
+        }
+        dropped = {r[0] for r in fresh.select("vec_b").distinct().collect()}
+        want = {
+            (r.vec_id, r.label)
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "label")
+            .collect()
+            if r.vec_id not in dropped
+        }
+        assert got == want
+    finally:
+        clear_shared_memos("dedup_embedding_cosine")
