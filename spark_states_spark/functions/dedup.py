@@ -165,6 +165,49 @@ def _duck_minhash_cte() -> str:
     return duck_minhash_cte(_N_PERM, _BANDS, _ROWS_PER_BAND, _SHINGLE_K)
 
 
+# One signature-banding-verify pass serves the minhash entry AND the
+# connected-components cluster family (r14, guide §1.2: _cc_labels built
+# its pair graph by re-running this whole pipeline even though the pair
+# entry had just executed it — the same duplicate-pass shape the
+# cc_labels / funnel / interval_fo / embedding_pairs memos eliminate).
+# The memoized frame is the pair entry's OWN output (doc_a, doc_b,
+# est_jaccard), eagerly localCheckpoint-materialized; blocks are tagged on
+# the frame and released by the memo cleanup (same contract as
+# _CC_LABELS_MEMO below).
+_MINHASH_PAIRS_MEMO: dict = {}
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (doc_a, doc_b, est_jaccard) candidate-pair stream — one
+    ingest serving the minhash entry and the CC label build. Key contract
+    identical to the other shared memos (applicationId + fixture dir +
+    fixture content identity)."""
+    import os as _os
+
+    from ..sources.tables import _source_identity, table_path
+
+    key = (
+        spark.sparkContext.applicationId,
+        _os.path.abspath(sf_dir),
+        _source_identity(table_path(sf_dir, "documents")),
+    )
+    hit = _MINHASH_PAIRS_MEMO.get(key)
+    if hit is not None:
+        return hit
+    ids_pre = _persistent_rdd_ids(spark)
+    pairs = _build_minhash_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    pairs._local_ckpt_rdd_ids = frozenset(_persistent_rdd_ids(spark) - ids_pre)
+    _MINHASH_PAIRS_MEMO[key] = pairs
+    return pairs
+
+
+def _minhash_pairs_cleanup() -> None:
+    for df in _MINHASH_PAIRS_MEMO.values():
+        ids = getattr(df, "_local_ckpt_rdd_ids", None)
+        if ids:
+            _unpersist_rdd_ids(df.sparkSession, ids)
+
+
 @register(
     "dedup_minhash_lsh_pairs",
     oracle=f"""
@@ -183,6 +226,14 @@ def _duck_minhash_cte() -> str:
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs + signature-estimated Jaccard.
+    Returns the memoized, materialized pair stream (_minhash_pairs) — this
+    entry is the pipeline's carrier; the CC cluster family derives its
+    pair graph from the same materialization."""
+    return _minhash_pairs(spark, sf_dir)
+
+
+def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual pair pipeline (un-memoized).
 
     Scale shape: the only shuffles are (band_hash → doc_id) for candidate
     buckets and doc_id for the signature re-join. No all-pairs stage exists
@@ -460,7 +511,7 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _CC_LABELS_MEMO.get(key)
     if hit is None:
         sim = (
-            dedup_minhash_lsh_pairs(spark, sf_dir)
+            _minhash_pairs(spark, sf_dir)
             .filter(F.col("est_jaccard") >= _CC_EST_THRESHOLD)
             .select("doc_a", "doc_b")
         )
@@ -492,6 +543,21 @@ _register_shared_memo(
     _CC_LABELS_MEMO,
     {"dedup_cluster_connected_components", "dedup_cluster_keep_best"},
     cleanup=_cc_labels_cleanup,
+)
+
+# The CC entries participate so their re-runs (bench best-of-N / isolated
+# adjudication) re-pay the pair generation their label build depends on,
+# not just the label loop — first-touch means first-touch of the whole
+# dependency chain.
+_register_shared_memo(
+    "minhash_pairs",
+    _MINHASH_PAIRS_MEMO,
+    {
+        "dedup_minhash_lsh_pairs",
+        "dedup_cluster_connected_components",
+        "dedup_cluster_keep_best",
+    },
+    cleanup=_minhash_pairs_cleanup,
 )
 
 

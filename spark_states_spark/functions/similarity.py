@@ -47,6 +47,60 @@ def _duck_norm(v: str) -> str:
     return f"sqrt({_DUCK_DOT.format(a=v, b=v)})"
 
 
+# One exact pass and one ANN pass serve both their own entries and the
+# recall@K evaluation (r14, guide §1.2: similarity_lsh_recall is a join
+# OVER the two entries' outputs verbatim — re-running both pipelines
+# inside it was pure duplicate work, the same shape the embedding-pair /
+# cc_labels memos eliminate). Each memoized frame is its carrier entry's
+# OWN output, eagerly localCheckpoint-materialized; blocks are tagged on
+# the frame and released by the memo cleanups (same contract as
+# _EMB_PAIRS_MEMO below).
+_EXACT_TOPK_MEMO: dict = {}
+_ANN_TOPK_MEMO: dict = {}
+
+
+def _sim_memo(spark: SparkSession, sf_dir: str, memo: dict, build) -> DataFrame:
+    """Shared memo protocol over the embeddings fixture: key on
+    applicationId + fixture dir + fixture content identity, materialize
+    with an eager localCheckpoint, tag the pinned block ids for
+    deterministic release."""
+    import os as _os
+
+    from ..sources.tables import _source_identity, table_path
+    from .dedup import _persistent_rdd_ids
+
+    key = (
+        spark.sparkContext.applicationId,
+        _os.path.abspath(sf_dir),
+        _source_identity(table_path(sf_dir, "embeddings")),
+    )
+    hit = memo.get(key)
+    if hit is not None:
+        return hit
+    ids_pre = _persistent_rdd_ids(spark)
+    df = build(spark, sf_dir).localCheckpoint(eager=True)
+    df._local_ckpt_rdd_ids = frozenset(_persistent_rdd_ids(spark) - ids_pre)
+    memo[key] = df
+    return df
+
+
+def _release_memo_blocks(memo: dict) -> None:
+    from .dedup import _unpersist_rdd_ids
+
+    for df in memo.values():
+        ids = getattr(df, "_local_ckpt_rdd_ids", None)
+        if ids:
+            _unpersist_rdd_ids(df.sparkSession, ids)
+
+
+def _exact_topk_cleanup() -> None:
+    _release_memo_blocks(_EXACT_TOPK_MEMO)
+
+
+def _ann_topk_cleanup() -> None:
+    _release_memo_blocks(_ANN_TOPK_MEMO)
+
+
 @register(
     "similarity_cosine_topk",
     oracle=f"""
@@ -66,7 +120,21 @@ def _duck_norm(v: str) -> str:
     """,
 )
 def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k: broadcast queries × one corpus scan."""
+    """Brute-force cosine top-k: broadcast queries × one corpus scan.
+    Returns the memoized, materialized top-k (_exact_topk) — this entry is
+    the exact side's carrier; similarity_lsh_recall reads the same
+    materialization instead of re-running the brute-force scan."""
+    return _exact_topk(spark, sf_dir)
+
+
+def _exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized exact top-k frame (one brute-force pass serves the entry
+    and the recall evaluation — r14, guide §1.2; same memo contract as
+    the other shared drains)."""
+    return _sim_memo(spark, sf_dir, _EXACT_TOPK_MEMO, _build_exact_topk)
+
+
+def _build_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table_fanned(spark, sf_dir, "embeddings", key="vec_id")
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -164,6 +232,20 @@ def _duck_buckets(vec: str) -> str:
 )
 def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: multi-table hyperplane-LSH candidates + exact cosine re-rank.
+    Returns the memoized, materialized ANN top-k (_ann_topk) — this entry
+    is the ANN side's carrier; similarity_lsh_recall reads the same
+    materialization instead of re-running the bucket join + re-rank."""
+    return _ann_topk(spark, sf_dir)
+
+
+def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized ANN top-k frame (one LSH pass serves the entry and the
+    recall evaluation — r14, guide §1.2)."""
+    return _sim_memo(spark, sf_dir, _ANN_TOPK_MEMO, _build_ann_topk)
+
+
+def _build_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual ANN pipeline (un-memoized).
 
     Scale shape: corpus is bucketed in one pass (L bucket ids per vector);
     the candidate join is an equi-join on bucket id (shuffle-free if the
@@ -438,6 +520,22 @@ _register_shared_memo(
     _EMB_PAIRS_MEMO,
     {"dedup_embedding_cosine", "dedup_embedding_keep_first"},
     cleanup=_embedding_pairs_cleanup,
+)
+
+# Recall participates in both top-k memos so its re-runs (isolated
+# adjudication) re-pay both sides' pipelines — first-touch of the whole
+# dependency chain, same posture as the CC entries in minhash_pairs.
+_register_shared_memo(
+    "topk_exact",
+    _EXACT_TOPK_MEMO,
+    {"similarity_cosine_topk", "similarity_lsh_recall"},
+    cleanup=_exact_topk_cleanup,
+)
+_register_shared_memo(
+    "topk_ann",
+    _ANN_TOPK_MEMO,
+    {"similarity_lsh_ann", "similarity_lsh_recall"},
+    cleanup=_ann_topk_cleanup,
 )
 
 
@@ -807,10 +905,11 @@ def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog measures its own approximation instead of asserting it).
 
     Composition: both sides are the existing catalog pipelines verbatim
-    (`similarity_cosine_topk`, `similarity_lsh_ann`); the report is one
-    left join + count over two K-row-per-query sets. At 100 TB the exact
-    side runs on a SAMPLE of queries (it is the expensive one) — the
-    report shape is unchanged.
+    (`similarity_cosine_topk`, `similarity_lsh_ann`) — and since r14 both
+    are SHARED with those entries via the topk_exact / topk_ann memos, so
+    the report is one left join + count over two already-materialized
+    K-row-per-query sets. At 100 TB the exact side runs on a SAMPLE of
+    queries (it is the expensive one) — the report shape is unchanged.
     """
     exact = similarity_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
     ann = similarity_lsh_ann(spark, sf_dir).select(

@@ -63,7 +63,7 @@ def test_bench_drain_groups_mark_carrier_and_sum():
     groups = bench._drain_groups(timings)
     assert set(groups) == {
         "funnel", "wallclock_kv", "cc_labels", "virtual_kv", "interval_fo",
-        "embedding_pairs",
+        "embedding_pairs", "minhash_pairs", "topk_exact", "topk_ann",
     }
     wc = groups["wallclock_kv"]
     assert wc["carrier"] == "keyed_state_wallclock_finite_bounds"
@@ -84,6 +84,12 @@ def test_bench_drain_groups_mark_carrier_and_sum():
     # runs first in headline order and carries the pipeline; keep_first
     # reads the memo.
     assert groups["embedding_pairs"]["carrier"] == "dedup_embedding_cosine"
+    # The shared minhash-pair / top-k materializations (r14): each
+    # pipeline's own entry runs first in headline order and carries it;
+    # the CC cluster family resp. the recall evaluation read the memos.
+    assert groups["minhash_pairs"]["carrier"] == "dedup_minhash_lsh_pairs"
+    assert groups["topk_exact"]["carrier"] == "similarity_cosine_topk"
+    assert groups["topk_ann"]["carrier"] == "similarity_lsh_ann"
     # A subset run with only one participant present records no group
     # (nothing shared to adjudicate).
     solo = bench._drain_groups({"funnel_state_scan": 1.0})

@@ -439,3 +439,98 @@ def test_embedding_pairs_memo_equals_unmemoized(spark, sf_dir):
         assert got == want
     finally:
         clear_shared_memos("dedup_embedding_cosine")
+
+
+def test_minhash_pairs_memo_equals_unmemoized(spark, sf_dir):
+    """r14: dedup_minhash_lsh_pairs / the CC cluster family share one
+    materialized pair stream (_MINHASH_PAIRS_MEMO). The memoized frame
+    must be row-identical to a fresh, un-memoized run of the pipeline,
+    and the CC labels derived over the memo must equal labels computed
+    from that same fresh stream."""
+    from pyspark.sql import functions as F
+
+    from spark_states_spark.catalog import QUERIES, clear_shared_memos
+    from spark_states_spark.functions.dedup import (
+        _CC_EST_THRESHOLD,
+        _build_minhash_pairs,
+        _minhash_pairs,
+        connected_components,
+    )
+
+    clear_shared_memos("dedup_minhash_lsh_pairs")
+    try:
+        memo_pairs = {
+            tuple(r) for r in _minhash_pairs(spark, sf_dir).collect()
+        }
+        fresh = _build_minhash_pairs(spark, sf_dir)
+        fresh_pairs = {tuple(r) for r in fresh.collect()}
+        assert memo_pairs == fresh_pairs and memo_pairs
+
+        got = {
+            tuple(r)
+            for r in QUERIES["dedup_cluster_connected_components"](
+                spark, sf_dir
+            ).collect()
+        }
+        want_labels = connected_components(
+            fresh.filter(F.col("est_jaccard") >= _CC_EST_THRESHOLD).select(
+                "doc_a", "doc_b"
+            )
+        ).collect()
+        sizes: dict = {}
+        for r in want_labels:
+            sizes[r.label] = sizes.get(r.label, 0) + 1
+        want = {(r.doc_id, r.label, sizes[r.label]) for r in want_labels}
+        assert want == got
+    finally:
+        clear_shared_memos("dedup_minhash_lsh_pairs")
+        clear_shared_memos("dedup_cluster_connected_components")
+
+
+def test_topk_memos_equal_unmemoized(spark, sf_dir):
+    """r14: similarity_cosine_topk / similarity_lsh_ann each materialize
+    their output once (_EXACT_TOPK_MEMO / _ANN_TOPK_MEMO) and
+    similarity_lsh_recall derives from both. Memoized frames must be
+    row-identical to fresh runs, and recall over the memos must equal
+    recall computed from the fresh frames."""
+    from spark_states_spark.catalog import QUERIES, clear_shared_memos
+    from spark_states_spark.functions.similarity import (
+        _TOP_K,
+        _ann_topk,
+        _build_ann_topk,
+        _build_exact_topk,
+        _exact_topk,
+    )
+
+    clear_shared_memos("similarity_lsh_recall")
+    try:
+        for build, memo in (
+            (_build_exact_topk, _exact_topk),
+            (_build_ann_topk, _ann_topk),
+        ):
+            fresh = {tuple(r) for r in build(spark, sf_dir).collect()}
+            got = {tuple(r) for r in memo(spark, sf_dir).collect()}
+            assert fresh == got and fresh
+
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in _build_exact_topk(spark, sf_dir).collect()
+        }
+        ann = {
+            (r.query_id, r.vec_id)
+            for r in _build_ann_topk(spark, sf_dir).collect()
+        }
+        want = {}
+        for q, v in exact:
+            want.setdefault(q, 0)
+            if (q, v) in ann:
+                want[q] += 1
+        got_recall = {
+            (r.query_id, r.n_hits, r.recall_at_k)
+            for r in QUERIES["similarity_lsh_recall"](spark, sf_dir).collect()
+        }
+        assert got_recall == {
+            (q, n, n / _TOP_K) for q, n in want.items()
+        }
+    finally:
+        clear_shared_memos("similarity_lsh_recall")
