@@ -3,14 +3,26 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE compact JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-The printed line is kept WELL UNDER 1 KB (VERDICT r05 #1): the driver
-captures only a bounded tail of stdout, and a line carrying all ~100
-per-query timings (~3.4 KB) gets its HEAD truncated and never parses —
-that is how two consecutive rounds of perf numbers went invisible. So the
-line's ``queries`` map holds only the slowest entries (the regression-
-relevant ones), and the FULL per-query map lives exclusively in
-``bench_result.json`` (path overridable via $SPARK_GRAFT_BENCH_OUT so test
-subprocess runs can't clobber the round's official artifact).
+The printed line is kept under _LINE_BUDGET chars: the driver captures a
+bounded tail of stdout — measured at EXACTLY 2000 chars in every recorded
+``BENCH_r*.json`` (r01-r14; the two unparsed artifacts, r04/r05, are the
+head-truncation incidents VERDICT r05 #1 documents: a ~3.4 KB line
+carrying all ~100 per-query timings lost its head and never parsed). So a
+FULL per-entry map physically cannot ride the line; instead (VERDICT r14
+#1, within that physics):
+
+- the line's ``queries`` map is packed GREEDILY to the budget — every
+  entry the previous round's compact line carried (the driver's
+  round-over-round comparator reads only these lines, so dropping a name
+  breaks its series) plus as many slowest-first entries as fit (~28,
+  up from the old slowest-8);
+- the FULL per-query map lives in ``bench_result.json`` (path overridable
+  via $SPARK_GRAFT_BENCH_OUT so test subprocess runs can't clobber the
+  round's official artifact), and the round's closing run is committed as
+  ``BENCH_FULL_r{N}.json`` so the next round's ambient deflator and
+  regression tripwire start from a full-coverage baseline even on a fresh
+  checkout (r14's PERF could compare only 2 common entries because the
+  full map was local-only).
 
 Each query executes fully via the JVM-side noop sink (no Python collect
 overhead, no result truncation) after a small warm-up that absorbs session
@@ -181,6 +193,22 @@ HEADLINE = [
     # round-8: the JVM-built-in sibling of the grouped-Pandas demo — the
     # pair's delta IS the measured Arrow-crossing cost (VERDICT r07 #5).
     "user_gap_median_builtin",
+    # r15 (VERDICT r13 #3 via r14 #1): the 12 post-r10 catalog entries the
+    # headline never absorbed — appended after the historical series so
+    # N_CORE/N_PREFIX totals stay comparable; they join the EXTENDED
+    # single-run tier like the r07 tail absorbers.
+    "text_repetition_ngrams",
+    "text_rarity_score",
+    "dedup_prefix_filter_jaccard",
+    "behavior_bounce_rate_daily",
+    "behavior_peak_concurrency_daily",
+    "timeseries_rolling_zscore",
+    "layout_zorder_clustering",
+    "sketch_quantile_kll",
+    "sketch_quantile_merge_daily",
+    "sketch_kmv_jaccard",
+    "behavior_path_trigrams",
+    "anomaly_mad_outliers",
 ]
 
 # CORE = through the strict-TTL kernel (index of the r03-comparable set +
@@ -217,6 +245,20 @@ _BUDGET_S = 5.0
 # budget at once, and best-of-3 re-running each on the still-contended box
 # adds minutes of wall for numbers that adjudicate nothing.
 _MAX_BUDGET_ADJUDICATIONS = 5
+# Printed-line budget: the driver's stdout capture is a 2000-char tail
+# (measured: every BENCH_r01-r14 artifact stamps tail_len == 2000, and the
+# two rounds whose line exceeded it, r04/r05, never parsed). The line must
+# sit FULLY inside that tail, sharing it with whatever trailing output
+# sneaks past the final print — 180 chars of slack covers the newline plus
+# a stray shutdown WARN without giving up map coverage.
+_LINE_BUDGET = 1820
+# Totals-level drift tripwire (VERDICT r13 #2 via r14 #1): per-entry
+# tripwires can miss a broad slowdown below 2× each; core_total drifting
+# past this ratio on a QUIET box (ambient <= 1.0 — a contended box already
+# explains the drift) triggers bounded isolated re-runs of the largest
+# contributors and a stamped verdict.
+_CORE_DRIFT_RATIO = 1.10
+_MAX_CORE_DRIFT_RERUNS = 5
 # Noise band on the breach VERDICT only (VERDICT r12 #3: an isolated
 # 5.016 s = 1.003x budget carried isolated_over_budget=true for 16 ms —
 # below the best-of-3 run-to-run jitter on this box, which is ~3-5% even
@@ -238,25 +280,37 @@ def _prev_bench(root: str = _ROOT) -> dict:
     - per-round totals come from the newest ``BENCH_r{N}.json`` (the
       driver-recorded compact line; carries ``core_total``/``prefix_total``
       from r08 on), falling back to summing the committed full map in
-      ``bench_result.json`` for the bootstrap round;
-    - the per-entry ``queries`` map for the regression tripwire always
-      comes from the full map (the compact line only holds the slowest 8).
+      ``bench_result.json`` / ``BENCH_FULL_r{N}.json`` for the bootstrap
+      round;
+    - the per-entry ``queries`` map for the regression tripwire and the
+      ambient deflator comes from the full map: the LOCAL (gitignored)
+      ``bench_result.json`` when a full run wrote one this checkout, else
+      the newest COMMITTED ``BENCH_FULL_r{N}.json`` (r15, VERDICT r14 #1:
+      a fresh checkout previously fell back to the compact line's
+      slowest-8, which starved the deflator and blinded the tripwire for
+      ~100 entries on every driver run);
+    - ``compact_names`` records which entries the newest per-round COMPACT
+      line carried — the printed-line packer must keep carrying them (the
+      driver's round-over-round comparator reads only the compact lines,
+      so a name dropped from one breaks its series).
     """
     out: dict = {"round": None, "core_total": None, "prefix_total": None,
-                 "queries": {}, "source": "none"}
+                 "queries": {}, "source": "none", "compact_names": []}
+
+    def _take_full_map(queries: dict, source: str) -> None:
+        out["queries"] = queries
+        core = [q for q in HEADLINE[:N_CORE] if q in queries]
+        prefix = [q for q in HEADLINE[:N_PREFIX] if q in queries]
+        if core:
+            out["core_total"] = round(sum(queries[q] for q in core), 3)
+        if prefix:
+            out["prefix_total"] = round(sum(queries[q] for q in prefix), 3)
+        out["source"] = source
+
     try:
         with open(os.path.join(root, "bench_result.json")) as fh:
             full = json.load(fh)
-        out["queries"] = full.get("queries", {}) or {}
-        core = [q for q in HEADLINE[:N_CORE] if q in out["queries"]]
-        prefix = [q for q in HEADLINE[:N_PREFIX] if q in out["queries"]]
-        if core:
-            out["core_total"] = round(sum(out["queries"][q] for q in core), 3)
-        if prefix:
-            out["prefix_total"] = round(
-                sum(out["queries"][q] for q in prefix), 3
-            )
-        out["source"] = "bench_result.json"
+        _take_full_map(full.get("queries", {}) or {}, "bench_result.json")
     except (OSError, ValueError):
         pass
     # A dev-subset run (SPARK_GRAFT_BENCH_QUERIES) that wrote the default
@@ -265,12 +319,33 @@ def _prev_bench(root: str = _ROOT) -> dict:
     # blinds the regression tripwire for every entry it lacks (r14: a
     # 4-entry A/B leftover did exactly this to the next full run). A map
     # covering less than half the headline set is not a full-run baseline —
-    # fall through to the per-round artifact instead.
+    # fall through to the committed full artifact / per-round line instead.
     if len(out["queries"]) < max(8, len(HEADLINE) // 2):
         out["queries"] = {}
         out["core_total"] = None
         out["prefix_total"] = None
         out["source"] = "none"
+    if not out["queries"]:
+        # Committed full-map fallback (r15): the newest BENCH_FULL_r{N}.json
+        # is the previous round's closing full run, same line format as
+        # bench_result.json.
+        best_full: tuple[int, str] | None = None
+        for p in glob.glob(os.path.join(root, "BENCH_FULL_r*.json")):
+            m = re.search(r"BENCH_FULL_r(\d+)\.json$", p)
+            if m and (best_full is None or int(m.group(1)) > best_full[0]):
+                best_full = (int(m.group(1)), p)
+        if best_full is not None:
+            try:
+                with open(best_full[1]) as fh:
+                    full = json.load(fh)
+                queries = {
+                    k: v for k, v in (full.get("queries") or {}).items()
+                    if isinstance(v, (int, float))
+                }
+                if len(queries) >= max(8, len(HEADLINE) // 2):
+                    _take_full_map(queries, os.path.basename(best_full[1]))
+            except (OSError, ValueError):
+                pass
     best: tuple[int, str] | None = None
     for p in glob.glob(os.path.join(root, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
@@ -295,15 +370,22 @@ def _prev_bench(root: str = _ROOT) -> dict:
                 if isinstance(rec.get(k), (int, float)):
                     out[k] = rec[k]
                     out["source"] = os.path.basename(best[1])
-            # Tripwire baseline fallback: when the full map is missing,
-            # the compact line's slowest-8 is a PARTIAL baseline — better
-            # than an empty one (entries absent from it just aren't
-            # tripwire-checked this run).
-            if not out["queries"] and isinstance(rec.get("queries"), dict):
-                out["queries"] = {
-                    k: v for k, v in rec["queries"].items()
+            if isinstance(rec.get("queries"), dict):
+                # The packer must keep carrying every name the previous
+                # compact line had (see docstring).
+                out["compact_names"] = [
+                    k for k, v in rec["queries"].items()
                     if isinstance(v, (int, float))
-                }
+                ]
+                # Tripwire baseline fallback: when no full map is
+                # available, the compact line's packed map is a PARTIAL
+                # baseline — better than an empty one (entries absent from
+                # it just aren't tripwire-checked this run).
+                if not out["queries"]:
+                    out["queries"] = {
+                        k: v for k, v in rec["queries"].items()
+                        if isinstance(v, (int, float))
+                    }
         except (OSError, ValueError):
             pass
     return out
@@ -521,6 +603,102 @@ def _adjudicate_budget_breaches(
     return rows
 
 
+def _adjudicate_core_drift(
+    core_total: float,
+    prev_core_total: float | None,
+    ambient: float | None,
+    timings: dict[str, float],
+    prev_queries: dict[str, float],
+    rerun,
+    core_names: list[str],
+) -> dict | None:
+    """Totals-level drift tripwire (VERDICT r13 #2 via r14 #1): per-entry
+    tripwires fire at 2× each, so a broad +10-50% slowdown across the core
+    set can ship without a single flag. When core_total exceeds
+    ``_CORE_DRIFT_RATIO``× the previous round's on a box whose ambient
+    ratio reads quiet (<= 1.0 — a contended box already explains the
+    drift, and isolated re-runs on it adjudicate nothing), the largest
+    contributors get bounded isolated best-of-3 re-runs and the block
+    carries a residual verdict: ``drift_real`` is true iff the core total,
+    with each probed entry's swept time replaced by its isolated time,
+    STILL exceeds the threshold.
+
+    Returns None when no comparison is possible (no previous core total,
+    or a subset run that didn't time the full core set); otherwise a block
+    with at least {triggered, ratio}.
+    """
+    if not prev_core_total or any(q not in timings for q in core_names):
+        return None
+    ratio = round(core_total / prev_core_total, 3)
+    block: dict = {
+        "triggered": bool(
+            core_total > _CORE_DRIFT_RATIO * prev_core_total
+            and ambient is not None
+            and ambient <= 1.0
+        ),
+        "ratio": ratio,
+        "threshold": _CORE_DRIFT_RATIO,
+    }
+    if not block["triggered"]:
+        return block
+    # Rank core entries by absolute contribution to the drift (fall back
+    # to swept time when the previous full map lacks the entry).
+    deltas = sorted(
+        (
+            (timings[q] - prev_queries.get(q, 0.0), q)
+            for q in core_names
+        ),
+        reverse=True,
+    )
+    rows: list[dict] = []
+    explained = 0.0
+    for _delta, q in deltas[:_MAX_CORE_DRIFT_RERUNS]:
+        iso = rerun(q)
+        row = {"entry": q, "swept_s": timings[q], "isolated_s": iso}
+        if q in prev_queries:
+            row["prev_s"] = prev_queries[q]
+        rows.append(row)
+        explained += max(0.0, timings[q] - iso)
+    block["rows"] = rows
+    block["residual_core_total"] = round(core_total - explained, 3)
+    block["drift_real"] = bool(
+        block["residual_core_total"] > _CORE_DRIFT_RATIO * prev_core_total
+    )
+    return block
+
+
+def _pack_compact_queries(
+    compact: dict,
+    timings: dict[str, float],
+    prev_compact_names: list[str],
+    budget: int = _LINE_BUDGET,
+) -> None:
+    """Fill ``compact["queries"]`` with as many per-entry timings as the
+    line budget allows (VERDICT r14 #1: the old slowest-8 map gave the
+    driver's round-over-round comparator an almost-empty intersection —
+    PERF_r14 compared 2 queries).
+
+    Priority order: (1) every entry the PREVIOUS round's compact line
+    carried that this run timed — the driver compares compact lines, so a
+    name present last round must never vanish from this one while still
+    being timed; (2) everything else slowest-first, the regression-
+    relevant tail. Greedy fill against the serialized line length; entries
+    are appended in priority order and the first overflow stops the fill
+    (names are of similar length, so smarter packing buys ~1 entry at the
+    cost of a nondeterministic map).
+    """
+    guaranteed = [q for q in prev_compact_names if q in timings]
+    compact["queries"] = {q: timings[q] for q in guaranteed}
+    seen = set(guaranteed)
+    for q in sorted(timings, key=lambda k: -timings[k]):
+        if q in seen:
+            continue
+        compact["queries"][q] = timings[q]
+        if len(json.dumps(compact)) > budget:
+            del compact["queries"][q]
+            break
+
+
 def _unload_state_providers(spark) -> None:
     """Drop every loaded state-store provider and its maintenance thread.
 
@@ -684,6 +862,17 @@ def main() -> None:
         timings, regressions, isolated_rerun, drains,
         systemic=bool(contention and contention["systemic_contention"]),
     )
+    # Totals-level drift tripwire (VERDICT r13 #2 via r14 #1): catches the
+    # broad-but-under-2×-each core slowdown the per-entry tripwire can't.
+    core_drift = _adjudicate_core_drift(
+        core_total,
+        prev["core_total"],
+        ambient,
+        timings,
+        prev["queries"],
+        isolated_rerun,
+        HEADLINE[:N_CORE],
+    )
     # Streaming-specific ambient: the batch-dominated median above cannot
     # clear wall-clock-sensitive drains; this one is the median over the
     # shared-drain participants only (min_common=4 — there are ~10).
@@ -717,6 +906,8 @@ def main() -> None:
     }
     if contention is not None:
         result["contention"] = contention
+    if core_drift is not None:
+        result["core_drift"] = core_drift
     # Throughput reflects the PRODUCTION recipe (update-mode, watermark-
     # evicting state — VERDICT r03 #4), falling back to the complete-mode
     # harness only if the update entry was excluded from a subset run.
@@ -752,7 +943,6 @@ def main() -> None:
     with open(out_path, "w") as fh:
         fh.write(full_line + "\n")
     worst = max(timings, key=timings.get)
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
     compact = {
         "metric": result["metric"],
         "value": total,
@@ -791,15 +981,22 @@ def main() -> None:
         "n_breaches_unadjudicated": sum(
             1 for r in budget_breaches if "isolated_over_budget" not in r
         ),
-        # Only the slowest 8 make the printed line; the full map is in
-        # bench_result.json (queries_full points the reader there).
-        "queries": slowest,
+        # The packer fills this below — as many per-entry timings as the
+        # line budget allows; the full map is in bench_result.json
+        # (queries_full points the reader there).
+        "queries": {},
         "queries_full": os.path.basename(out_path),
     }
     if contention is not None:
         # The systemic-slowdown verdict must ride the driver-recorded line
         # (the probe detail lives in the full artifact).
         compact["systemic_contention"] = contention["systemic_contention"]
+    if core_drift is not None:
+        # Totals-drift verdict rides the line; the probe rows live in the
+        # full artifact.
+        compact["core_drift"] = core_drift["triggered"]
+        if core_drift["triggered"]:
+            compact["core_drift_real"] = core_drift.get("drift_real")
     for k in (
         "streaming_events_per_sec",
         "streaming_events_per_sec_query",
@@ -807,24 +1004,29 @@ def main() -> None:
     ):
         if k in result:
             compact[k] = result[k]
-    # <1 KB line contract (the driver keeps a bounded stdout tail): shrink
-    # instead of asserting (ADVICE r07's scalecheck finding applies here
-    # too) — drop slowest-map entries, then the pointer keys, and finally
-    # (ADVICE r08: the drops alone had no guarantee) fall back to a minimal
-    # fixed-key core whose size is bounded by construction.
+    # Pack the per-entry map LAST so it absorbs exactly the space the
+    # fixed keys leave under the budget (VERDICT r14 #1).
+    _pack_compact_queries(compact, timings, prev["compact_names"])
+    # Line-budget contract (the driver keeps a 2000-char stdout tail —
+    # see the module docstring): shrink instead of asserting (ADVICE r07's
+    # scalecheck finding applies here too) — drop packed-map entries, then
+    # the pointer keys, and finally (ADVICE r08: the drops alone had no
+    # guarantee) fall back to a minimal fixed-key core whose size is
+    # bounded by construction.
     line = json.dumps(compact)
-    while len(line) >= 1000 and compact["queries"]:
+    while len(line) > _LINE_BUDGET and compact["queries"]:
         compact["queries"].popitem()
         line = json.dumps(compact)
-    if len(line) >= 1000:
+    if len(line) > _LINE_BUDGET:
         compact.pop("queries_full", None)
         compact.pop("drain_sums", None)
         line = json.dumps(compact)
-    if len(line) >= 1000:
+    if len(line) > _LINE_BUDGET:
         minimal_keys = (
             "metric", "value", "unit", "sf", "n_queries", "worst_sec",
             "core_total", "prefix_total", "n_regressions",
-            "ambient_ratio", "systemic_contention",
+            "ambient_ratio", "systemic_contention", "core_drift",
+            "core_drift_real",
             "n_budget_breaches", "n_isolated_over_budget",
             "n_breaches_unadjudicated",
         )

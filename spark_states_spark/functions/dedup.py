@@ -592,6 +592,34 @@ def _unpersist_rdd_ids(spark: SparkSession, ids) -> None:
         pass
 
 
+# Per-query localCheckpoint hygiene (ADVICE r14): entries that materialize
+# an intermediate for ONE query execution (triangle_count's edge list,
+# pagerank's, the chi2 token counts) cannot release their blocks eagerly —
+# the returned lazy frame still reads them — and leaving release to the JVM
+# weak-ref cleaner piles up pinned copies across bench best-of-N reps and
+# scaleprobe replicas. One slot per call site: invocation N+1 releases
+# invocation N's blocks before pinning its own, so at most one generation
+# per site is ever pinned.
+_SCOPED_CKPT_SLOTS: dict[str, frozenset] = {}
+
+
+def scoped_local_checkpoint(df: DataFrame, slot: str) -> DataFrame:
+    """Eager localCheckpoint whose pinned blocks are released by the NEXT
+    invocation with the same ``slot`` (ids also tagged on the frame, the
+    shared-memo convention, for callers that release earlier)."""
+    spark = df.sparkSession
+    prev = _SCOPED_CKPT_SLOTS.pop(slot, None)
+    if prev:
+        _unpersist_rdd_ids(spark, prev)
+    ids_pre = _persistent_rdd_ids(spark)
+    out = df.localCheckpoint()
+    ids = frozenset(_persistent_rdd_ids(spark) - ids_pre)
+    if ids:
+        _SCOPED_CKPT_SLOTS[slot] = ids
+    out._local_ckpt_rdd_ids = ids
+    return out
+
+
 @register(
     "dedup_cluster_connected_components",
     oracle=f"""

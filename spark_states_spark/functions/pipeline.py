@@ -702,20 +702,46 @@ def source_divergence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid is |sources| × K rows (linear), the vocab is a bounded top-K
     (swap in the Misra-Gries candidates at 100 TB), and every join key is
     bounded.
+
+    Single-pass restructure (r15, guide §1.2/§2.4 — A/B'd row-identical in
+    r14, landed this round): everything derives from ONE token explode +
+    ONE (source, token) aggregation, materialized per query execution
+    (scoped localCheckpoint, the triangle_count discipline). The corpus
+    vocabulary is the per-source counts re-aggregated by token (sum of
+    per-source counts == corpus count), and the source list is the
+    aggregate's own key set. The materialization is required for the
+    single pass: without it Catalyst's aggregate pruning rewrites the
+    vocab / distinct-source references into fresh aggregations over the
+    scan (the r15 before-plan executes 3 ``Scan parquet`` + 3 ``Generate``
+    even with AQE exchange reuse); with it the after-plan reads the
+    checkpointed counts for every reference — the documents table is
+    scanned and tokenized ONCE. A document whose text yields zero tokens
+    contributes no rows either way, so the derived source set is
+    identical to the old post-explode DISTINCT. The checkpointed frame is
+    |sources| × |distinct tokens per source| COUNT rows — the decision
+    data, never the corpus (guide §8's lightweight-proxy rule).
     """
-    toks = load_table(spark, sf_dir, "documents").select(
-        "source", F.explode(F.expr(SPARK_TOKS.format(col="text"))).alias("token")
+    from .dedup import scoped_local_checkpoint
+
+    per_src = scoped_local_checkpoint(
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(F.expr(SPARK_TOKS.format(col="text"))).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("o")),
+        "chi2_per_src",
     )
     vocab = (
-        toks.groupBy("token")
-        .agg(F.count("*").alias("cc"))
+        per_src.groupBy("token")
+        .agg(F.sum("o").alias("cc"))
         .orderBy(F.col("cc").desc(), "token")
         .limit(_CHI2_VOCAB_K)
     )
     nv = vocab.agg(F.sum("cc").alias("Nv"))
-    per_src = toks.groupBy("source", "token").agg(F.count("*").alias("o"))
     grid = (
-        toks.select("source")
+        per_src.select("source")
         .distinct()
         .crossJoin(F.broadcast(vocab))
         .join(per_src, ["source", "token"], "left")

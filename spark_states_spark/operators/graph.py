@@ -120,8 +120,13 @@ def triangle_count(e: DataFrame) -> DataFrame:
     (degree count twice via unionAll, orientation, closing join, edge
     count) and without the cut each reference re-ran the upstream edge
     generator (r14, guide §1.2 — measured 1.00 → 0.77 s at sf0.1).
+    Scoped (ADVICE r14): each invocation releases the previous one's
+    pinned edge-list blocks, so bench best-of-N / scaleprobe replicas
+    don't accumulate copies until the JVM weak-ref cleaner fires.
     """
-    e = e.localCheckpoint()
+    from ..functions.dedup import scoped_local_checkpoint
+
+    e = scoped_local_checkpoint(e, "graph_triangle_edges")
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))
@@ -222,8 +227,11 @@ def pagerank_fixedpoint(edges: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
     returns (v, r) with r the BIGINT rank after ``iters`` iterations.
     Exposed separately so the integer-arithmetic kernel is testable on
     known graphs (paths, stars) independent of the fixture edge generator.
+    Scoped checkpoint: same block-release discipline as triangle_count.
     """
-    e = edges.localCheckpoint()
+    from ..functions.dedup import scoped_local_checkpoint
+
+    e = scoped_local_checkpoint(edges, "graph_pagerank_edges")
     und = e.select(
         F.explode(
             F.array(

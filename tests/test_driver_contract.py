@@ -439,6 +439,106 @@ def test_bench_prev_baseline_reads_driver_wrapper(tmp_path):
     assert prev["queries"] == {"streaming_topk_per_day": 14.902}
 
 
+def test_bench_prev_baseline_reads_committed_full_artifact(tmp_path):
+    """r15 (VERDICT r14 #1): with no local bench_result.json, the newest
+    committed BENCH_FULL_r{N}.json supplies the full per-entry baseline —
+    the ambient deflator and the tripwire must not be starved down to the
+    compact line's packed map on a fresh checkout."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    full_map = {name: 1.0 for name in bench.HEADLINE}
+    (tmp_path / "BENCH_FULL_r14.json").write_text(json.dumps({
+        "queries": full_map
+    }))
+    (tmp_path / "BENCH_r14.json").write_text(json.dumps({
+        "n": 14, "rc": 0, "parsed": {
+            "core_total": 41.266, "prefix_total": 174.401,
+            "queries": {"streaming_topk_per_day": 14.902},
+        },
+    }))
+    prev = bench._prev_bench(str(tmp_path))
+    assert prev["queries"] == full_map
+    # Per-round artifact still outranks for the totals once it has them.
+    assert prev["core_total"] == 41.266
+    # The packer's keep-carrying contract reads the COMPACT line's names.
+    assert prev["compact_names"] == ["streaming_topk_per_day"]
+    # A subset BENCH_FULL (pathological) is rejected like a subset local map.
+    (tmp_path / "BENCH_FULL_r15.json").write_text(json.dumps({
+        "queries": {"q1_pricing_summary": 1.0}
+    }))
+    prev = bench._prev_bench(str(tmp_path))
+    assert prev["queries"] == {"streaming_topk_per_day": 14.902}
+
+
+def test_bench_compact_query_packer_keeps_prev_names_and_budget():
+    """r15 (VERDICT r14 #1): the packed map must (a) carry every entry the
+    previous compact line had, (b) then fill slowest-first, (c) never
+    exceed the line budget."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    timings = {f"entry_{i:03d}": float(i) for i in range(120)}
+    compact = {"metric": "headline_total", "value": 1.0, "queries": {}}
+    prev_names = ["entry_001", "entry_002", "missing_entry"]
+    bench._pack_compact_queries(compact, timings, prev_names, budget=400)
+    line = json.dumps(compact)
+    assert len(line) <= 400
+    # Guaranteed names (that were timed) are present despite being fast.
+    assert "entry_001" in compact["queries"]
+    assert "entry_002" in compact["queries"]
+    assert "missing_entry" not in compact["queries"]
+    # The rest of the space went to the slowest entries.
+    assert "entry_119" in compact["queries"]
+    assert len(compact["queries"]) > 3
+
+
+def test_bench_core_drift_adjudicator():
+    """r15 (VERDICT r13 #2 via r14 #1): core-total drift on a quiet box
+    triggers bounded isolated re-runs and a residual verdict; a contended
+    box (ambient > 1.0) or an under-threshold total does not."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    core = [f"c{i}" for i in range(8)]
+    prev_q = {q: 1.0 for q in core}
+    # Broad +30% drift, each entry under the 2x per-entry tripwire.
+    timings = {q: 1.3 for q in core}
+    reruns = []
+
+    def rerun(name):
+        reruns.append(name)
+        return 1.0  # isolated numbers land back at baseline
+
+    block = bench._adjudicate_core_drift(
+        10.4, 8.0, 0.95, timings, prev_q, rerun, core
+    )
+    assert block["triggered"] is True
+    assert len(reruns) == bench._MAX_CORE_DRIFT_RERUNS
+    assert len(block["rows"]) == bench._MAX_CORE_DRIFT_RERUNS
+    # 5 of 8 entries re-measured at 1.0 explains 1.5s: residual 8.9 ≤ 8.8
+    # fails... residual = 10.4 - 5*0.3 = 8.9 > 8.0*1.10 = 8.8 → still real.
+    assert block["residual_core_total"] == 8.9
+    assert block["drift_real"] is True
+    # Quiet box, small drift: no trigger, ratio still stamped.
+    block = bench._adjudicate_core_drift(
+        8.2, 8.0, 0.95, timings, prev_q, lambda n: 1.0, core
+    )
+    assert block["triggered"] is False and block["ratio"] == 1.025
+    # Contended box: the ambient ratio already explains the drift.
+    block = bench._adjudicate_core_drift(
+        10.4, 8.0, 1.3, timings, prev_q, lambda n: 1.0, core
+    )
+    assert block["triggered"] is False
+    # No baseline, or a subset run that didn't time the core set: None.
+    assert bench._adjudicate_core_drift(
+        10.4, None, 0.95, timings, prev_q, lambda n: 1.0, core
+    ) is None
+    assert bench._adjudicate_core_drift(
+        10.4, 8.0, 0.95, {"c0": 1.3}, prev_q, lambda n: 1.0, core
+    ) is None
+
+
 def test_entry_returns_rows(spark, sf_dir_small):
     mod = _load_entry()
     df = mod.entry(spark)
@@ -468,8 +568,11 @@ def test_bench_emits_json_line(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     line = out.stdout.strip().splitlines()[-1]
-    # The printed line is the driver's bounded-tail capture target: compact.
-    assert len(line) < 1000
+    # The printed line is the driver's bounded-tail capture target (a
+    # measured 2000-char tail; _LINE_BUDGET leaves slack for trailing
+    # shutdown noise — see bench.py's module docstring).
+    import bench
+    assert len(line) <= bench._LINE_BUDGET
     payload = json.loads(line)
     assert payload["metric"] == "headline_total"
     assert payload["unit"] == "sec"
