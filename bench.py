@@ -804,6 +804,13 @@ def main() -> None:
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     headline = [q for q in HEADLINE if q in subset.split(",")] if subset else HEADLINE
     spark = build_session(app_name="spark_states_bench")
+    # Throughput default for the ENGINE's own timed paths (r14 Change 2 /
+    # ADVICE r14 scoping): per-put row-count tracking off; library
+    # sessions keep Spark's default metric semantics (session.py note).
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+        "false",
+    )
     warm_up(spark, SF_DIR)  # session init + codegen + replay-order guard
 
     timings: dict[str, float] = {}

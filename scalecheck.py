@@ -172,6 +172,13 @@ def main() -> int:
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
+    # Engine-path throughput default (r14 Change 2 / ADVICE r14 scoping):
+    # tracking off for the gate's timed drains; library sessions keep
+    # Spark's default metric semantics (session.py note).
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+        "false",
+    )
     con = duckdb_con(SF_DIR)
     # Content-keyed DuckDB-result cache (VERDICT r10 #5): the oracle side
     # was ~1/3 of the 309 s gate and grows with the catalog; the cache key

@@ -660,6 +660,12 @@ def main() -> int:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
+    # Engine-path throughput default (r14 Change 2 / ADVICE r14 scoping):
+    # see session.py's note on rocksdb.trackTotalNumberOfRows.
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
+        "false",
+    )
     scaled_dir = tempfile.mkdtemp(prefix="scaleprobe_")
     n_adjudicated = 0
     prev_entries = previous_probe_entries(rnd, FACTOR)

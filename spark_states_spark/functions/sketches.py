@@ -510,7 +510,11 @@ def streaming_hll_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     let the oracle verify the estimate).
     """
     from ..sources import chunked_stream
-    from ..streaming.queries import STATE_PARTS, _with_state_parts
+    from ..streaming.queries import (
+        STATE_PARTS,
+        _fixture_state_parts,
+        _with_state_parts,
+    )
     from ..streaming.runner import run_stream_to_table
     from .hashes import spark_h32
 
@@ -532,7 +536,7 @@ def streaming_hll_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4 chunks × STATE_PARTS partitions: per-batch store open/commit is the
     # whole cost here (the state is ≤4096 register rows); 4 batches still
     # prove the cross-batch register fold.
-    drained = _with_state_parts(spark, STATE_PARTS, run)
+    drained = _with_state_parts(spark, _fixture_state_parts(spark, STATE_PARTS), run)
     reg = drained.groupBy("bucket").agg(F.max("rho").alias("rho"))
     s = reg.agg(
         F.count("*").alias("n_occupied"),

@@ -41,6 +41,59 @@ _LOCAL_DEFAULTS = {
 }
 
 
+# Capacity gate for RAM-backed scratch (r15, VERDICT r14 #3 / ADVICE r14):
+# in default Docker containers /dev/shm is 64 MiB, and tmpfs generally sits
+# well below disk size — shuffle files and RocksDB working dirs there fail
+# with ENOSPC (or pressure the page cache into OOM) in environments where a
+# disk-backed /tmp would have worked. The floor is deliberately generous
+# relative to this harness's scratch profile (sf0.1 inputs are ~17 MB; the
+# 100x scaleprobe replica ~1.7 GB) while still rejecting every
+# small-tmpfs environment the advice describes.
+_SHM_MIN_FREE_GIB = 8.0
+_SHM_SF_MULTIPLE = 4.0
+
+
+def _dir_size_bytes(path: str) -> int:
+    """Total size of the regular files directly under ``path`` (the flat
+    fixture layout); 0 when unreadable — callers treat 0 as "unknown"."""
+    try:
+        total = 0
+        for f in os.listdir(path):
+            fp = os.path.join(path, f)
+            if os.path.isfile(fp):
+                total += os.path.getsize(fp)
+        return total
+    except OSError:
+        return 0
+
+
+def shm_scratch_root() -> str | None:
+    """``/dev/shm`` when it is present, writable AND has the headroom for
+    this workload's scratch; None otherwise (callers fall back to the
+    disk-backed tempdir). The gate (ADVICE r14: statvfs free bytes above a
+    threshold): free space must clear max(_SHM_MIN_FREE_GIB GiB — env
+    ``SPARK_GRAFT_SHM_MIN_FREE_GIB`` overrides — and _SHM_SF_MULTIPLE x
+    the $SPARK_GRAFT_SF_DIR input size when that dir resolves), since
+    shuffle/spill scratch scales with input. A static build-time check is
+    necessarily a heuristic — the override and the fallback keep it safe
+    in both directions."""
+    shm = "/dev/shm"
+    if not (os.path.isdir(shm) and os.access(shm, os.W_OK)):
+        return None
+    try:
+        st = os.statvfs(shm)
+        free = st.f_bavail * st.f_frsize
+    except OSError:
+        return None
+    min_free = float(
+        os.environ.get("SPARK_GRAFT_SHM_MIN_FREE_GIB", _SHM_MIN_FREE_GIB)
+    ) * (1 << 30)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
+    if sf_dir and os.path.isdir(sf_dir):
+        min_free = max(min_free, _SHM_SF_MULTIPLE * _dir_size_bytes(sf_dir))
+    return shm if free >= min_free else None
+
+
 def use_rocksdb_state_store(builder: SparkSession.Builder) -> SparkSession.Builder:
     """Configure a builder to use the RocksDB state store provider.
 
@@ -61,25 +114,17 @@ def use_rocksdb_state_store(builder: SparkSession.Builder) -> SparkSession.Build
         .config("spark.sql.streaming.stateStore.rocksdb.writeBufferSizeMB", "64")
         .config("spark.sql.streaming.stateStore.rocksdb.maxWriteBufferNumber", "3")
         .config("spark.sql.streaming.stateStore.rocksdb.compression", "lz4")
-        # Row-count tracking OFF by default (optimization r14): with it on,
-        # every put/delete pays an extra RocksDB point lookup solely to
-        # maintain the numRowsTotal/numRowsRemoved observability counters —
-        # Spark's own structured-streaming docs call this out as the knob
-        # for write-heavy state. Measured on this harness (order-balanced
-        # A/B, OPTIMIZATION_r14.md Change 2): state commit is >50% of a
-        # chunked drain's wall; disabling tracking reads wall
-        # flat-to-slightly-better (never worse) with the mechanism visible
-        # in stateOperators.commitTimeMs — −8% on the RAM-backed checkpoint
-        # path, −37% on the disk-backed path where the extra point-gets
-        # interact with changelog fsyncs; the upside grows with state
-        # volume. Query RESULTS are unaffected — eviction
-        # still happens; only the counters read -1. Metric consumers
-        # (streaming.metrics facade, the eviction-metric tests) opt back
-        # in per-session/per-test with this conf set to "true".
-        .config(
-            "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows",
-            "false",
-        )
+        # NOTE (r15, ADVICE r14): rocksdb.trackTotalNumberOfRows is NO
+        # LONGER flipped here. The r14 throughput default (tracking off —
+        # every put/delete otherwise pays an extra RocksDB point lookup
+        # solely for the numRowsTotal/numRowsRemoved counters) made every
+        # library user of build_session see -1 on the lastProgress metrics
+        # surface that streaming/metrics.py documents as the parity answer
+        # to the reference's StateStore.metrics. The throughput default now
+        # lives only in the ENGINE's own entry paths (__spark_entry__
+        # _ensure_conf, bench.py, scalecheck.py, scaleprobe.py — the conf
+        # is runtime-settable and read at query start), so library
+        # sessions keep Spark's documented metric semantics.
     )
 
 
@@ -111,13 +156,15 @@ def build_session(
     # bandwidth can be the shuffle's tighter limit). On this harness /tmp
     # is disk-backed ext4 while the box has 128 GiB RAM, so a RAM-backed
     # scratch dir is the local equivalent of the NVMe scratch volumes a
-    # production cluster mounts for spark.local.dir. Data here is MBs —
-    # far below any RAM-pressure concern; a real deployment sets its own
-    # spark.local.dir per node. Env-overridable; static conf, so it only
+    # production cluster mounts for spark.local.dir. Capacity-gated (r15,
+    # VERDICT r14 #3: a small tmpfs must fall back to the disk tempdir,
+    # see shm_scratch_root). Env-overridable; static conf, so it only
     # applies when this process launches the JVM.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if local_dir is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
-        local_dir = "/dev/shm/sss_spark_local"
+    if local_dir is None:
+        shm = shm_scratch_root()
+        if shm is not None:
+            local_dir = os.path.join(shm, "sss_spark_local")
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
     if rocksdb_state:

@@ -58,20 +58,35 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _parquet_files(path: str):
+    """Yield every ``*.parquet`` under ``path``, recursing into
+    subdirectories (ADVICE r14: the flat listdir reported 0 rows / 0
+    splits for hive-partitioned or nested layouts, silently no-opping the
+    fan-out and corrupting the row-count metadata other callers rely on).
+    Raises for a directory containing NO parquet files — a caller probing
+    one is pointing at the wrong path, and 0 would propagate as a silently
+    wrong sizing everywhere downstream."""
+    found = False
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                found = True
+                yield os.path.join(root, f)
+    if not found:
+        raise FileNotFoundError(f"no *.parquet files under {path!r}")
+
+
 def parquet_row_count(path: str) -> int:
     """Exact row count from parquet FOOTER metadata — no Spark job, no data
     read (ADVICE r09: the KV drains ran a full ``load_table(...).count()``
     scan per memo-miss solely to pick their sink/partition knobs). Handles
-    both a single fixture file and a directory of part files (the scale
-    probe's Spark-written replicas)."""
+    a single fixture file, a directory of part files (the scale probe's
+    Spark-written replicas), and nested/hive-partitioned layouts
+    (ADVICE r14)."""
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
-        return sum(
-            pq.read_metadata(os.path.join(path, f)).num_rows
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        )
+        return sum(pq.read_metadata(f).num_rows for f in _parquet_files(path))
     return pq.read_metadata(path).num_rows
 
 
@@ -104,11 +119,10 @@ def parquet_split_count(path: str, cap: int = 1 << 10) -> int:
 
     if os.path.isdir(path):
         total = 0
-        for f in os.listdir(path):
-            if f.endswith(".parquet"):
-                total += pq.read_metadata(os.path.join(path, f)).num_row_groups
-                if total >= cap:
-                    return total
+        for f in _parquet_files(path):
+            total += pq.read_metadata(f).num_row_groups
+            if total >= cap:
+                return total
         return total
     return pq.read_metadata(path).num_row_groups
 

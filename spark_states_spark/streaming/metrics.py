@@ -7,9 +7,12 @@ modern Spark actually reports: ``StreamingQuery.lastProgress
 ["stateOperators"]`` carries real per-operator state metrics from the
 RocksDB provider.
 
-Note (r14): the engine session disables RocksDB row-count tracking by
-default for commit speed (session.py) — with it off, ``numRowsTotal``
-reads -1. Sessions that consume these counters set
+Note (r14, re-scoped r15 per ADVICE r14): the ENGINE's own entry paths
+(__spark_entry__, bench.py, scalecheck.py, scaleprobe.py) disable RocksDB
+row-count tracking for commit speed — with it off, ``numRowsTotal`` reads
+-1. Library sessions built via ``session.build_session`` keep Spark's
+default (tracking ON), so this façade reports real counters there; a
+consumer inside the engine paths opts back in with
 ``spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows=true``
 (runtime-settable; read at query start).
 """

@@ -229,7 +229,7 @@ def streaming_hourly_agg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = windowed_counts(chunked_stream(spark, sf_dir, "events"), "1 hour")
         return run_stream_to_table(agg, output_mode="update")
 
-    out = _with_state_parts(spark, STATE_PARTS, run)
+    out = _with_state_parts(spark, _fixture_state_parts(spark, STATE_PARTS), run)
     return (
         out.groupBy("window_start", "event_type")
         .agg(F.max(F.struct("n_events", "sum_value")).alias("fin"))
@@ -312,7 +312,7 @@ def streaming_late_arrival_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             with_progress=True,
         )
 
-    out, progress = _with_state_parts(spark, STATE_PARTS, run)
+    out, progress = _with_state_parts(spark, _fixture_state_parts(spark, STATE_PARTS), run)
     dropped = sum(
         op.get("numRowsDroppedByWatermark", 0)
         for p in progress
@@ -651,7 +651,7 @@ def streaming_sliding_window_update(spark: SparkSession, sf_dir: str) -> DataFra
         )
         return run_stream_to_table(agg, output_mode="update")
 
-    out = _with_state_parts(spark, STATE_PARTS, run)
+    out = _with_state_parts(spark, _fixture_state_parts(spark, STATE_PARTS), run)
     return (
         out.groupBy("window_start", "event_type")
         .agg(F.max("n_events").alias("n_events"))
@@ -931,7 +931,8 @@ def _ij_state_parts(
     base = STATE_PARTS if fixture_parts is None else fixture_parts
     n_rows = parquet_row_count(table_path(sf_dir, "events"))
     if n_rows <= _KV_SCALE_ROWS:
-        return base
+        # Fixture tier: capped at the core count (r15, _fixture_state_parts).
+        return _fixture_state_parts(spark, base)
     return max(base, int(spark.sparkContext.defaultParallelism))
 
 
@@ -1038,6 +1039,26 @@ def _interval_join_solo(spark: SparkSession, sf_dir: str, how: str) -> DataFrame
 STATE_PARTS = 4
 
 
+def _fixture_state_parts(spark: SparkSession, tuned: int) -> int:
+    """Fixture-tier state-partition count, derived from the session's core
+    count instead of a bare constant (r15, VERDICT r14 #4): each
+    micro-batch pays a fixed store open+commit PER PARTITION, so partitions
+    beyond the core count buy no parallelism and still pay that fixed cost
+    in serial waves — the r14 8-core companion artifact measured the
+    16-partition KV drains WORSE at 8 cores (wallclock 5.21 s) than at 32
+    (4.49 s). ``tuned`` is the fixture-scale sizing measured on the 32-core
+    harness (16 for the KV drains, STATE_PARTS=4 for the chunked replays);
+    the cap makes small boxes stop over-paying while leaving every >=16-
+    resp. >=4-core session byte-identical. r15 matrix re-measurement
+    (4/8/16 parts at 8 and 32 cores) is in OPTIMIZATION_r15.md.
+    ``SPARK_GRAFT_FIXTURE_STATE_PARTS`` overrides for deployment tuning
+    and for the matrix measurements themselves."""
+    forced = os.environ.get("SPARK_GRAFT_FIXTURE_STATE_PARTS")
+    if forced:
+        return int(forced)
+    return max(1, min(tuned, int(spark.sparkContext.defaultParallelism)))
+
+
 def _with_state_parts(spark: SparkSession, n: int, fn):
     """Run ``fn()`` with the state-partition count pinned to ``n`` (the
     per-query deployment knob documented on streaming_interval_join)."""
@@ -1062,9 +1083,10 @@ def _kv_state_parts(spark: SparkSession, n_rows: int) -> int:
     should host a state partition (measured at the 100× decade, r09:
     see BASELINE.md). On a real cluster this knob is
     ``spark.sql.shuffle.partitions`` sized to executor cores, exactly as
-    here."""
+    here. The fixture tier is additionally capped at the core count
+    (r15, see :func:`_fixture_state_parts`)."""
     if n_rows <= _KV_SCALE_ROWS:
-        return 16
+        return _fixture_state_parts(spark, 16)
     return max(16, int(spark.sparkContext.defaultParallelism))
 
 
@@ -2244,7 +2266,7 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return run_stream_to_table(agg, output_mode="update")
 
-    out = _with_state_parts(spark, STATE_PARTS, run)
+    out = _with_state_parts(spark, _fixture_state_parts(spark, STATE_PARTS), run)
     fin = out.groupBy("user_id").agg(F.max("m").alias("m"))
     return fin.select(
         "user_id",
@@ -2298,7 +2320,7 @@ def streaming_topk_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return run_stream_to_table(agg, output_mode="update")
 
-    out = _with_state_parts(spark, STATE_PARTS, run)
+    out = _with_state_parts(spark, _fixture_state_parts(spark, STATE_PARTS), run)
     fin = out.groupBy("window_start", "event_type").agg(
         F.max("n_events").alias("n_events")
     )
@@ -2378,7 +2400,7 @@ def streaming_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return run_stream_to_table(long, output_mode="update")
 
-    out = _with_state_parts(spark, STATE_PARTS, run)
+    out = _with_state_parts(spark, _fixture_state_parts(spark, STATE_PARTS), run)
     return out.groupBy("check_name").agg(F.max("n").alias("n"))
 
 
@@ -2900,7 +2922,7 @@ def streaming_ohlc_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             output_mode="update",
         )
 
-    out = _with_state_parts(spark, STATE_PARTS, run)
+    out = _with_state_parts(spark, _fixture_state_parts(spark, STATE_PARTS), run)
     return (
         out.groupBy("day")
         .agg(F.max(F.struct("n_trades", "open", "high", "low", "close")).alias("fin"))

@@ -124,6 +124,33 @@ def test_parquet_row_count_matches_footer_metadata(tmp_path):
     assert parquet_row_count(str(d)) == 5
 
 
+def test_parquet_metadata_handles_nested_layouts(tmp_path):
+    """ADVICE r14: a hive-partitioned / nested directory layout must count
+    its files (the flat listdir silently reported 0 rows, no-opping the
+    fan-out and corrupting caller metadata), and a directory with NO
+    parquet files must fail loudly instead of reporting 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from spark_states_spark.sources.tables import (
+        parquet_row_count,
+        parquet_split_count,
+    )
+
+    d = tmp_path / "hive.parquet"
+    (d / "lang=en").mkdir(parents=True)
+    (d / "lang=fr").mkdir(parents=True)
+    pq.write_table(pa.table({"a": [1, 2]}), str(d / "lang=en" / "p0.parquet"))
+    pq.write_table(pa.table({"a": [3, 4, 5]}), str(d / "lang=fr" / "p0.parquet"))
+    assert parquet_row_count(str(d)) == 5
+    assert parquet_split_count(str(d)) == 2
+    empty = tmp_path / "empty.parquet"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError):
+        parquet_row_count(str(empty))
+
+
 def test_ij_sink_and_state_parts_follow_the_kv_size_gate(
     sf_dir_small, monkeypatch
 ):

@@ -26,10 +26,12 @@ def test_rocksdb_provider_is_active(spark):
 def test_state_metrics_from_streaming_agg(spark, sf_dir_small, tmp_path):
     """lastProgress exposes state rows/memory for a stateful query —
     the engine's answer to StateStore.metrics (Provider.scala:282-283)."""
-    # num_rows_total needs the row-count tracking the engine session turns
-    # off by default for commit speed (session.py, r14) — opt back in.
+    # num_rows_total needs the row-count tracking the engine's timed paths
+    # turn off for commit speed (session.py note, r14/r15) — opt in
+    # explicitly. conf.get default: the conf may be UNSET in a library
+    # session (r15 re-scope), and Spark's own default is true.
     track = "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
-    saved_track = spark.conf.get(track)
+    saved_track = spark.conf.get(track, "true")
     spark.conf.set(track, "true")
     try:
         events = read_stream(spark, sf_dir_small, "events")

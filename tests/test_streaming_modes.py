@@ -14,10 +14,12 @@ _TRACK = "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
 
 @pytest.fixture(autouse=True)
 def _row_count_metrics(spark):
-    """These tests assert on numRowsTotal/numRowsRemoved, which the engine
-    session disables by default for commit speed (session.py, r14): opt the
-    counters back in for the duration of each test here."""
-    saved = spark.conf.get(_TRACK)
+    """These tests assert on numRowsTotal/numRowsRemoved, which the
+    engine's timed paths disable for commit speed (session.py note,
+    r14/r15): opt the counters back in for the duration of each test here.
+    conf.get default: the conf may be unset in a library session (r15
+    re-scope); Spark's own default is true."""
+    saved = spark.conf.get(_TRACK, "true")
     spark.conf.set(_TRACK, "true")
     yield
     spark.conf.set(_TRACK, saved)

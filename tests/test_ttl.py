@@ -277,10 +277,11 @@ def test_wallclock_timeout_fires_without_traffic(spark, tmp_path):
     """
     from spark_states_spark.streaming.ttl import ttl_kv_ops_wallclock
 
-    # Phase 2 below polls numRowsTotal, which the engine session disables
-    # by default for commit speed (session.py, r14) — opt back in here.
+    # Phase 2 below polls numRowsTotal, which the engine's timed paths
+    # disable for commit speed (session.py note, r14/r15) — opt in here.
+    # conf.get default: the conf may be unset in a library session.
     track = "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
-    saved_track = spark.conf.get(track)
+    saved_track = spark.conf.get(track, "true")
     spark.conf.set(track, "true")
 
     src = _write_batches(tmp_path, [[("a", "put", 7, 0), ("a", "get", None, 0)]])
