@@ -992,7 +992,71 @@ def kmv_pair_estimates(base: DataFrame) -> DataFrame:
 
     ``base`` is cached: the hash+distinct frame feeds four subtrees (the
     sketch ranks, the per-type sizes, and both sides of the exact
-    intersection join) — the dedup module's reused-distinct convention."""
+    intersection join) — the dedup module's reused-distinct convention.
+
+    r15 restructure (VERDICT r14 #5, guide §2.3/§2.4): the per-type
+    sketch's SECOND rank tier and the entire pair machinery (two
+    tag-joins, a union, a pair-keyed re-rank window, a final aggregation —
+    ~2.6 s of the 4.5 s entry at sf0.1 on rows that number ≤ types×k)
+    collapse into BOUNDED ARRAY algebra. Tier 1 — the shard rank that
+    keeps every sort partition-sized at any scale — stays a window; its
+    ≤ shards×k survivors per type then aggregate into ONE sorted
+    bottom-k array per type (collect_list bounded at shards×k = 8192
+    rows), and each type pair's (kk, kth_h, m) is computed from the two
+    ≤k-element arrays with sort/distinct/filter expressions — zero
+    exchanges, zero windows downstream of the shard rank. A bottom-k
+    union IS a merge of bottom-k sketches, so working on the k-row
+    sketches as arrays is the estimator's own mergeability argument
+    (docstring above) spelled in the plan. Two-tier-window spelling kept
+    as :func:`_kmv_pair_estimates_two_tier`; row-identity pinned by
+    tests/test_sketches.py::test_kmv_array_kernel_equals_two_tier and the
+    Python-reference kernel tests."""
+    base = base.cache()
+    t1 = base.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("t", F.col("h") % _KMV_SHARDS).orderBy("h")
+        ),
+    ).where(F.col("rk") <= _KMV_K)
+    # Tier 2 as a bounded array aggregation: bottom-k of the shard
+    # survivors == bottom-k of the full type set (each shard contributed
+    # its own bottom-k, and k smallest overall are k smallest of the
+    # per-shard k-smallest unions).
+    sk_arr = t1.groupBy("t").agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, _KMV_K).alias("hs")
+    )
+    pairs = sk_arr.select(
+        F.col("t").alias("type_a"), F.col("hs").alias("ha")
+    ).join(
+        F.broadcast(
+            sk_arr.select(F.col("t").alias("type_b"), F.col("hs").alias("hb"))
+        ),
+        F.col("type_a") < F.col("type_b"),
+    )
+    # Union sketch of the pair: distinct merged hashes, ascending — the
+    # same multiset the old union+re-rank produced, as one array. kk,
+    # kth_h and the intersection count m read straight off it; membership
+    # tests replace the in_a/in_b tag columns.
+    est = pairs.selectExpr(
+        "type_a",
+        "type_b",
+        f"least({_KMV_K}, size(array_sort(array_distinct(concat(ha, hb)))))"
+        " AS kk",
+        f"element_at(array_sort(array_distinct(concat(ha, hb))),"
+        f" least({_KMV_K}, size(array_sort(array_distinct(concat(ha, hb))))))"
+        " AS kth_h",
+        f"cast(size(filter(slice(array_sort(array_distinct(concat(ha, hb))),"
+        f" 1, least({_KMV_K}, size(array_sort(array_distinct(concat(ha,"
+        f" hb)))))), x -> array_contains(ha, x) AND array_contains(hb, x)))"
+        " AS BIGINT) AS m",
+    )
+    return _kmv_finalize(base, est)
+
+
+def _kmv_pair_estimates_two_tier(base: DataFrame) -> DataFrame:
+    """The pre-r15 two-tier-window spelling of the pair-estimate kernel,
+    kept as the differential baseline for the array restructure (the
+    shared-memo convention: the equivalence stays an executable claim)."""
     base = base.cache()
     t1 = base.withColumn(
         "rk",
@@ -1046,6 +1110,13 @@ def kmv_pair_estimates(base: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("m"),
     )
+    return _kmv_finalize(base, est)
+
+
+def _kmv_finalize(base: DataFrame, est: DataFrame) -> DataFrame:
+    """Attach the exact-audit columns and the estimator arithmetic to an
+    (type_a, type_b, kk, kth_h, m) sketch-estimate frame — shared by the
+    array and two-tier spellings so the output expressions cannot drift."""
     sz = base.groupBy("t").agg(F.count("*").cast("bigint").alias("n"))
     ba = base.select(F.col("t").alias("type_a"), "h")
     bb = base.select(F.col("t").alias("type_b"), "h")

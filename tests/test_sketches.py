@@ -306,6 +306,40 @@ def test_kmv_kernel_matches_python_reference(spark):
     assert got == _py_kmv_reference(sets, _KMV_K)
 
 
+def test_kmv_array_kernel_equals_two_tier(spark):
+    """r15 (VERDICT r14 #5): the array-algebra pair kernel must be
+    row-identical to the pre-r15 two-tier-window spelling — on sets above
+    k (sketch path live) AND below k (degenerate kk=|union| path), with a
+    disjoint pair included (m = 0, left-join n_inter coalesce)."""
+    import random
+
+    from spark_states_spark.functions.sketches import (
+        _KMV_K,
+        _kmv_pair_estimates_two_tier,
+        kmv_pair_estimates,
+    )
+
+    rng = random.Random(7)
+    universe = rng.sample(range(1, 1 << 60), 3000)
+    sets = {
+        "big_a": set(universe[:1200]),
+        "big_b": set(universe[700:1900]),
+        "small": set(universe[1900:1950]),  # below k
+        "lonely": set(universe[2000:2100]),  # disjoint from small
+    }
+    assert any(len(s) > _KMV_K for s in sets.values())
+    assert any(len(s) < _KMV_K for s in sets.values())
+    rows = [(t, h) for t, hs in sets.items() for h in hs]
+    base = spark.createDataFrame(rows, "t string, h bigint")
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    new = snap(kmv_pair_estimates(base))
+    old = snap(_kmv_pair_estimates_two_tier(base))
+    assert new == old
+
+
 def test_kmv_is_exact_below_k(spark):
     """When every set fits inside k, the sketch IS the set: the Jaccard
     estimate must equal the exact Jaccard bit-for-bit (kk = |union|,
