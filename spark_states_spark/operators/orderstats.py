@@ -146,6 +146,12 @@ def exact_quantiles_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rank convention: k = ceil(p/100 · n), the discontinuous (lower) order
     statistic — stated explicitly in both engines rather than delegated to
     quantile functions with divergent interpolation rules.
+
+    r15 note: the anomaly_mad_outliers-style input materialization was
+    A/B'd here and LOST 4/4 order-balanced cycles (1.03-1.29 vs
+    0.91-1.09 s) — this entry's input is the 600 K-row lineitem price
+    column, and re-scanning the single pruned parquet column is cheaper
+    than materializing it. Left on the scan path.
     """
     items = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("v")
@@ -212,6 +218,14 @@ def exact_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-bin rank partitions by (group, bin, offset)). No global sort, no
     per-group percentile collect — the grouped twin of
     ``exact_median_two_pass``.
+
+    r15 note: the anomaly_mad_outliers-style input materialization was
+    A/B'd here and came out order-MIXED (2 wins / 2 losses, order-
+    balanced) — one kernel run over ~4 scan references sits at the
+    break-even this box cannot resolve. Left on the scan path; the MAD
+    entry (two kernel runs + fence scan, 49 references) and the
+    winsorized entry (kernel + third clipped-scan reader) are where the
+    materialization measurably wins.
     """
     items = load_table(spark, sf_dir, "events").select(
         F.col("event_type").alias("g"), F.col("value").alias("v")
@@ -339,9 +353,18 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit row_number so both engines pick identical order statistics,
     and value sums go through DECIMAL(12,2) (clamp outputs are original
     data values, so the timeseries summation precedent applies).
+
+    r15: the 2-column projection is scoped-localCheckpoint-materialized
+    (same mechanism and rationale as anomaly_mad_outliers below; the
+    final clipped aggregation is a third reader of the same frame).
     """
-    items = load_table(spark, sf_dir, "events").select(
-        F.col("event_type").alias("g"), F.col("value").alias("v")
+    from ..functions.dedup import scoped_local_checkpoint
+
+    items = scoped_local_checkpoint(
+        load_table(spark, sf_dir, "events").select(
+            F.col("event_type").alias("g"), F.col("value").alias("v")
+        ),
+        "winsorized_items",
     )
     ext = _group_extents(items)
     ranks = ext.select(
@@ -430,13 +453,28 @@ def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``values_at_group_ranks``) runs twice — once over values, once over
     deviations — so there is never a per-group global sort at either
     stage; every join broadcasts a ≤|event types|-row frame, and every
-    aggregate is map-side combinable. At 100 TB the cost is a bounded
-    number of full-scan passes (the kernel's extent/histogram/in-bin
-    stages), each embarrassingly parallel; nothing ever concentrates a
+    aggregate is map-side combinable. Nothing ever concentrates a
     group's values into one partition.
+
+    Materialization (r15, guide §1.2/§5): the two kernel runs plus the
+    fence scan re-derived their input frames per stage — the EXECUTED
+    plan ran **49 parquet scans** of events (12 ReusedExchange
+    notwithstanding). The 2-column ``items`` projection and the 4-column
+    ``dev`` frame are now scoped-localCheckpoint-materialized (per-query
+    lifetime, previous generation's blocks released per call site), so
+    every kernel stage reads the materialized narrow columns instead of
+    re-scanning: 49 scans → 1, sf0.1 best 4.38 → 2.52 s, rows identical
+    (differential-checked on all checkpoint combinations). At 100 TB
+    this trades ~25 pruned corpus re-scans + re-joins for one
+    materialization of each narrow frame (MEMORY_AND_DISK, spills).
     """
-    items = load_table(spark, sf_dir, "events").select(
-        F.col("event_type").alias("g"), F.col("value").alias("v")
+    from ..functions.dedup import scoped_local_checkpoint
+
+    items = scoped_local_checkpoint(
+        load_table(spark, sf_dir, "events").select(
+            F.col("event_type").alias("g"), F.col("value").alias("v")
+        ),
+        "mad_items",
     )
     ext = _group_extents(items)
     mid_ranks = lambda e: e.select(  # noqa: E731 — the two-middle rank frame
@@ -457,8 +495,11 @@ def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # clearCache() in the harnesses releases it between entries.
         .cache()
     )
-    dev = items.join(F.broadcast(med), "g").select(
-        "g", "n", "med", F.abs(F.col("v") - F.col("med")).alias("v")
+    dev = scoped_local_checkpoint(
+        items.join(F.broadcast(med), "g").select(
+            "g", "n", "med", F.abs(F.col("v") - F.col("med")).alias("v")
+        ),
+        "mad_dev",
     )
     ext2 = _group_extents(dev.select("g", "v"))
     mad = (
